@@ -1,0 +1,61 @@
+"""Shard / salt assignment for hot-cell skew handling.
+
+Parity target: GeoMesa ``ShardStrategy`` (reference
+geomesa-index-api/.../api/ShardStrategy.scala:42-79): a shard byte =
+``hash(feature_id) % n_shards`` prepended to every index key, spreading a hot
+key range across ``n_shards`` scan ranges. Here the shard column is appended
+to the shuffle key of cell-partitioned stages (``(cell_id, shard)``) so hot
+cells (cities, coastlines) split into n smaller shuffle partitions.
+
+Hashing is FNV-1a over the little-endian int64 id — deterministic across
+processes (unlike Python's seeded ``hash``), vectorized in numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_u64(values: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over each int64's 8 little-endian bytes."""
+    v = np.asarray(values).astype(np.uint64)
+    h = np.full(v.shape, _FNV_OFFSET, dtype=np.uint64)
+    for b in range(8):
+        byte = (v >> np.uint64(8 * b)) & np.uint64(0xFF)
+        h = (h ^ byte) * _FNV_PRIME
+    return h
+
+
+def fnv1a_str(values) -> np.ndarray:
+    """FNV-1a over UTF-8 bytes of each string (object/str array). Vectorized
+    per fixed byte position over a padded byte matrix."""
+    arr = np.asarray(values, dtype=object)
+    encoded = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in arr.ravel()]
+    maxlen = max((len(b) for b in encoded), default=0)
+    if maxlen == 0:
+        return np.full(arr.shape, _FNV_OFFSET, dtype=np.uint64)
+    mat = np.zeros((len(encoded), maxlen), dtype=np.uint8)
+    lens = np.array([len(b) for b in encoded], dtype=np.int64)
+    for idx, b in enumerate(encoded):  # fill loop; hashing itself is vectorized
+        mat[idx, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(len(encoded), _FNV_OFFSET, dtype=np.uint64)
+    for pos in range(maxlen):
+        active = pos < lens
+        nh = (h ^ mat[:, pos].astype(np.uint64)) * _FNV_PRIME
+        h = np.where(active, nh, h)
+    return h.reshape(arr.shape)
+
+
+def shard_of(doc_ids, n_shards: int) -> np.ndarray:
+    """doc id (int64 or string array) -> shard in [0, n_shards) (int16)."""
+    if n_shards <= 1:
+        return np.zeros(len(np.atleast_1d(doc_ids)), dtype=np.int16)
+    arr = np.asarray(doc_ids)
+    if arr.dtype.kind in ("i", "u"):
+        h = fnv1a_u64(arr)
+    else:
+        h = fnv1a_str(arr)
+    return (h % np.uint64(n_shards)).astype(np.int16)

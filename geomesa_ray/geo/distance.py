@@ -1,0 +1,46 @@
+"""Spherical distances, vectorized.
+
+Analog of the reference's geodesic calculations (GeometricDistanceFunctions
+st_distanceSphere, reference geomesa-spark/.../GeometricDistanceFunctions.scala,
+and the kNN process's distance ordering). Haversine on the WGS84 mean radius —
+deterministic, vectorizable, and the same ordering as true geodesics at the
+scales the tests exercise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6_371_008.8  # IUGG mean radius
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters; broadcasts numpy-style."""
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def haversine_matrix_m(qlon, qlat, plon, plat) -> np.ndarray:
+    """(nq,) query points x (np,) data points -> (nq, np) distance matrix."""
+    return haversine_m(
+        np.asarray(qlon)[:, None],
+        np.asarray(qlat)[:, None],
+        np.asarray(plon)[None, :],
+        np.asarray(plat)[None, :],
+    )
+
+
+def meters_to_degrees_at(lat_deg, meters) -> tuple[np.ndarray, np.ndarray]:
+    """Approximate (dlon, dlat) degree half-widths of a `meters` radius at a
+    latitude — the reference's TubeBuilder.metersToDegrees analog
+    (geomesa-process/.../tube/TubeBuilder.scala:56-70)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlat = np.asarray(meters) / 111_194.9  # meters per degree latitude
+    dlon = np.asarray(meters) / (111_194.9 * np.maximum(np.cos(lat), 1e-6))
+    return dlon, dlat

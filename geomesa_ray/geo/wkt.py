@@ -1,0 +1,86 @@
+"""WKT parsing/formatting without native geometry libraries.
+
+The reference parses geometries via JTS WKTReader inside its converter
+functions (reference geomesa-convert/.../transforms/GeometryFunctionFactory.scala).
+Here:
+
+- ``parse_points_wkt``: the HOT path — vectorized regex extraction of
+  ``POINT (x y)`` strings via pandas ``str.extract`` (no Python row loop).
+- ``parse_wkt``: driver-side general parser for POINT / LINESTRING /
+  POLYGON / MULTIPOLYGON (query geometries are few; plain Python is fine).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_POINT_RE = r"POINT\s*\(\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s+(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*\)"
+
+
+def parse_points_wkt(values) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized: array of 'POINT (x y)' strings -> (lon, lat, valid_mask).
+
+    Invalid / non-point strings yield NaN coords and valid=False.
+    """
+    s = pd.Series(values, dtype="object").astype("string")
+    ext = s.str.extract(_POINT_RE, expand=True)
+    lon = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64)
+    lat = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64)
+    valid = ~(np.isnan(lon) | np.isnan(lat))
+    return lon, lat, valid
+
+
+def format_point_wkt(lon, lat) -> pd.Series:
+    """Vectorized (lon, lat) -> 'POINT (x y)' strings."""
+    lon = pd.Series(np.asarray(lon, dtype=np.float64))
+    lat = pd.Series(np.asarray(lat, dtype=np.float64))
+    return "POINT (" + lon.astype(str) + " " + lat.astype(str) + ")"
+
+
+_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+
+
+def _parse_ring(text: str) -> np.ndarray:
+    pts = []
+    for pair in text.split(","):
+        xy = pair.strip().split()
+        pts.append((float(xy[0]), float(xy[1])))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def parse_wkt(wkt: str):
+    """Driver-side parser. Returns a dict:
+    {"type": "Point"|"LineString"|"Polygon"|"MultiPolygon",
+     "coords": ndarray | [rings] | [[rings]]}.
+    """
+    w = wkt.strip()
+    upper = w.upper()
+    if upper.startswith("POINT"):
+        inner = w[w.index("(") + 1 : w.rindex(")")]
+        xy = inner.strip().split()
+        return {"type": "Point", "coords": np.array([float(xy[0]), float(xy[1])])}
+    if upper.startswith("LINESTRING"):
+        inner = w[w.index("(") + 1 : w.rindex(")")]
+        return {"type": "LineString", "coords": _parse_ring(inner)}
+    if upper.startswith("MULTIPOLYGON"):
+        inner = w[w.index("(") + 1 : w.rindex(")")]
+        polys = []
+        for poly_text in re.findall(r"\(\s*(\([^)]*\)(?:\s*,\s*\([^)]*\))*)\s*\)", inner):
+            rings = [_parse_ring(r) for r in re.findall(r"\(([^()]*)\)", poly_text)]
+            polys.append(rings)
+        return {"type": "MultiPolygon", "coords": polys}
+    if upper.startswith("POLYGON"):
+        inner = w[w.index("(") + 1 : w.rindex(")")]
+        rings = [_parse_ring(r) for r in re.findall(r"\(([^()]*)\)", inner)]
+        return {"type": "Polygon", "coords": rings}
+    raise ValueError(f"unsupported WKT: {wkt[:60]}")
+
+
+def format_polygon_wkt(rings) -> str:
+    ring_strs = []
+    for ring in rings:
+        ring_strs.append("(" + ", ".join(f"{x} {y}" for x, y in ring) + ")")
+    return "POLYGON (" + ", ".join(ring_strs) + ")"
