@@ -1,0 +1,302 @@
+"""Spatial (point-in-polygon) joins over Ray Data.
+
+Two strategies, chosen by polygon-set cardinality — the reference's
+broadcast-vs-partitioned split (small side pushed as a filter:
+geomesa-process/.../query/ProximitySearchProcess.scala:29-89; large side
+grid-partitioned + per-partition sweepline: geomesa-spark/.../
+GeoMesaJoinRelation.scala:41-91 and RelationUtils.gridIdMapper:39-53):
+
+1. ``BroadcastPIPJoin`` — an actor-pool ``map_batches`` stage. The polygon
+   set is ``ray.put`` once on the driver; each actor builds a
+   ``PolygonBucketIndex`` in ``__init__`` (once per actor — IteratorCache
+   pattern) and probes every batch vectorized. No shuffle.
+
+2. ``partitioned_pip_join`` — both sides keyed by coarse quadtree cell
+   (polygons duplicated into every covering cell, points into exactly one),
+   hot cells salted (``shard_of``, the ShardStrategy analog), co-shuffled
+   with one ``groupby(["pcell", "salt"]).map_groups`` and probed per group
+   with a fine-level bucket index. Point×polygon matches are unique by
+   construction (a point lives in exactly one coarse cell), so no dedup
+   pass is needed — unlike the reference's duplicated-feature grid join
+   (RelationUtils.scala:38 "TODO: Filter duplicates").
+
+``spatial_join`` picks the strategy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from geomesa_ray.util import default_concurrency
+
+from geomesa_ray.cells.shard import shard_of
+from geomesa_ray.cells.zcell import ZCellGrid
+from geomesa_ray.geo.bucketindex import PolygonBucketIndex
+from geomesa_ray.geo.predicates import Polygon
+
+
+def _as_wkt_list(polygons) -> tuple[list[str], list]:
+    """polygons: list[str wkt] | list[(name, wkt)] | dict name->wkt."""
+    if isinstance(polygons, dict):
+        names = list(polygons.keys())
+        wkts = [polygons[n] for n in names]
+    elif polygons and isinstance(polygons[0], (tuple, list)):
+        names = [p[0] for p in polygons]
+        wkts = [p[1] for p in polygons]
+    else:
+        wkts = list(polygons)
+        names = list(range(len(wkts)))
+    return wkts, names
+
+
+class BroadcastPIPJoin:
+    """Actor-pool stage: keep rows whose (lon, lat) fall in any polygon;
+    appends ``poly_name``. Rows matching k polygons are emitted k times
+    (inner-join semantics)."""
+
+    def __init__(self, polys_ref, lon_col: str = "lon", lat_col: str = "lat"):
+        wkts, names = ray.get(polys_ref) if isinstance(polys_ref, ray.ObjectRef) else polys_ref
+        self.index = PolygonBucketIndex(wkts, names=names)
+        self.names = np.asarray(self.index.names, dtype=object)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        pt_idx, poly_idx = self.index.probe(lon, lat)
+        out = batch.take(pa.array(pt_idx))
+        return out.append_column("poly_name", pa.array(self.names[poly_idx].astype(str)))
+
+
+def broadcast_pip_join(
+    points_ds,
+    polygons,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    concurrency=None,
+    batch_size: int = 65536,
+):
+    ref = ray.put(_as_wkt_list(polygons))
+    return points_ds.map_batches(
+        BroadcastPIPJoin,
+        fn_constructor_kwargs={"polys_ref": ref, "lon_col": lon_col, "lat_col": lat_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned join
+# ---------------------------------------------------------------------------
+
+
+class _AssignPartition:
+    """Adds (pcell, salt) to the point side."""
+
+    def __init__(self, partition_level: int, n_salts: int, hot_cells_ref, lon_col, lat_col, id_col):
+        self.grid = ZCellGrid(partition_level)
+        self.n_salts = n_salts
+        self.hot = ray.get(hot_cells_ref) if isinstance(hot_cells_ref, ray.ObjectRef) else hot_cells_ref
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        pcell = self.grid.cell_of_points(lon, lat, lenient=True)
+        if self.n_salts > 1 and len(self.hot):
+            ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+            salt = shard_of(ids, self.n_salts).astype(np.int16)
+            salt = np.where(np.isin(pcell, self.hot), salt, np.int16(0))
+        else:
+            salt = np.zeros(len(pcell), dtype=np.int16)
+        return batch.append_column("pcell", pa.array(pcell, type=pa.int64())).append_column(
+            "salt", pa.array(salt, type=pa.int16())
+        )
+
+
+def _explode_polygons(
+    polygons, partition_level: int, n_salts: int, hot_cells: np.ndarray
+) -> pd.DataFrame:
+    """Driver-side: polygon k -> one row per (covering pcell, salt). Hot
+    cells receive all salts (polygon replicated); cold cells salt 0."""
+    wkts, names = _as_wkt_list(polygons)
+    grid = ZCellGrid(partition_level)
+    rows_cell: list[np.ndarray] = []
+    rows_salt: list[np.ndarray] = []
+    rows_idx: list[np.ndarray] = []
+    hot_set = set(hot_cells.tolist()) if len(hot_cells) else set()
+    for k, wkt in enumerate(wkts):
+        poly = Polygon.from_wkt(wkt) if isinstance(wkt, str) else wkt
+        xmin, ymin, xmax, ymax = poly.bbox()
+        cells = grid.cover_bbox(xmin, ymin, xmax, ymax)
+        for c in cells.tolist():
+            salts = range(n_salts) if c in hot_set else (0,)
+            for s in salts:
+                rows_cell.append(c)
+                rows_salt.append(s)
+                rows_idx.append(k)
+    return pd.DataFrame(
+        {
+            "pcell": np.asarray(rows_cell, dtype=np.int64),
+            "salt": np.asarray(rows_salt, dtype=np.int16),
+            "poly_idx": np.asarray(rows_idx, dtype=np.int64),
+            "wkt": np.asarray([wkts[i] for i in rows_idx], dtype=object),
+            "poly_name": np.asarray([str(names[i]) for i in rows_idx], dtype=object),
+        }
+    )
+
+
+def detect_hot_cells(
+    points_ds, partition_level: int, lon_col="lon", lat_col="lat", sample_frac: float = 0.02,
+    hot_multiple: float = 8.0,
+) -> np.ndarray:
+    """Sample-based hot-cell detection (the analog of the reference's
+    WEIGHTED/RTREE sample partitioning, RelationUtils.scala:107-158): a cell
+    is hot if its sampled count exceeds hot_multiple x the mean."""
+    sample = points_ds.random_sample(sample_frac, seed=42).select_columns([lon_col, lat_col])
+    df = sample.to_pandas()
+    if df.empty:
+        return np.empty(0, dtype=np.int64)
+    grid = ZCellGrid(partition_level)
+    cells = grid.cell_of_points(df[lon_col].to_numpy(), df[lat_col].to_numpy(), lenient=True)
+    uniq, counts = np.unique(cells, return_counts=True)
+    return uniq[counts > hot_multiple * counts.mean()]
+
+
+def partitioned_pip_join(
+    points_ds,
+    polygons,
+    partition_level: int = 7,
+    index_level: int = 12,
+    n_salts: int = 4,
+    hot_cells: np.ndarray | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+):
+    """Cell-partitioned PIP join; returns a Dataset of matched point rows +
+    ``poly_name``. ``keep_cols`` limits the point columns carried through
+    the shuffle (carry keys only, re-attach wide columns after — the
+    column-group pattern, SURVEY.md §7.5)."""
+    if hot_cells is None:
+        hot_cells = detect_hot_cells(points_ds, partition_level, lon_col, lat_col)
+    hot_ref = ray.put(hot_cells)
+
+    if keep_cols is not None:
+        cols = list(dict.fromkeys([id_col, lon_col, lat_col] + keep_cols))
+        points_ds = points_ds.select_columns(cols)
+
+    pts = points_ds.map_batches(
+        _AssignPartition,
+        fn_constructor_kwargs={
+            "partition_level": partition_level,
+            "n_salts": n_salts,
+            "hot_cells_ref": hot_ref,
+            "lon_col": lon_col,
+            "lat_col": lat_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )
+
+    poly_df = _explode_polygons(polygons, partition_level, n_salts, hot_cells)
+    # conform schemas: points get null poly cols, polys get null point cols
+    pts = pts.map_batches(
+        lambda t: t.append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        .append_column("poly_idx", pa.nulls(t.num_rows, pa.int64()))
+        .append_column("wkt", pa.nulls(t.num_rows, pa.string()))
+        .append_column("poly_name", pa.nulls(t.num_rows, pa.string())),
+        batch_format="pyarrow",
+    )
+    pts_schema = pts.schema().base_schema
+    point_cols = [c for c in pts_schema.names if c not in ("side", "poly_idx", "wkt", "poly_name")]
+    point_types = {c: pts_schema.field(c).type for c in point_cols}
+    poly_df["side"] = np.int8(1)
+    polys_ds = ray.data.from_pandas(poly_df)
+    polys_ds = polys_ds.map_batches(
+        lambda t, pc_=point_cols, tt_=point_types: _conform_poly_side(t, pc_, tt_),
+        batch_format="pyarrow",
+    )
+    both = pts.union(polys_ds)
+
+    index_level_ = index_level
+    lon_col_ = lon_col
+    lat_col_ = lat_col
+
+    def join_group(group: pd.DataFrame) -> pd.DataFrame:
+        polys = group[group["side"] == 1]
+        points = group[group["side"] == 0]
+        if polys.empty or points.empty:
+            return _empty_join_result(group, point_cols)
+        # one polygon may appear once per (cell,salt); dedup within group
+        polys = polys.drop_duplicates(subset=["poly_idx"])
+        index = PolygonBucketIndex(
+            polys["wkt"].tolist(), names=polys["poly_name"].tolist(), level=index_level_
+        )
+        pt_idx, poly_pos = index.probe(
+            points[lon_col_].to_numpy(dtype=np.float64), points[lat_col_].to_numpy(dtype=np.float64)
+        )
+        if len(pt_idx) == 0:
+            return _empty_join_result(group, point_cols)
+        out = points.iloc[pt_idx][[c for c in point_cols if c not in ("pcell", "salt", "side")]].copy()
+        out["poly_name"] = np.asarray(index.names, dtype=object)[poly_pos]
+        return out
+
+    joined = both.groupby(["pcell", "salt"]).map_groups(join_group, batch_format="pandas")
+    return joined
+
+
+def _conform_poly_side(t: pa.Table, point_cols: list[str], point_types: dict) -> pa.Table:
+    arrays = []
+    names = []
+    for c in point_cols:
+        names.append(c)
+        if c == "pcell":
+            arrays.append(t.column("pcell").cast(point_types[c]))
+        elif c == "salt":
+            arrays.append(t.column("salt").cast(point_types[c]))
+        else:
+            arrays.append(pa.nulls(t.num_rows, point_types[c]))
+    for c in ("side", "poly_idx", "wkt", "poly_name"):
+        names.append(c)
+        if c == "side":
+            arrays.append(t.column("side").cast(pa.int8()))
+        else:
+            arrays.append(t.column(c))
+    return pa.table(dict(zip(names, arrays)))
+
+
+def _empty_join_result(group: pd.DataFrame, point_cols: list[str]) -> pd.DataFrame:
+    cols = [c for c in point_cols if c not in ("pcell", "salt", "side")]
+    out = group.iloc[0:0][[c for c in cols if c in group.columns]].copy()
+    out["poly_name"] = pd.Series([], dtype=object)
+    return out
+
+
+def spatial_join(
+    points_ds,
+    polygons,
+    broadcast_threshold: int = 5000,
+    **kwargs,
+):
+    """Strategy chooser: broadcast when the polygon set is small (the usual
+    case — admin boundaries, AOIs), partitioned cell-shuffle otherwise."""
+    wkts, names = _as_wkt_list(polygons)
+    pairs = list(zip(names, wkts))
+    if len(wkts) <= broadcast_threshold:
+        return broadcast_pip_join(points_ds, pairs, **{
+            k: v for k, v in kwargs.items() if k in ("lon_col", "lat_col", "concurrency", "batch_size")
+        })
+    return partitioned_pip_join(points_ds, pairs, **{
+        k: v for k, v in kwargs.items() if k not in ("concurrency", "batch_size")
+    })
