@@ -69,7 +69,7 @@ class AssignCells:
         if self.ts_col:
             ts = batch.column(self.ts_col)
             if pa.types.is_timestamp(ts.type):
-                millis = ts.cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+                millis = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
             else:
                 millis = ts.to_numpy(zero_copy_only=False).astype(np.int64)
             bins, offsets = BinnedTime.to_binned_time(millis, self.period)

@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+The reference dedups only by feature ID (last-write-wins upsert,
+geomesa-kafka/.../KafkaFeatureCache.scala:94-110) and punts on join-duplicate
+filtering (RelationUtils.scala:38). A 10^12-doc training-data pipeline needs
+content dedup as a first-class operator, so these are built on the same
+partial/shuffle patterns (public algorithms: Broder MinHash '97,
+Indyk-Motwani LSH, Charikar SimHash '02):
+
+- ``exact_dedup``       : content hash -> hash-partitioned first-wins.
+- ``minhash_dedup``     : char-shingles -> minhash signature -> banded LSH
+                          buckets -> iterated min-label propagation -> keep
+                          cluster representative.
+- ``simhash_pairs``     : 64-bit simhash, banded buckets, verified Hamming
+                          distance pairs.
+- ``ngram_jaccard``     : exact shingle-set Jaccard for a candidate pair
+                          list (the verify step).
+All per-batch work is vectorized numpy; shuffles are groupbys on
+hash/band keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from geomesa_ray.cells.shard import fnv1a_str
+from geomesa_ray.stages.stats import _mix64
+
+_MERSENNE = (1 << 61) - 1
+
+
+def content_hash(values) -> np.ndarray:
+    return _mix64(fnv1a_str(np.asarray(values, dtype=object)))
+
+
+def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id"):
+    """Keep exactly one row (min id) per distinct content value.
+    Hash-partitioned: groupby(content_hash) -> first
+    (the guide's canonical exact-dedup shape)."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = content_hash(t.column(content_col).to_numpy(zero_copy_only=False))
+        return t.append_column("__chash", pa.array(h.astype(np.int64)))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    out = ds.map_batches(add_hash, batch_format="pyarrow")
+    return out.groupby("__chash").map_groups(first, batch_format="pandas").drop_columns(["__chash"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+
+def _char_shingles(texts: np.ndarray, k: int = 5) -> list[np.ndarray]:
+    """Per text: uint64 hashes of its k-char shingles (vectorized per text
+    via byte-matrix strides)."""
+    out = []
+    for t in texts:
+        b = np.frombuffer(str(t).lower().encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            out.append(_mix64(fnv1a_str(np.array([str(t)], dtype=object))))
+            continue
+        # rolling windows as a strided view -> hash each window
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        h = np.full(len(win), np.uint64(0xCBF29CE484222325))
+        for col in range(k):
+            h = (h ^ win[:, col]) * np.uint64(0x100000001B3)
+        out.append(np.unique(_mix64(h)))
+    return out
+
+
+class MinHasher:
+    """num_perm universal-hash minhash signatures over shingle hash sets."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42, shingle_k: int = 5):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signatures(self, texts: np.ndarray) -> np.ndarray:
+        """(n_texts, num_perm) uint64 signature matrix."""
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for i, sh in enumerate(_char_shingles(texts, self.shingle_k)):
+            # (n_shingle, num_perm) permuted values; min over shingles
+            v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+            sigs[i] = v.min(axis=0)
+        return sigs
+
+    @staticmethod
+    def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float(np.mean(sig_a == sig_b))
+
+
+class _MinHashBands:
+    """map_batches stage: text -> exploded (band, band_hash, doc_id) rows."""
+
+    def __init__(self, num_perm: int, bands: int, text_col: str, id_col: str, shingle_k: int):
+        self.hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sigs = self.hasher.signatures(texts)
+        n = len(texts)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        doc_rep = np.repeat(ids, self.bands)
+        # hash each band's rows to one value
+        bh = np.empty((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            seg = sigs[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
+            h = np.full(n, np.uint64(0xCBF29CE484222325))
+            for c in range(seg.shape[1]):
+                h = (h ^ seg[:, c]) * np.uint64(0x100000001B3)
+            bh[:, b] = _mix64(h)
+        return pa.table({
+            "band": pa.array(band_ids),
+            "band_hash": pa.array(bh.ravel().astype(np.int64)),
+            self.id_col: pa.array(np.asarray(doc_rep)),
+        })
+
+
+def minhash_clusters(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    rounds: int = 3,
+):
+    """doc -> near-dup cluster label (min doc id over its LSH component,
+    converged via `rounds` of min-label propagation across band buckets).
+    Returns Dataset[(id_col, cluster)]."""
+    exploded = ds.map_batches(
+        _MinHashBands,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()  # reused every round; small (bands x docs key rows)
+
+    # labels start as own id
+    labels = exploded.groupby(id_col).map_groups(
+        lambda g: pd.DataFrame({id_col: [g[id_col].iloc[0]], "cluster": [g[id_col].min()]}),
+        batch_format="pandas",
+    )
+    for _ in range(rounds):
+        # join labels onto exploded rows, take min label per bucket, then min per doc
+        lab_df = labels.to_pandas()  # size O(docs) keys only; driver round-trip
+        lab_map = dict(zip(lab_df[id_col], lab_df["cluster"]))
+
+        def attach(t: pa.Table, m=lab_map) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            lab = np.array([m.get(i, i) for i in ids])
+            return t.append_column("cluster", pa.array(lab))
+
+        with_lab = exploded.map_batches(attach, batch_format="pyarrow")
+
+        def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+            mn = g["cluster"].min()
+            return pd.DataFrame({id_col: g[id_col].unique(), "cluster": mn})
+
+        bucketed = with_lab.groupby(["band", "band_hash"]).map_groups(bucket_min, batch_format="pandas")
+
+        def doc_min(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: [g[id_col].iloc[0]], "cluster": [g["cluster"].min()]})
+
+        labels = bucketed.groupby(id_col).map_groups(doc_min, batch_format="pandas")
+    return labels
+
+
+def minhash_dedup(ds, text_col="text", id_col="doc_id", **kw):
+    """Keep one representative (min id) per near-dup cluster."""
+    labels = minhash_clusters(ds, text_col=text_col, id_col=id_col, **kw)
+    keep = labels.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("cluster"))),
+        batch_format="pyarrow",
+    ).drop_columns(["cluster"])
+    keep_ids = set(keep.to_pandas()[id_col])
+
+    def filt(t: pa.Table, ks=keep_ids) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.array([i in ks for i in ids])))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(texts: np.ndarray) -> np.ndarray:
+    """Charikar simhash over whitespace tokens (vectorized per text)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = str(t).lower().split()
+        if not toks:
+            out[i] = 0
+            continue
+        h = _mix64(fnv1a_str(np.array(toks, dtype=object)))
+        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        out[i] = np.bitwise_or.reduce(((v > 0).astype(np.uint64)) << bit_idx)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a).astype(np.uint64) ^ np.asarray(b).astype(np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3, bands: int = 4):
+    """Near-dup candidate pairs verified by Hamming distance. Buckets on
+    16-bit simhash bands (a pair within distance d<=3 shares >=1 of 4 bands)."""
+
+    def add_sim(t: pa.Table) -> pa.Table:
+        sh = simhash64(t.column(text_col).to_numpy(zero_copy_only=False))
+        return pa.table({
+            id_col: t.column(id_col),
+            "simhash": pa.array(sh.astype(np.int64)),
+        })
+
+    sims = ds.map_batches(add_sim, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(sh)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        width = 64 // bands
+        bh = np.stack([
+            ((sh >> np.uint64(b * width)) & np.uint64((1 << width) - 1)).astype(np.int64)
+            for b in range(bands)
+        ], axis=1)
+        return pa.table({
+            "band": pa.array(band_ids),
+            "band_val": pa.array(bh.ravel()),
+            id_col: pa.array(np.repeat(ids, bands)),
+            "simhash": pa.array(np.repeat(sh.astype(np.int64), bands)),
+        })
+
+    exploded = sims.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"left_id": [], "right_id": [], "hamming": []})
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hd = hamming64(sh[ii], sh[jj])
+        ok = hd <= max_hamming
+        return pd.DataFrame({"left_id": ids[ii[ok]], "right_id": ids[jj[ok]], "hamming": hd[ok]})
+
+    out = exploded.groupby(["band", "band_val"]).map_groups(pairs, batch_format="pandas")
+    # a pair can surface from several bands -> dedup (left,right)
+    return out.groupby(["left_id", "right_id"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact char-shingle Jaccard — the verification predicate."""
+    a, b = _char_shingles(np.array([text_a, text_b], dtype=object), k)
+    inter = len(np.intersect1d(a, b))
+    union = len(np.union1d(a, b))
+    return inter / union if union else 1.0

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (list<float>).
+
+Training-data operator set:
+- ``ann_topk``       : exact brute-force cosine top-k — per-batch numpy
+                       matmul against a broadcast query matrix (the
+                       baseline), merged per query like kNN.
+- ``lsh_buckets``    : random-hyperplane signatures (seeded) for
+                       LSH-bucketed retrieval — the scale path: candidates
+                       share a bucket, exact cosine inside.
+- ``cosine_dedup_pairs``: embedding near-dup pairs (cosine >= threshold)
+                       within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from geomesa_ray.util import default_concurrency
+
+
+def _matrix(col) -> np.ndarray:
+    """Embedding column -> (n, d) float32 matrix. Handles Arrow
+    list<float>/fixed_size_list (parquet) and Ray's tensor extension arrays
+    (from_pandas ndarray cells) without a Python row loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        values = col.values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        d = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+        return values.reshape(len(col), d)
+    if pa.types.is_fixed_size_list(col.type):
+        values = col.values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+        return values.reshape(len(col), col.type.list_size)
+    # Ray tensor extension (or anything exposing a 2-D to_numpy)
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        arr = np.stack(arr)
+    return np.ascontiguousarray(arr, dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-12)
+
+
+class AnnPartial:
+    """Per-batch exact top-k cosine for all query vectors."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = np.asarray(q["query_id"], dtype=object)
+        self.qm = _normalize(np.asarray(q["vectors"], dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch.column(self.vec_col)))
+        sims = self.qm @ m.T  # (nq, nb)
+        kk = min(self.k, sims.shape[1])
+        if kk == 0:
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "neighbor_id": pa.array([], pa.string()),
+                             "cosine": pa.array([], pa.float64())})
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = part.ravel()
+        return pa.table({
+            "query_id": pa.array(self.qids[rows].astype(str)),
+            "neighbor_id": pa.array(ids[cols].astype(str)),
+            "cosine": pa.array(sims[rows, cols].astype(np.float64)),
+        })
+
+
+def ann_topk(ds, query_vectors, query_ids, k: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding", concurrency=None):
+    """Exact cosine top-k for each query vector. query_vectors: (nq, d)."""
+    qref = ray.put({"query_id": np.asarray(query_ids, dtype=object),
+                    "vectors": np.asarray(query_vectors, dtype=np.float32)})
+    partials = ds.map_batches(
+        AnnPartial,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature (Charikar): sign bits of V @ planes."""
+
+    def __init__(self, dim: int, n_bits: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+        self.n_bits = n_bits
+
+    def signature(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for b in range(self.n_bits):
+            out |= bits[:, b].astype(np.int64) << b
+        return out
+
+
+def lsh_bucketed(ds, dim: int, n_bits: int = 12, vec_col: str = "embedding", seed: int = 42):
+    """Adds a ``bucket`` column from hyperplane LSH — the shuffle key for
+    bucketed similarity ops."""
+
+    class AddBucket:
+        def __init__(self):
+            self.lsh = HyperplaneLSH(dim, n_bits, seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _matrix(batch.column(vec_col))
+            return batch.append_column("bucket", pa.array(self.lsh.signature(m)))
+
+    return ds.map_batches(AddBucket, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def cosine_dedup_pairs(ds, dim: int, threshold: float = 0.95, id_col: str = "vec_id",
+                       vec_col: str = "embedding", n_bits: int = 10, seed: int = 42):
+    """Embedding near-dup pairs with cosine >= threshold, candidates limited
+    to LSH buckets (documented recall/latency trade; raise n_bits for
+    precision, lower for recall)."""
+    bucketed = lsh_bucketed(ds, dim, n_bits=n_bits, vec_col=vec_col, seed=seed)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack(g[vec_col].to_numpy()))
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ok = sims[ii, jj] >= threshold
+        return pd.DataFrame({
+            "left_id": ids[ii[ok]], "right_id": ids[jj[ok]],
+            "cosine": sims[ii[ok], jj[ok]].astype(np.float64),
+        })
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")

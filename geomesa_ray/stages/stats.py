@@ -1,0 +1,425 @@
+"""Mergeable statistics sketches + the partial/final aggregation scan.
+
+Parity target: GeoMesa's ``StatsScan`` family (reference
+geomesa-index-api/.../iterators/StatsScan.scala:28-106 and
+geomesa-utils/.../stats/*.scala): each scan range folds rows into a sketch,
+partials are serialized and a client-side reducer merges them (monoid ``+``,
+Stat.scala). Ray Data shape: ``map_batches`` emits one serialized sketch per
+batch; the driver (or a tiny final stage) merges the few partials —
+shuffle size O(batches), not O(rows).
+
+Sketches (all public algorithms):
+- CountStat, MinMax           (MinMax.scala:30-72)
+- HyperLogLog                 (HLL, Flajolet et al. 2007; HyperLogLog.scala)
+- EnumerationStat             (exact value counts, EnumerationStat.scala)
+- TopK                        (space-saving, Metwally et al.; TopK.scala)
+- Frequency                   (count-min sketch, Cormode-Muthukrishnan; Frequency.scala)
+- Histogram                   (fixed-range equi-width bins; Histogram.scala)
+- DescriptiveStats            (Welford/Chan parallel merge; DescriptiveStats.scala)
+- Z3Histogram                 (counts keyed by (time_bin, z3-prefix); Z3Histogram.scala)
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from geomesa_ray.cells.shard import fnv1a_str, fnv1a_u64
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain mixer): FNV alone has weak
+    avalanche on sequential keys, which skews HLL rank distributions."""
+    z = h.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash_values(values: np.ndarray) -> np.ndarray:
+    """Deterministic, well-mixed uint64 hashes of an arbitrary column."""
+    v = np.asarray(values)
+    if v.dtype.kind in ("i", "u"):
+        return _mix64(fnv1a_u64(v))
+    if v.dtype.kind == "f":
+        return _mix64(
+            fnv1a_u64(v.view(np.int64) if v.dtype == np.float64 else v.astype(np.float64).view(np.int64))
+        )
+    if v.dtype.kind == "M":
+        return _mix64(fnv1a_u64(v.astype("datetime64[ns]").astype(np.int64)))
+    return _mix64(fnv1a_str(v.astype(object)))
+
+
+class Stat:
+    """Base: update with a numpy column, merge with a same-shaped stat."""
+
+    def update(self, values: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def merge(self, other: "Stat") -> "Stat":
+        raise NotImplementedError
+
+    def result(self):
+        raise NotImplementedError
+
+
+class CountStat(Stat):
+    def __init__(self):
+        self.count = 0
+
+    def update(self, values):
+        self.count += len(values)
+
+    def merge(self, other):
+        self.count += other.count
+        return self
+
+    def result(self):
+        return self.count
+
+
+class MinMax(Stat):
+    def __init__(self):
+        self.min = None
+        self.max = None
+
+    def update(self, values):
+        v = np.asarray(values)
+        if v.dtype.kind == "f":
+            v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        mn, mx = v.min(), v.max()
+        self.min = mn if self.min is None else min(self.min, mn)
+        self.max = mx if self.max is None else max(self.max, mx)
+
+    def merge(self, other):
+        for v in (other.min,):
+            if v is not None:
+                self.min = v if self.min is None else min(self.min, v)
+        for v in (other.max,):
+            if v is not None:
+                self.max = v if self.max is None else max(self.max, v)
+        return self
+
+    def result(self):
+        return (self.min, self.max)
+
+
+class HyperLogLog(Stat):
+    """Dense HLL with 2^p registers; bias handling via linear counting for
+    small cardinalities (the standard published estimator)."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def update(self, values):
+        h = _hash_values(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)  # sentinel low bits
+        # rank = leading zeros of rest + 1, capped at 64 - p + 1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        v = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = v < (np.uint64(1) << np.uint64(64 - shift))
+            lz = np.where(mask, lz + shift, lz)
+            v = np.where(mask, v << np.uint64(shift), v)
+        rank = (lz + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other):
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def result(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting
+        return est
+
+
+class EnumerationStat(Stat):
+    """Exact value -> count map (bounded use: low-cardinality columns)."""
+
+    def __init__(self):
+        self.counts: dict = {}
+
+    def update(self, values):
+        uniq, counts = np.unique(np.asarray(values), return_counts=True)
+        for k, c in zip(uniq.tolist(), counts.tolist()):
+            self.counts[k] = self.counts.get(k, 0) + c
+
+    def merge(self, other):
+        for k, c in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + c
+        return self
+
+    def result(self):
+        return dict(self.counts)
+
+
+class TopK(Stat):
+    """Space-saving summary with `capacity` counters (Metwally et al. 2005,
+    the algorithm behind the reference's StreamSummary TopK.scala)."""
+
+    def __init__(self, k: int = 10, capacity: int = 1000):
+        self.k = k
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.errors: dict = {}
+
+    def update(self, values):
+        uniq, counts = np.unique(np.asarray(values), return_counts=True)
+        for key, c in zip(uniq.tolist(), counts.tolist()):
+            if key in self.counts:
+                self.counts[key] += c
+            elif len(self.counts) < self.capacity:
+                self.counts[key] = c
+                self.errors[key] = 0
+            else:
+                victim = min(self.counts, key=self.counts.get)
+                base = self.counts.pop(victim)
+                self.errors.pop(victim, None)
+                self.counts[key] = base + c
+                self.errors[key] = base
+
+    def merge(self, other):
+        for key, c in other.counts.items():
+            if key in self.counts:
+                self.counts[key] += c
+                self.errors[key] = self.errors.get(key, 0) + other.errors.get(key, 0)
+            else:
+                self.counts[key] = c
+                self.errors[key] = other.errors.get(key, 0)
+        if len(self.counts) > self.capacity:
+            keep = sorted(self.counts, key=self.counts.get, reverse=True)[: self.capacity]
+            keep_set = set(keep)
+            self.counts = {k_: v for k_, v in self.counts.items() if k_ in keep_set}
+            self.errors = {k_: v for k_, v in self.errors.items() if k_ in keep_set}
+        return self
+
+    def result(self):
+        top = sorted(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[: self.k]
+        return [(k, int(c)) for k, c in top]
+
+
+class Frequency(Stat):
+    """Count-min sketch: depth x width counters, conservative point query."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        # fixed odd multipliers per row (deterministic)
+        self._seeds = np.array([0x9E3779B97F4A7C15 + 2 * i + 1 for i in range(depth)], dtype=np.uint64)
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        return np.stack(
+            [((h * self._seeds[d]) >> np.uint64(33)) % np.uint64(self.width) for d in range(self.depth)]
+        ).astype(np.int64)
+
+    def update(self, values):
+        h = _hash_values(values)
+        rows = self._rows(h)
+        for d in range(self.depth):
+            np.add.at(self.table[d], rows[d], 1)
+
+    def merge(self, other):
+        self.table += other.table
+        return self
+
+    def count(self, value) -> int:
+        h = _hash_values(np.array([value]))
+        rows = self._rows(h)
+        return int(min(self.table[d][rows[d][0]] for d in range(self.depth)))
+
+    def result(self):
+        return self
+
+    def __reduce__(self):
+        state = (self.width, self.depth, self.table)
+        return (_rebuild_frequency, state)
+
+
+def _rebuild_frequency(width, depth, table):
+    f = Frequency(width, depth)
+    f.table = table
+    return f
+
+
+class HistogramStat(Stat):
+    """Fixed-range equi-width bins (Histogram.scala / BinnedArray.scala)."""
+
+    def __init__(self, n_bins: int, lo: float, hi: float):
+        self.n_bins = n_bins
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.bins = np.zeros(n_bins, dtype=np.int64)
+
+    def update(self, values):
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        v = v[(v >= self.lo) & (v <= self.hi)]
+        idx = np.floor((v - self.lo) / (self.hi - self.lo) * self.n_bins).astype(np.int64)
+        idx = np.clip(idx, 0, self.n_bins - 1)
+        self.bins += np.bincount(idx, minlength=self.n_bins)
+
+    def merge(self, other):
+        self.bins += other.bins
+        return self
+
+    def result(self):
+        return self.bins.copy()
+
+
+class DescriptiveStats(Stat):
+    """count/mean/variance via Chan et al. parallel merge
+    (DescriptiveStats.scala's streaming updates)."""
+
+    def __init__(self):
+        self.n = 0
+        self.mean = 0.0
+        self.m2 = 0.0
+
+    def update(self, values):
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        n_b = len(v)
+        mean_b = float(v.mean())
+        m2_b = float(((v - mean_b) ** 2).sum())
+        self._combine(n_b, mean_b, m2_b)
+
+    def _combine(self, n_b, mean_b, m2_b):
+        n_a = self.n
+        delta = mean_b - self.mean
+        n = n_a + n_b
+        if n == 0:
+            return
+        self.mean += delta * n_b / n
+        self.m2 += m2_b + delta * delta * n_a * n_b / n
+        self.n = n
+
+    def merge(self, other):
+        self._combine(other.n, other.mean, other.m2)
+        return self
+
+    def result(self):
+        var = self.m2 / (self.n - 1) if self.n > 1 else 0.0
+        return {"count": self.n, "mean": self.mean, "variance": var, "stddev": float(np.sqrt(var))}
+
+
+class Z3HistogramStat(Stat):
+    """Counts keyed by (time_bin, coarse z3 prefix) — the spatio-temporal
+    density sketch (Z3Histogram.scala). Expects dict update with keys."""
+
+    def __init__(self, prefix_bits: int = 12):
+        self.prefix_bits = prefix_bits
+        self.counts: dict = {}
+
+    def update(self, values):
+        # values: structured (time_bin, z3) pair array — packed as 2-col 2d
+        tb = np.asarray(values[0])
+        z3 = np.asarray(values[1]).astype(np.uint64) >> np.uint64(63 - self.prefix_bits)
+        key = tb.astype(np.int64) * (1 << (self.prefix_bits + 1)) + z3.astype(np.int64)
+        uniq, counts = np.unique(key, return_counts=True)
+        for k, c in zip(uniq.tolist(), counts.tolist()):
+            self.counts[k] = self.counts.get(k, 0) + c
+
+    def merge(self, other):
+        for k, c in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + c
+        return self
+
+    def result(self):
+        return dict(self.counts)
+
+
+# ---------------------------------------------------------------------------
+# The scan: map_batches partial -> driver-side merge
+# ---------------------------------------------------------------------------
+
+STAT_FACTORIES = {
+    "count": lambda **kw: CountStat(),
+    "minmax": lambda **kw: MinMax(),
+    "hll": lambda **kw: HyperLogLog(**kw),
+    "enumeration": lambda **kw: EnumerationStat(),
+    "topk": lambda **kw: TopK(**kw),
+    "frequency": lambda **kw: Frequency(**kw),
+    "histogram": lambda **kw: HistogramStat(**kw),
+    "descriptive": lambda **kw: DescriptiveStats(),
+}
+
+
+def parse_stat_spec(spec: str):
+    """'count;minmax(col);hll(col,p=12)' -> [(kind, col, kwargs)] — the
+    analog of the reference's stat spec strings (StatParser.scala)."""
+    out = []
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        if "(" in part:
+            kind, rest = part.split("(", 1)
+            args = [a.strip() for a in rest.rstrip(")").split(",") if a.strip()]
+        else:
+            kind, args = part, []
+        col = None
+        kwargs = {}
+        for a in args:
+            if "=" in a:
+                k, v = a.split("=", 1)
+                try:
+                    kwargs[k] = int(v)
+                except ValueError:
+                    kwargs[k] = float(v)
+            else:
+                col = a
+        out.append((kind.strip(), col, kwargs))
+    return out
+
+
+class _StatsPartial:
+    def __init__(self, spec: str):
+        self.parsed = parse_stat_spec(spec)
+        self.spec = spec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stats = []
+        for kind, col, kwargs in self.parsed:
+            s = STAT_FACTORIES[kind](**kwargs)
+            if kind == "count":
+                s.update(np.empty(batch.num_rows))
+            else:
+                s.update(batch.column(col).to_numpy(zero_copy_only=False))
+            stats.append(s)
+        return pa.table({"sketch": pa.array([pickle.dumps(stats)], type=pa.binary())})
+
+
+def stats_scan(ds, spec: str, batch_size: int = 65536):
+    """Run a SeqStat-style multi-sketch pass; returns the merged Stat list
+    (one per spec entry). The reduce is driver-side over O(batches) rows —
+    the QueryPlanner.reducer analog (QueryPlanner.scala:61-66)."""
+    partials = ds.map_batches(
+        _StatsPartial, fn_constructor_kwargs={"spec": spec},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+    )
+    merged: list[Stat] | None = None
+    for batch in partials.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for blob in batch.column("sketch").to_pylist():
+            stats = pickle.loads(blob)
+            if merged is None:
+                merged = stats
+            else:
+                merged = [a.merge(b) for a, b in zip(merged, stats)]
+    return merged or []

@@ -1,0 +1,101 @@
+"""Text analysis stages: language ID, quality scoring, token counting,
+document fingerprinting.
+
+First-class training-data operators (no analog needed in the reference —
+the converter function DSL, §2.4, covers string transforms; these extend it
+for corpus curation). All vectorized pandas/numpy; regexes compiled once per
+actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from geomesa_ray.cells.shard import fnv1a_str
+from geomesa_ray.stages.stats import _mix64
+
+# Stopword profiles for the n-gram/stopword language heuristic
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was", "for", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "nicht", "ein", "eine"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "dans", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "de", "que", "en", "un", "una", "es", "por", "con"},
+}
+
+
+class TextStats:
+    """map_batches stage: adds n_tokens, quality, lang columns."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"\w+", re.UNICODE)
+        # BPE-ish subword splitter: words, numbers, or single non-space marks
+        self.token_re = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+        self.punct_re = re.compile(r"[^\w\s]", re.UNICODE)
+        self.langs = list(_LANG_STOPWORDS)
+        self.stop_sets = [_LANG_STOPWORDS[l] for l in self.langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(self.text_col).to_numpy(zero_copy_only=False)).astype("string")
+        s = s.fillna("")
+        n_chars = s.str.len().to_numpy(dtype=np.int64)
+        n_tokens = s.str.count(self.token_re).to_numpy(dtype=np.int64)
+        n_words = s.str.count(self.word_re).to_numpy(dtype=np.int64)
+        n_punct = s.str.count(self.punct_re).to_numpy(dtype=np.int64)
+
+        lower_words = s.str.lower().str.findall(self.word_re)
+        stop_hits = np.zeros((len(self.langs), len(s)), dtype=np.float64)
+        for li, stops in enumerate(self.stop_sets):
+            stop_hits[li] = lower_words.map(
+                lambda ws, st=stops: sum(w in st for w in ws)
+            ).to_numpy(dtype=np.float64)
+        denom = np.maximum(n_words, 1)
+        ratios = stop_hits / denom
+        best = ratios.argmax(axis=0)
+        best_ratio = ratios[best, np.arange(len(s))]
+        lang = np.where(best_ratio >= 0.08, np.array(self.langs, dtype=object)[best], "und")
+
+        # quality: word-length sanity + punctuation ratio + stopword signal
+        avg_wlen = np.where(n_words > 0, (n_chars - n_punct) / denom, 0.0)
+        punct_ratio = n_punct / np.maximum(n_chars, 1)
+        q_len = np.clip(n_words / 20.0, 0, 1)                      # enough words
+        q_wlen = np.exp(-0.5 * ((avg_wlen - 5.5) / 3.0) ** 2)      # plausible word length
+        q_punct = np.clip(1.0 - 3.0 * punct_ratio, 0, 1)           # not symbol soup
+        q_stop = np.clip(best_ratio / 0.3, 0, 1)                   # natural-language signal
+        quality = 0.3 * q_len + 0.2 * q_wlen + 0.2 * q_punct + 0.3 * q_stop
+
+        return (
+            batch.append_column("n_tokens", pa.array(n_tokens))
+            .append_column("n_words", pa.array(n_words))
+            .append_column("quality", pa.array(quality))
+            .append_column("lang_pred", pa.array(lang.astype(str)))
+        )
+
+
+def fingerprint(ds, text_col: str = "text", normalize: bool = True):
+    """Adds a 64-bit content fingerprint (normalized whitespace/case) —
+    deterministic doc identity for exact dedup / lineage."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(text_col).to_numpy(zero_copy_only=False)).astype("string").fillna("")
+        if normalize:
+            s = s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        h = _mix64(fnv1a_str(s.to_numpy(dtype=object)))
+        return batch.append_column("fingerprint", pa.array(h.astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def text_stats(ds, text_col: str = "text", concurrency=None):
+    from geomesa_ray.util import default_concurrency
+
+    return ds.map_batches(
+        TextStats,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency(),
+    )

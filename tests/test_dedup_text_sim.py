@@ -1,0 +1,174 @@
+"""Dedup / text-analysis / similarity operator tests with exact oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geomesa_ray.stages.dedup import (
+    MinHasher,
+    exact_dedup,
+    hamming64,
+    minhash_clusters,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash64,
+    simhash_pairs,
+)
+from geomesa_ray.stages.similarity import ann_topk, cosine_dedup_pairs, _normalize
+from geomesa_ray.stages.text import TextStats, fingerprint, text_stats
+
+
+def _docs_ds(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = []
+    for i in range(50):
+        rows.append({"doc_id": f"a{i:03d}", "text": base})                      # exact dupes
+    rows.append({"doc_id": "b000", "text": base.replace("quick", "swift")})      # near dup
+    rows.append({"doc_id": "b001", "text": base.replace("dog", "cat") + "!"})    # near dup
+    vocab = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu".split()
+    rng = np.random.default_rng(99)
+    for i in range(30):
+        words = rng.choice(vocab, 12, replace=True)
+        rows.append({"doc_id": f"c{i:03d}", "text": f"{i*37} " + " ".join(f"{w}{rng.integers(1000)}" for w in words)})
+    return rd.from_items(rows).repartition(4), rows
+
+
+class TestExactDedup:
+    def test_exact(self, ray_session):
+        ds, rows = _docs_ds(ray_session)
+        out = exact_dedup(ds, content_col="text", id_col="doc_id").to_pandas()
+        # 1 (50 dupes) + 2 near-dups (distinct text) + 30 distinct
+        assert len(out) == 33
+        assert "a000" in set(out["doc_id"])  # min id wins
+        assert not set(f"a{i:03d}" for i in range(1, 50)) & set(out["doc_id"])
+
+
+class TestMinHash:
+    def test_signature_jaccard_estimate(self):
+        mh = MinHasher(num_perm=128)
+        a = "the quick brown fox jumps over the lazy dog"
+        b = "the quick brown fox jumped over the lazy dog"
+        c = "entirely different text with nothing shared at all"
+        sigs = mh.signatures(np.array([a, b, c], dtype=object))
+        est_ab = MinHasher.estimate_jaccard(sigs[0], sigs[1])
+        est_ac = MinHasher.estimate_jaccard(sigs[0], sigs[2])
+        true_ab = ngram_jaccard(a, b)
+        assert abs(est_ab - true_ab) < 0.15
+        assert est_ac < 0.1 < est_ab
+
+    def test_clusters_group_near_dupes(self, ray_session):
+        ds, rows = _docs_ds(ray_session)
+        labels = minhash_clusters(ds, rounds=2).to_pandas()
+        lab = dict(zip(labels["doc_id"], labels["cluster"]))
+        # all exact dupes + near dups share cluster a000
+        assert lab["a010"] == "a000"
+        assert lab["b000"] == "a000"
+        # distinct docs keep their own cluster
+        assert lab["c005"] == "c005"
+
+    def test_dedup_keeps_representatives(self, ray_session):
+        ds, rows = _docs_ds(ray_session)
+        out = minhash_dedup(ds, rounds=2).to_pandas()
+        ids = set(out["doc_id"])
+        assert "a000" in ids
+        assert "a001" not in ids and "b000" not in ids
+        assert sum(1 for i in ids if i.startswith("c")) == 30
+
+
+class TestSimHash:
+    def test_identical_distance_zero(self):
+        sh = simhash64(np.array(["hello world foo bar", "hello world foo bar"], dtype=object))
+        assert hamming64(sh[:1], sh[1:])[0] == 0
+
+    def test_near_vs_far(self):
+        a = "the quick brown fox jumps over the lazy dog again and again each day"
+        b = a.replace("fox", "wolf")
+        c = "totally unrelated content about databases and distributed systems design"
+        sh = simhash64(np.array([a, b, c], dtype=object))
+        assert hamming64(sh[:1], sh[1:2])[0] < hamming64(sh[:1], sh[2:3])[0]
+
+    def test_pairs_pipeline(self, ray_session):
+        import ray.data as rd
+
+        a = "the quick brown fox jumps over the lazy dog again and again each day"
+        rows = [
+            {"doc_id": "x1", "text": a},
+            {"doc_id": "x2", "text": a},
+            {"doc_id": "y1", "text": "completely different things happening elsewhere in the world today"},
+        ]
+        out = simhash_pairs(rd.from_items(rows), max_hamming=3).to_pandas()
+        assert ("x1", "x2") in set(zip(out["left_id"], out["right_id"]))
+        assert not any("y1" in p for p in zip(out["left_id"], out["right_id"]))
+
+
+class TestTextStats:
+    def test_counts_and_lang(self):
+        import pyarrow as pa
+
+        t = pa.table({"text": [
+            "The quick brown fox is in the garden and it was a good day for the animals.",
+            "Der Hund ist nicht in der Küche und das ist ein Problem mit den Katzen.",
+            "xyzzy 123 @@@ ###",
+            "",
+        ]})
+        out = TextStats()(t)
+        langs = out.column("lang_pred").to_pylist()
+        assert langs[0] == "en" and langs[1] == "de"
+        assert langs[2] == "und"
+        q = out.column("quality").to_pylist()
+        assert q[0] > 0.5 > q[2]
+        assert out.column("n_words").to_pylist()[3] == 0
+
+    def test_fingerprint_normalization(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_items([
+            {"doc_id": "a", "text": "Hello   World"},
+            {"doc_id": "b", "text": "hello world"},
+            {"doc_id": "c", "text": "something else"},
+        ])
+        out = fingerprint(ds).to_pandas()
+        fp = dict(zip(out["doc_id"], out["fingerprint"]))
+        assert fp["a"] == fp["b"] != fp["c"]
+
+
+class TestSimilarity:
+    @pytest.fixture()
+    def emb_ds(self, ray_session, sf_small):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_small}/embeddings.parquet"), sf_small
+
+    def test_ann_matches_bruteforce(self, ray_session, emb_ds):
+        import pyarrow.parquet as pq
+
+        ds, sf = emb_ds
+        table = pq.read_table(f"{sf}/embeddings.parquet")
+        m = np.stack(table.column("embedding").to_pandas().to_numpy())
+        ids = table.column("vec_id").to_numpy()
+        queries = m[:3]
+        out = ann_topk(ds, queries, ["q0", "q1", "q2"], k=5).to_pandas()
+        mn = _normalize(m)
+        qn = _normalize(queries.astype(np.float32))
+        sims = qn @ mn.T
+        for qi, qid in enumerate(["q0", "q1", "q2"]):
+            got = out[out["query_id"] == qid].sort_values("cosine", ascending=False)
+            expected = np.argsort(-sims[qi])[:5]
+            assert set(got["neighbor_id"].astype(int)) == set(ids[expected].tolist())
+
+    def test_cosine_dedup_finds_self_duplicates(self, ray_session, emb_ds):
+        import ray.data as rd
+        import pyarrow.parquet as pq
+
+        ds, sf = emb_ds
+        table = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 50).to_pandas()
+        dup = table.copy()
+        dup["vec_id"] = dup["vec_id"] + 10_000
+        both = pd.concat([table, dup], ignore_index=True)
+        d = len(both["embedding"].iloc[0])
+        pairs = cosine_dedup_pairs(rd.from_pandas(both), dim=d, threshold=0.999).to_pandas()
+        got = set(zip(pairs["left_id"].astype(int), pairs["right_id"].astype(int)))
+        for vid in table["vec_id"]:
+            assert (vid, vid + 10_000) in got
