@@ -1,0 +1,660 @@
+"""Driver-contract query registry: Ray pipelines + matching DuckDB oracles.
+
+Every entry exercises an operator from SURVEY.md §2 over the shared testdata
+tables. Geo queries derive deterministic lon/lat from ``events.value`` with
+the SAME double arithmetic in both the Ray pipeline and the SQL oracle
+(fmod/multiply/subtract are IEEE-identical), so value hashes line up.
+Money aggregates compare integer cents to avoid FP-order effects.
+
+Queries without an oracle entry (minhash/simhash/lang-id/corpus pipelines)
+get the driver's rows-only check; they are covered by exact fixtures in
+tests/ instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_LON_MUL = 3.14159
+_LAT_MUL = 2.71828
+
+KNN_QUERIES = [("qa", 2.35, 48.85), ("qb", -74.0, 40.7), ("qc", 139.69, 35.68)]
+
+PIP_POLYGONS = {
+    "box_eu": "POLYGON ((-10 35, 30 35, 30 60, -10 60, -10 35))",
+    "tri_na": "POLYGON ((-120 20, -60 20, -90 55, -120 20))",
+}
+
+DENSITY_W, DENSITY_H = 64, 32
+CELL_LEVEL = 6
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _derive_lonlat(batch: pa.Table) -> pa.Table:
+    v = batch.column("value").to_numpy(zero_copy_only=False)
+    lon = np.fmod(v * _LON_MUL, 360.0) - 180.0
+    lat = np.fmod(v * _LAT_MUL, 180.0) - 90.0
+    return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+
+_DERIVE_SQL = (
+    f"SELECT event_id, ts, user_id, event_type, value, "
+    f"fmod(value * {_LON_MUL}, 360.0) - 180.0 AS lon, "
+    f"fmod(value * {_LAT_MUL}, 180.0) - 90.0 AS lat FROM events"
+)
+
+
+def _geo_events(sf_dir: str):
+    return _read(sf_dir, "events").map_batches(_derive_lonlat, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- geo
+
+
+def q_cell_counts(sf_dir: str):
+    """Per-cell counts at quadtree level 6 — the tile/cell assignment
+    operator (Z2IndexKeySpace analog), keyed by (cell_x, cell_y)."""
+    from geomesa_ray.cells.zcell import ZCellGrid
+
+    grid = ZCellGrid(CELL_LEVEL)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        cells = grid.cell_of_points(lon, lat, lenient=True)
+        cx, cy = grid.cell_xy(cells)
+        return pa.table({"cell_x": pa.array(cx), "cell_y": pa.array(cy)})
+
+    from ray.data.aggregate import Count
+
+    out = _geo_events(sf_dir).map_batches(assign, batch_format="pyarrow")
+    return out.groupby(["cell_x", "cell_y"]).aggregate(Count(alias_name="n"))
+
+
+def oracle_cell_counts() -> str:
+    return f"""
+    WITH pts AS ({_DERIVE_SQL})
+    SELECT CAST(floor((lon + 180.0) * {1 << CELL_LEVEL} / 360.0) AS BIGINT) AS cell_x,
+           CAST(floor((lat + 90.0) * {1 << CELL_LEVEL} / 180.0) AS BIGINT) AS cell_y,
+           COUNT(*) AS n
+    FROM pts GROUP BY 1, 2
+    """
+
+
+def q_bbox_filter(sf_dir: str):
+    """Spatial bbox predicate pushdown (FilterHelper.extractGeometries)."""
+    from geomesa_ray.geo.predicates import points_in_bbox
+
+    def filt(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        mask = points_in_bbox(lon, lat, -10.0, 30.0, 40.0, 70.0)
+        return t.filter(pa.array(mask)).select(["event_id", "lon", "lat"])
+
+    return _geo_events(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+
+def oracle_bbox_filter() -> str:
+    return f"""
+    WITH pts AS ({_DERIVE_SQL})
+    SELECT event_id, lon, lat FROM pts
+    WHERE lon >= -10.0 AND lon <= 40.0 AND lat >= 30.0 AND lat <= 70.0
+    """
+
+
+def q_pip_join(sf_dir: str):
+    """Broadcast point-in-polygon join (ProximitySearch/QueryProcess)."""
+    from geomesa_ray.stages.pip_join import broadcast_pip_join
+
+    joined = broadcast_pip_join(_geo_events(sf_dir), PIP_POLYGONS)
+    return joined.select_columns(["event_id", "poly_name"])
+
+
+def oracle_pip_join() -> str:
+    # box: range predicates; triangle: CCW half-plane sign tests
+    ax, ay, bx, by, cx, cy = -120.0, 20.0, -60.0, 20.0, -90.0, 55.0
+    tri = (
+        f"((({bx})-({ax}))*(lat-({ay})) - (({by})-({ay}))*(lon-({ax})) > 0 AND "
+        f" (({cx})-({bx}))*(lat-({by})) - (({cy})-({by}))*(lon-({bx})) > 0 AND "
+        f" (({ax})-({cx}))*(lat-({cy})) - (({ay})-({cy}))*(lon-({cx})) > 0)"
+    )
+    return f"""
+    WITH pts AS ({_DERIVE_SQL})
+    SELECT event_id, 'box_eu' AS poly_name FROM pts
+      WHERE lon > -10.0 AND lon < 30.0 AND lat > 35.0 AND lat < 60.0
+    UNION ALL
+    SELECT event_id, 'tri_na' AS poly_name FROM pts WHERE {tri}
+    """
+
+
+def q_density(sf_dir: str):
+    """Density / heatmap tile aggregation (DensityScan)."""
+    from geomesa_ray.stages.density import density_grid
+
+    out = density_grid(
+        _geo_events(sf_dir), -180, -90, 180, 90, width=DENSITY_W, height=DENSITY_H
+    )
+    return out.select_columns(["tile_i", "tile_j", "weight"]).map_batches(
+        lambda t: pa.table({
+            "tile_i": t.column("tile_i").cast(pa.int64()),
+            "tile_j": t.column("tile_j").cast(pa.int64()),
+            "weight": t.column("weight").cast(pa.float64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def oracle_density() -> str:
+    return f"""
+    WITH pts AS ({_DERIVE_SQL})
+    SELECT CAST(floor((lon + 180.0) / (360.0 / {DENSITY_W})) AS BIGINT) AS tile_i,
+           CAST(floor((lat + 90.0) / (180.0 / {DENSITY_H})) AS BIGINT) AS tile_j,
+           CAST(COUNT(*) AS DOUBLE) AS weight
+    FROM pts GROUP BY 1, 2
+    """
+
+
+def q_knn(sf_dir: str):
+    """kNN (KNearestNeighborSearchProcess) — ids only; distance ordering
+    verified in tests (FP formula differences make raw meters un-hashable)."""
+    from geomesa_ray.stages.knn import knn
+
+    q = pd.DataFrame(
+        {"query_id": [k[0] for k in KNN_QUERIES],
+         "lon": [k[1] for k in KNN_QUERIES],
+         "lat": [k[2] for k in KNN_QUERIES]}
+    )
+    out = knn(_geo_events(sf_dir), q, k=10, id_col="event_id")
+    return out.map_batches(
+        lambda t: pa.table({
+            "query_id": t.column("query_id"),
+            "neighbor_id": t.column("neighbor_id").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def oracle_knn() -> str:
+    vals = ", ".join(f"('{q}', {x}, {y})" for q, x, y in KNN_QUERIES)
+    return f"""
+    WITH pts AS ({_DERIVE_SQL}),
+    q(query_id, qlon, qlat) AS (VALUES {vals}),
+    d AS (
+      SELECT q.query_id, pts.event_id AS neighbor_id,
+             2.0 * 6371008.8 * asin(sqrt(
+               pow(sin((radians(pts.lat) - radians(q.qlat)) / 2.0), 2)
+               + cos(radians(q.qlat)) * cos(radians(pts.lat))
+                 * pow(sin((radians(pts.lon) - radians(q.qlon)) / 2.0), 2)
+             )) AS dist
+      FROM q CROSS JOIN pts
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+      FROM d
+    ) WHERE rn <= 10
+    """
+
+
+def q_time_bins(sf_dir: str):
+    """Z3-style day binning + grouped counts (BinnedTime / Z3 keyspace)."""
+    from geomesa_ray.curves.binnedtime import BinnedTime
+    from ray.data.aggregate import Count
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        millis = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+        bins, _ = BinnedTime.to_binned_time(millis, "day")
+        return pa.table({
+            "time_bin": pa.array(bins.astype(np.int64)),
+            "event_type": t.column("event_type"),
+        })
+
+    out = _read(sf_dir, "events", columns=["ts", "event_type"]).map_batches(add_bin, batch_format="pyarrow")
+    return out.groupby(["time_bin", "event_type"]).aggregate(Count(alias_name="n"))
+
+
+def oracle_time_bins() -> str:
+    return """
+    SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS time_bin,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------- relational
+
+
+def q_agg_lineitem(sf_dir: str):
+    """Partial-aggregation scan (AggregatingScan / StatsScan pattern):
+    Q1-style grouped sums with exact integer-cents money columns."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": t.column("l_quantity"),
+            "price_cents": pa.array(np.round(price * 100).astype(np.int64)),
+            "disc_bp": pa.array(np.round(disc * 10000).astype(np.int64)),
+        })
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Sum("disc_bp", alias_name="sum_disc_bp"),
+        Count(alias_name="n"),
+    )
+
+
+def oracle_agg_lineitem() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+           SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS sum_disc_bp,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_topk_customers(sf_dir: str):
+    """Equi-join (JoinProcess) + grouped sum + global top-k sort/limit."""
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
+    seg_ref = ray.put(seg_map)
+
+    class AttachSegment:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_pylist()
+            seg = [self.seg.get(k) for k in keys]
+            price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "c_custkey": t.column("o_custkey"),
+                "c_mktsegment": pa.array(seg, type=pa.string()),
+                "price_cents": pa.array(np.round(price * 100).astype(np.int64)),
+            })
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        AttachSegment, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    agg = ds.groupby("c_custkey").aggregate(
+        Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders")
+    )
+    top = agg.sort(["revenue_cents", "c_custkey"], descending=[True, False]).limit(10)
+    # re-attach segment (small result, driver-side)
+    df = top.to_pandas()
+    df["c_mktsegment"] = df["c_custkey"].map(seg_map)
+    return df[["c_custkey", "c_mktsegment", "revenue_cents", "n_orders"]]
+
+
+def oracle_topk_customers() -> str:
+    return """
+    SELECT o.o_custkey AS c_custkey,
+           max(c.c_mktsegment) AS c_mktsegment,
+           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 10
+    """
+
+
+def q_unique_events(sf_dir: str):
+    """UniqueProcess: distinct values + counts."""
+    from ray.data.aggregate import Count
+
+    return _read(sf_dir, "events", columns=["event_type"]).groupby("event_type").aggregate(
+        Count(alias_name="n")
+    )
+
+
+def oracle_unique_events() -> str:
+    return "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+
+def q_minmax_stats(sf_dir: str):
+    """MinMaxProcess / grouped stats over integer cents."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "value_cents": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(prep, batch_format="pyarrow")
+    return ds.groupby("event_type").aggregate(
+        Min("value_cents", alias_name="min_cents"),
+        Max("value_cents", alias_name="max_cents"),
+        Sum("value_cents", alias_name="sum_cents"),
+        Count(alias_name="n"),
+    )
+
+
+def oracle_minmax_stats() -> str:
+    return """
+    SELECT event_type,
+           MIN(CAST(round(value*100) AS BIGINT)) AS min_cents,
+           MAX(CAST(round(value*100) AS BIGINT)) AS max_cents,
+           SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """
+
+
+def q_equijoin_parts(sf_dir: str):
+    """Broadcast lookup join (index-join analog): revenue per brand for
+    large parts."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    mask = pc.greater(part.column("p_size"), 40)
+    part = part.filter(mask)
+    brand_map = dict(zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist()))
+    bref = ray.put(brand_map)
+
+    class Lookup:
+        def __init__(self):
+            self.brands = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("l_partkey").to_pylist()
+            brands = [self.brands.get(k) for k in keys]
+            sel = pa.array([b is not None for b in brands])
+            price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+            rev = np.round(price * 100).astype(np.int64) - (
+                np.round(price * 100).astype(np.int64) * np.round(disc * 10000).astype(np.int64)
+            ) // 10000
+            out = pa.table({
+                "p_brand": pa.array(brands, type=pa.string()),
+                "rev_cents": pa.array(rev),
+            })
+            return out.filter(sel)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
+        Lookup, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return ds.groupby("p_brand").aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+    )
+
+
+def oracle_equijoin_parts() -> str:
+    return """
+    SELECT p.p_brand,
+           SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+               - (CAST(round(l.l_extendedprice*100) AS BIGINT)
+                  * CAST(round(l.l_discount*10000) AS BIGINT)) // 10000) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size > 40
+    GROUP BY p.p_brand
+    """
+
+
+def q_sample_mod(sf_dir: str):
+    """Deterministic 1-in-10 sampling (SamplingIterator semantics via a
+    SQL-expressible modulo rule)."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0)).select(["event_id", "event_type"])
+
+    return _read(sf_dir, "events", columns=["event_id", "event_type"]).map_batches(
+        filt, batch_format="pyarrow"
+    )
+
+
+def oracle_sample_mod() -> str:
+    return "SELECT event_id, event_type FROM events WHERE event_id % 10 = 0"
+
+
+# ------------------------------------------------------------ training-data
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup: one (min) doc per distinct text."""
+    from geomesa_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_read(sf_dir, "documents"), content_col="text", id_col="doc_id")
+    return out.select_columns(["doc_id"])
+
+
+def oracle_exact_dedup_docs() -> str:
+    return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_norm_dedup_docs(sf_dir: str):
+    """Fingerprint dedup: normalized (lower, collapsed whitespace) text."""
+    from geomesa_ray.stages.text import fingerprint
+
+    ds = fingerprint(_read(sf_dir, "documents"), text_col="text")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
+
+    return ds.groupby("fingerprint").map_groups(first, batch_format="pandas")
+
+
+def oracle_norm_dedup_docs() -> str:
+    return """
+    SELECT MIN(doc_id) AS doc_id FROM documents
+    GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+    """
+
+
+def q_token_counts(sf_dir: str):
+    """Token counting (text analysis)."""
+    from geomesa_ray.stages.text import text_stats
+
+    out = text_stats(_read(sf_dir, "documents"), text_col="text")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": t.column("n_words").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def oracle_token_counts() -> str:
+    return r"""
+    SELECT doc_id,
+           CAST(coalesce(array_length(regexp_extract_all(text, '\w+')), 0) AS BIGINT) AS n_words
+    FROM documents
+    """
+
+
+def q_ann_neighbors(sf_dir: str):
+    """Brute-force cosine top-k over the embedding column."""
+    from geomesa_ray.stages.similarity import ann_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = t.column("embedding").combine_chunks()
+    q0 = np.asarray(emb[0].as_py(), dtype=np.float32)
+    q1 = np.asarray(emb[1].as_py(), dtype=np.float32)
+    out = ann_topk(
+        _read(sf_dir, "embeddings"), np.stack([q0, q1]), ["e0", "e1"], k=5, id_col="vec_id"
+    )
+    return out.map_batches(
+        lambda t_: pa.table({
+            "query_id": t_.column("query_id"),
+            "neighbor_id": t_.column("neighbor_id").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def oracle_ann_neighbors() -> str:
+    return """
+    WITH q AS (
+      SELECT 'e0' AS query_id, embedding FROM embeddings WHERE vec_id = 0
+      UNION ALL
+      SELECT 'e1' AS query_id, embedding FROM embeddings WHERE vec_id = 1
+    ),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding, q.embedding) AS cos
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """
+
+
+# ------------------------------------------------- rows-only (non-SQL) ops
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    from geomesa_ray.stages.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _read(sf_dir, "documents"), text_col="text", id_col="doc_id", rounds=2
+    ).select_columns(["doc_id"])
+
+
+def q_simhash_pairs_docs(sf_dir: str):
+    from geomesa_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents"), max_hamming=8)
+
+
+def q_lang_quality(sf_dir: str):
+    from geomesa_ray.stages.text import text_stats
+    from ray.data.aggregate import Count, Mean
+
+    out = text_stats(_read(sf_dir, "documents"), text_col="text")
+    return out.groupby("lang_pred").aggregate(Count(alias_name="n"), Mean("quality", alias_name="avg_quality"))
+
+
+def q_stats_sketches(sf_dir: str):
+    """SeqStat multi-sketch pass -> one summary row (StatsProcess)."""
+    from geomesa_ray.stages.stats import stats_scan
+
+    stats = stats_scan(
+        _read(sf_dir, "lineitem"),
+        "count;minmax(l_quantity);hll(l_orderkey);descriptive(l_extendedprice);topk(l_returnflag,k=3)",
+    )
+    top = stats[4].result()
+    return pd.DataFrame({
+        "count": [stats[0].result()],
+        "min_qty": [float(stats[1].result()[0])],
+        "max_qty": [float(stats[1].result()[1])],
+        "hll_orders": [round(stats[2].result())],
+        "mean_price": [stats[3].result()["mean"]],
+        "top_flag": [str(top[0][0])],
+    })
+
+
+def q_cosine_dedup(sf_dir: str):
+    from geomesa_ray.stages.similarity import cosine_dedup_pairs
+
+    t = pq.read_schema(f"{sf_dir}/embeddings.parquet")
+    ds = _read(sf_dir, "embeddings")
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).column("embedding")
+    dim = len(first[0])
+    return cosine_dedup_pairs(ds, dim=dim, threshold=0.9, n_bits=8)
+
+
+def q_corpus_pip_join(sf_dir: str):
+    """Flagship: interleaved corpus -> extract -> assign -> spatial join.
+    Deterministic synthetic corpus (seed 42); rows-only check."""
+    import ray.data as rd
+
+    from geomesa_ray.sources.synth import synthesize_corpus
+    from geomesa_ray.stages.assign import AssignCells
+    from geomesa_ray.stages.extract import extract_geometry
+    from geomesa_ray.stages.pip_join import spatial_join
+
+    corpus = synthesize_corpus(5000, seed=42, n_shards=4)
+    ds = rd.read_parquet(corpus).map_batches(extract_geometry, batch_format="pyarrow")
+    ds = ds.map_batches(AssignCells(level=12, n_shards=4), batch_format="pyarrow")
+    pts = ds.filter(expr="has_geom")
+    joined = spatial_join(pts, PIP_POLYGONS)
+    return joined.select_columns(["doc_id", "poly_name", "cell_id"])
+
+
+def q_corpus_density(sf_dir: str):
+    import ray.data as rd
+
+    from geomesa_ray.sources.synth import synthesize_corpus
+    from geomesa_ray.stages.density import density_grid
+    from geomesa_ray.stages.extract import extract_geometry
+
+    corpus = synthesize_corpus(5000, seed=42, n_shards=4)
+    ds = rd.read_parquet(corpus).map_batches(extract_geometry, batch_format="pyarrow")
+    return density_grid(ds.filter(expr="has_geom"), width=128, height=64)
+
+
+QUERIES = {
+    "cell_counts": q_cell_counts,
+    "bbox_filter": q_bbox_filter,
+    "pip_join": q_pip_join,
+    "density": q_density,
+    "knn": q_knn,
+    "time_bins": q_time_bins,
+    "agg_lineitem": q_agg_lineitem,
+    "topk_customers": q_topk_customers,
+    "unique_events": q_unique_events,
+    "minmax_stats": q_minmax_stats,
+    "equijoin_parts": q_equijoin_parts,
+    "sample_mod": q_sample_mod,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "norm_dedup_docs": q_norm_dedup_docs,
+    "token_counts": q_token_counts,
+    "ann_neighbors": q_ann_neighbors,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "lang_quality": q_lang_quality,
+    "stats_sketches": q_stats_sketches,
+    "cosine_dedup": q_cosine_dedup,
+    "corpus_pip_join": q_corpus_pip_join,
+    "corpus_density": q_corpus_density,
+}
+
+ORACLES = {
+    "cell_counts": oracle_cell_counts(),
+    "bbox_filter": oracle_bbox_filter(),
+    "pip_join": oracle_pip_join(),
+    "density": oracle_density(),
+    "knn": oracle_knn(),
+    "time_bins": oracle_time_bins(),
+    "agg_lineitem": oracle_agg_lineitem(),
+    "topk_customers": oracle_topk_customers(),
+    "unique_events": oracle_unique_events(),
+    "minmax_stats": oracle_minmax_stats(),
+    "equijoin_parts": oracle_equijoin_parts(),
+    "sample_mod": oracle_sample_mod(),
+    "exact_dedup_docs": oracle_exact_dedup_docs(),
+    "norm_dedup_docs": oracle_norm_dedup_docs(),
+    "token_counts": oracle_token_counts(),
+    "ann_neighbors": oracle_ann_neighbors(),
+}

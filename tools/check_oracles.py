@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+and its oracle_sql() side by side on one sf dir; compare row count, column
+names, and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()  # pyarrow.Table
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype(np.float64)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name:22s} query raised: {type(e).__name__}: {e}")
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name:22s} {len(got):7d} rows  {dt:5.1f}s (rows-only)")
+            continue
+        exp = canon(con.sql(oracles[name]).df())
+        status = "ok"
+        if list(got.columns) != list(exp.columns):
+            status = f"COLUMNS {list(got.columns)} != {list(exp.columns)}"
+        elif len(got) != len(exp):
+            status = f"ROWS {len(got)} != {len(exp)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, rtol=1e-9)
+            except AssertionError as e:
+                status = "VALUES differ: " + str(e).split("\n")[-2][:120]
+        if status == "ok":
+            print(f"ok    {name:22s} {len(got):7d} rows  {dt:5.1f}s")
+        else:
+            failures.append(name)
+            print(f"FAIL  {name:22s} {status}")
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
