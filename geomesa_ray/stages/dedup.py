@@ -85,13 +85,18 @@ class MinHasher:
         self.shingle_k = shingle_k
 
     def signatures(self, texts: np.ndarray) -> np.ndarray:
-        """(n_texts, num_perm) uint64 signature matrix."""
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        for i, sh in enumerate(_char_shingles(texts, self.shingle_k)):
-            # (n_shingle, num_perm) permuted values; min over shingles
-            v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
-            sigs[i] = v.min(axis=0)
-        return sigs
+        """(n_texts, num_perm) uint64 signature matrix. One big permute over
+        the concatenated shingle sets + segment-min via reduceat — no
+        per-document matmul loop."""
+        shingles = _char_shingles(texts, self.shingle_k)
+        if not shingles:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        lens = np.array([len(s) for s in shingles], dtype=np.int64)
+        all_sh = np.concatenate(shingles) if len(shingles) > 1 else shingles[0]
+        v = (all_sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        return np.minimum.reduceat(v, offsets, axis=0)
 
     @staticmethod
     def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -151,19 +156,23 @@ def minhash_clusters(
         concurrency=(1, 8),
     ).materialize()  # reused every round; small (bands x docs key rows)
 
-    # labels start as own id
-    labels = exploded.groupby(id_col).map_groups(
-        lambda g: pd.DataFrame({id_col: [g[id_col].iloc[0]], "cluster": [g[id_col].min()]}),
-        batch_format="pandas",
+    # labels start as own id (ids are unique in the input — no shuffle needed)
+    labels = ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({id_col: t.column(id_col), "cluster": t.column(id_col)}),
+        batch_format="pyarrow",
     )
-    for _ in range(rounds):
-        # join labels onto exploded rows, take min label per bucket, then min per doc
-        lab_df = labels.to_pandas()  # size O(docs) keys only; driver round-trip
-        lab_map = dict(zip(lab_df[id_col], lab_df["cluster"]))
+    import ray
 
-        def attach(t: pa.Table, m=lab_map) -> pa.Table:
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            lab = np.array([m.get(i, i) for i in ids])
+    for _ in range(rounds):
+        # broadcast the label map (O(docs) keys), attach with a vectorized
+        # pandas merge per batch, min per bucket, then min per doc
+        lab_df = labels.to_pandas()
+        lab_ref = ray.put(lab_df.set_index(id_col)["cluster"])
+
+        def attach(t: pa.Table, ref=lab_ref) -> pa.Table:
+            series = ray.get(ref)
+            ids = pd.Series(t.column(id_col).to_numpy(zero_copy_only=False))
+            lab = ids.map(series).fillna(ids).to_numpy()
             return t.append_column("cluster", pa.array(lab))
 
         with_lab = exploded.map_batches(attach, batch_format="pyarrow")

@@ -76,10 +76,18 @@ def density_grid(
     lon_col: str = "lon",
     lat_col: str = "lat",
     weight_col: str | None = None,
+    mode: str = "auto",
 ):
     """Dataset of points -> Dataset[(tile_i, tile_j, weight)] — final merge of
     per-batch partials. Adds ``x``/``y`` tile-center columns like
-    DensityScan's decode."""
+    DensityScan's decode.
+
+    Merge modes: the partial stage bounds each batch's output at W x H rows,
+    so when the grid is small the final combine is a driver-side dense-array
+    sum over streamed partials (the reference's client reducer,
+    QueryPlanner.scala:61-66) — no shuffle at all. Grids too big for one
+    machine fall back to a distributed groupby. ``auto`` switches at 2^20
+    tiles."""
     from ray.data.aggregate import Sum
 
     partial = ds.map_batches(
@@ -92,8 +100,29 @@ def density_grid(
         batch_size=100_000,  # geomesa.density.batch.size analog (DensityScan.scala:58)
         concurrency=default_concurrency(),
     )
-    merged = partial.groupby(["tile_i", "tile_j"]).aggregate(Sum("weight", alias_name="weight"))
     snap = GridSnap(xmin, ymin, xmax, ymax, width, height)
+
+    if mode == "driver" or (mode == "auto" and width * height <= (1 << 20)):
+        import ray.data as rd
+
+        grid = np.zeros(width * height, dtype=np.float64)
+        for b in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
+            flat = (
+                b.column("tile_i").to_numpy(zero_copy_only=False).astype(np.int64) * height
+                + b.column("tile_j").to_numpy(zero_copy_only=False)
+            )
+            np.add.at(grid, flat, b.column("weight").to_numpy(zero_copy_only=False))
+        occ = np.nonzero(grid)[0]
+        i = (occ // height).astype(np.int64)
+        j = (occ % height).astype(np.int64)
+        table = pa.table({
+            "tile_i": pa.array(i), "tile_j": pa.array(j),
+            "weight": pa.array(grid[occ]),
+            "x": pa.array(snap.x(i)), "y": pa.array(snap.y(j)),
+        })
+        return rd.from_arrow(table)
+
+    merged = partial.groupby(["tile_i", "tile_j"]).aggregate(Sum("weight", alias_name="weight"))
 
     def add_centers(t: pa.Table) -> pa.Table:
         i = t.column("tile_i").to_numpy(zero_copy_only=False)

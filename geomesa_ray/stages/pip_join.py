@@ -13,10 +13,11 @@ GeoMesaJoinRelation.scala:41-91 and RelationUtils.gridIdMapper:39-53):
 
 2. ``partitioned_pip_join`` — both sides keyed by coarse quadtree cell
    (polygons duplicated into every covering cell, points into exactly one),
-   hot cells salted (``shard_of``, the ShardStrategy analog), co-shuffled
-   with one ``groupby(["pcell", "salt"]).map_groups`` and probed per group
-   with a fine-level bucket index. Point×polygon matches are unique by
-   construction (a point lives in exactly one coarse cell), so no dedup
+   hot cells salted (``shard_of``, the ShardStrategy analog), cells hashed
+   into ~2xCPU coarse buckets and co-shuffled with one
+   ``groupby(["bucket", "salt"]).map_groups``; each group probes with a
+   fine-level bucket index. Point×polygon matches are unique by
+   construction (a point's cell lives in exactly one bucket), so no dedup
    pass is needed — unlike the reference's duplicated-feature grid join
    (RelationUtils.scala:38 "TODO: Filter duplicates").
 
@@ -97,71 +98,88 @@ def broadcast_pip_join(
 
 
 class _AssignPartition:
-    """Adds (pcell, salt) to the point side."""
+    """Adds (bucket, salt) shuffle keys to the point side.
 
-    def __init__(self, partition_level: int, n_salts: int, hot_cells_ref, lon_col, lat_col, id_col):
+    bucket = hash(partition cell) % n_buckets — a point's cell maps to
+    exactly one bucket, so matches stay unique; n_buckets ~ 2 x CPUs keeps
+    groups large enough that per-group overhead amortizes (tiny per-cell
+    groups were the bottleneck at fine partition levels)."""
+
+    def __init__(self, partition_level: int, n_salts: int, n_buckets: int, hot_cells_ref,
+                 lon_col, lat_col, id_col):
         self.grid = ZCellGrid(partition_level)
         self.n_salts = n_salts
+        self.n_buckets = n_buckets
         self.hot = ray.get(hot_cells_ref) if isinstance(hot_cells_ref, ray.ObjectRef) else hot_cells_ref
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from geomesa_ray.cells.shard import fnv1a_u64
+
         lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
         lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
         pcell = self.grid.cell_of_points(lon, lat, lenient=True)
+        bucket = (fnv1a_u64(pcell) % np.uint64(self.n_buckets)).astype(np.int32)
         if self.n_salts > 1 and len(self.hot):
             ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
             salt = shard_of(ids, self.n_salts).astype(np.int16)
             salt = np.where(np.isin(pcell, self.hot), salt, np.int16(0))
         else:
             salt = np.zeros(len(pcell), dtype=np.int16)
-        return batch.append_column("pcell", pa.array(pcell, type=pa.int64())).append_column(
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int32())).append_column(
             "salt", pa.array(salt, type=pa.int16())
         )
 
 
 def _explode_polygons(
-    polygons, partition_level: int, n_salts: int, hot_cells: np.ndarray
+    polygons, partition_level: int, n_salts: int, n_buckets: int, hot_cells: np.ndarray
 ) -> pd.DataFrame:
-    """Driver-side: polygon k -> one row per (covering pcell, salt). Hot
-    cells receive all salts (polygon replicated); cold cells salt 0."""
+    """Driver-side: polygon k -> one row per distinct (bucket, salt) among
+    its covering cells. Hot cells force all salts (polygon replicated so
+    every salted point shard sees it); cold cells salt 0."""
+    from geomesa_ray.cells.shard import fnv1a_u64
+
     wkts, names = _as_wkt_list(polygons)
     grid = ZCellGrid(partition_level)
-    rows_cell: list[np.ndarray] = []
-    rows_salt: list[np.ndarray] = []
-    rows_idx: list[np.ndarray] = []
     hot_set = set(hot_cells.tolist()) if len(hot_cells) else set()
+    rows = set()
     for k, wkt in enumerate(wkts):
         poly = Polygon.from_wkt(wkt) if isinstance(wkt, str) else wkt
         xmin, ymin, xmax, ymax = poly.bbox()
         cells = grid.cover_bbox(xmin, ymin, xmax, ymax)
-        for c in cells.tolist():
+        buckets = (fnv1a_u64(cells) % np.uint64(n_buckets)).astype(np.int32)
+        for c, b in zip(cells.tolist(), buckets.tolist()):
             salts = range(n_salts) if c in hot_set else (0,)
             for s in salts:
-                rows_cell.append(c)
-                rows_salt.append(s)
-                rows_idx.append(k)
+                rows.add((b, s, k))
+    rows = sorted(rows)
     return pd.DataFrame(
         {
-            "pcell": np.asarray(rows_cell, dtype=np.int64),
-            "salt": np.asarray(rows_salt, dtype=np.int16),
-            "poly_idx": np.asarray(rows_idx, dtype=np.int64),
-            "wkt": np.asarray([wkts[i] for i in rows_idx], dtype=object),
-            "poly_name": np.asarray([str(names[i]) for i in rows_idx], dtype=object),
+            "bucket": np.asarray([r[0] for r in rows], dtype=np.int32),
+            "salt": np.asarray([r[1] for r in rows], dtype=np.int16),
+            "poly_idx": np.asarray([r[2] for r in rows], dtype=np.int64),
+            "wkt": np.asarray([wkts[r[2]] for r in rows], dtype=object),
+            "poly_name": np.asarray([str(names[r[2]]) for r in rows], dtype=object),
         }
     )
 
 
 def detect_hot_cells(
-    points_ds, partition_level: int, lon_col="lon", lat_col="lat", sample_frac: float = 0.02,
+    points_ds, partition_level: int, lon_col="lon", lat_col="lat", sample_rows: int = 100_000,
     hot_multiple: float = 8.0,
 ) -> np.ndarray:
     """Sample-based hot-cell detection (the analog of the reference's
     WEIGHTED/RTREE sample partitioning, RelationUtils.scala:107-158): a cell
-    is hot if its sampled count exceeds hot_multiple x the mean."""
-    sample = points_ds.random_sample(sample_frac, seed=42).select_columns([lon_col, lat_col])
+    is hot if its sampled count exceeds hot_multiple x the mean.
+
+    Uses ``limit(sample_rows)`` so the streaming executor stops the upstream
+    pipeline after the first blocks instead of a full-scan random sample —
+    hot spots (cities, coastlines) are global phenomena present in any
+    prefix of the data; a biased-but-cheap sample is the right trade at
+    100 TB. Callers with better knowledge pass ``hot_cells`` explicitly."""
+    sample = points_ds.select_columns([lon_col, lat_col]).limit(sample_rows)
     df = sample.to_pandas()
     if df.empty:
         return np.empty(0, dtype=np.int64)
@@ -177,6 +195,7 @@ def partitioned_pip_join(
     partition_level: int = 7,
     index_level: int = 12,
     n_salts: int = 4,
+    n_buckets: int | None = None,
     hot_cells: np.ndarray | None = None,
     lon_col: str = "lon",
     lat_col: str = "lat",
@@ -187,6 +206,11 @@ def partitioned_pip_join(
     ``poly_name``. ``keep_cols`` limits the point columns carried through
     the shuffle (carry keys only, re-attach wide columns after — the
     column-group pattern, SURVEY.md §7.5)."""
+    if n_buckets is None:
+        try:
+            n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            n_buckets = 32
     if hot_cells is None:
         hot_cells = detect_hot_cells(points_ds, partition_level, lon_col, lat_col)
     hot_ref = ray.put(hot_cells)
@@ -200,6 +224,7 @@ def partitioned_pip_join(
         fn_constructor_kwargs={
             "partition_level": partition_level,
             "n_salts": n_salts,
+            "n_buckets": n_buckets,
             "hot_cells_ref": hot_ref,
             "lon_col": lon_col,
             "lat_col": lat_col,
@@ -209,7 +234,7 @@ def partitioned_pip_join(
         concurrency=default_concurrency(),
     )
 
-    poly_df = _explode_polygons(polygons, partition_level, n_salts, hot_cells)
+    poly_df = _explode_polygons(polygons, partition_level, n_salts, n_buckets, hot_cells)
     # conform schemas: points get null poly cols, polys get null point cols
     pts = pts.map_batches(
         lambda t: t.append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
@@ -248,11 +273,11 @@ def partitioned_pip_join(
         )
         if len(pt_idx) == 0:
             return _empty_join_result(group, point_cols)
-        out = points.iloc[pt_idx][[c for c in point_cols if c not in ("pcell", "salt", "side")]].copy()
+        out = points.iloc[pt_idx][[c for c in point_cols if c not in ("bucket", "salt", "side")]].copy()
         out["poly_name"] = np.asarray(index.names, dtype=object)[poly_pos]
         return out
 
-    joined = both.groupby(["pcell", "salt"]).map_groups(join_group, batch_format="pandas")
+    joined = both.groupby(["bucket", "salt"]).map_groups(join_group, batch_format="pandas")
     return joined
 
 
@@ -261,8 +286,8 @@ def _conform_poly_side(t: pa.Table, point_cols: list[str], point_types: dict) ->
     names = []
     for c in point_cols:
         names.append(c)
-        if c == "pcell":
-            arrays.append(t.column("pcell").cast(point_types[c]))
+        if c == "bucket":
+            arrays.append(t.column("bucket").cast(point_types[c]))
         elif c == "salt":
             arrays.append(t.column("salt").cast(point_types[c]))
         else:
@@ -277,7 +302,7 @@ def _conform_poly_side(t: pa.Table, point_cols: list[str], point_types: dict) ->
 
 
 def _empty_join_result(group: pd.DataFrame, point_cols: list[str]) -> pd.DataFrame:
-    cols = [c for c in point_cols if c not in ("pcell", "salt", "side")]
+    cols = [c for c in point_cols if c not in ("bucket", "salt", "side")]
     out = group.iloc[0:0][[c for c in cols if c in group.columns]].copy()
     out["poly_name"] = pd.Series([], dtype=object)
     return out
