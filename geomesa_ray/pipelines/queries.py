@@ -633,6 +633,78 @@ def q_geohash_counts(sf_dir: str):
     )
 
 
+def q_extent_join(sf_dir: str):
+    """Extent (bbox x bbox) join with duplicate filtering — even-id events
+    vs odd-id events, each a 1x0.6-degree box around its derived point."""
+    from geomesa_ray.stages.extent_join import extent_join
+
+    def boxes(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("event_id").cast(pa.string()),
+            "xmin": pa.array(lon - 0.5), "ymin": pa.array(lat - 0.3),
+            "xmax": pa.array(lon + 0.5), "ymax": pa.array(lat + 0.3),
+            "event_id": t.column("event_id"),
+        })
+
+    ds = _geo_events(sf_dir).map_batches(boxes, batch_format="pyarrow")
+
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t.column("event_id").to_numpy(zero_copy_only=False) % 2 == 0))
+
+    def odd(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t.column("event_id").to_numpy(zero_copy_only=False) % 2 == 1))
+
+    return extent_join(ds.map_batches(even, batch_format="pyarrow"),
+                       ds.map_batches(odd, batch_format="pyarrow"), level=6)
+
+
+def oracle_extent_join() -> str:
+    return f"""
+    WITH pts AS ({_DERIVE_SQL}),
+    b AS (SELECT event_id, lon - 0.5 AS xmin, lat - 0.3 AS ymin,
+                 lon + 0.5 AS xmax, lat + 0.3 AS ymax FROM pts)
+    SELECT CAST(l.event_id AS VARCHAR) AS left_id,
+           CAST(r.event_id AS VARCHAR) AS right_id
+    FROM b l JOIN b r
+      ON l.xmin <= r.xmax AND l.xmax >= r.xmin
+     AND l.ymin <= r.ymax AND l.ymax >= r.ymin
+    WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1
+    """
+
+
+def q_tube_select(sf_dir: str):
+    """Tube select around a synthetic 3-bin track (rows-only; tube geometry
+    is engine-defined)."""
+    from geomesa_ray.stages.tube import tube_select
+
+    # track through ACTUAL event locations (the derived lon/lat set lies on
+    # a 1-D curve; arbitrary geometry would miss it entirely)
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"]).slice(0, 200)
+    v = ev.column("value").to_numpy()
+    lon = np.fmod(v * _LON_MUL, 360.0) - 180.0
+    lat = np.fmod(v * _LAT_MUL, 180.0) - 90.0
+    ms = ev.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy() // 1000
+    pick = [0, 50, 100, 150]
+    track = pd.DataFrame({"ts_ms": ms[pick], "lon": lon[pick], "lat": lat[pick]})
+    return tube_select(_geo_events(sf_dir), track, buffer_m=500_000,
+                       bin_ms=86_400_000, id_col="event_id", ts_col="ts")
+
+
+def q_route_search(sf_dir: str):
+    """Route search along a polyline (rows-only)."""
+    from geomesa_ray.stages.tube import route_search
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["value"]).slice(0, 50)
+    v = ev.column("value").to_numpy()
+    lon = np.fmod(v * _LON_MUL, 360.0) - 180.0
+    lat = np.fmod(v * _LAT_MUL, 180.0) - 90.0
+    route = list(zip(lon[[0, 10, 20, 30]], lat[[0, 10, 20, 30]]))
+    out = route_search(_geo_events(sf_dir), route, tolerance_m=300_000)
+    return out.select_columns(["event_id", "route_distance_m"])
+
+
 # ------------------------------------------------- rows-only (non-SQL) ops
 
 
@@ -739,6 +811,9 @@ QUERIES = {
     "latest_event": q_latest_event,
     "track_lines": q_track_lines,
     "geohash_counts": q_geohash_counts,
+    "extent_join": q_extent_join,
+    "tube_select": q_tube_select,
+    "route_search": q_route_search,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "lang_quality": q_lang_quality,
@@ -768,4 +843,5 @@ ORACLES = {
     "tumbling_hour": oracle_tumbling_hour(),
     "session_windows": oracle_session_windows(),
     "latest_event": oracle_latest_event(),
+    "extent_join": oracle_extent_join(),
 }

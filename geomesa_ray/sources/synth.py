@@ -133,8 +133,8 @@ def synthesize_shard(n_docs: int, seed: int, shard: int, n_shards: int) -> pa.Ta
     return pa.Table.from_arrays([doc_ids, spans], schema=CORPUS_SCHEMA)
 
 
-def corpus_path(n_docs: int, seed: int = 42, base: str = "/tmp/graft_corpus") -> str:
-    return os.path.join(base, f"n{n_docs}_s{seed}")
+def corpus_path(n_docs: int, seed: int = 42, base: str = "/tmp/graft_corpus", n_shards: int = 8) -> str:
+    return os.path.join(base, f"n{n_docs}_s{seed}_p{n_shards}")
 
 
 def synthesize_corpus(
@@ -146,7 +146,7 @@ def synthesize_corpus(
 ) -> str:
     """Write the corpus as sharded parquet; returns the directory. Idempotent:
     returns immediately if the directory is complete (shard-count marker)."""
-    out = corpus_path(n_docs, seed, base)
+    out = corpus_path(n_docs, seed, base, n_shards)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out

@@ -280,9 +280,21 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3, ba
         return pd.DataFrame({"left_id": ids[ii[ok]], "right_id": ids[jj[ok]], "hamming": hd[ok]})
 
     out = exploded.groupby(["band", "band_val"]).map_groups(pairs, batch_format="pandas")
-    # a pair can surface from several bands -> dedup (left,right)
-    return out.groupby(["left_id", "right_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    # a pair can surface from several bands -> dedup (left,right), hashed
+    # into bounded groups so the dedup is vectorized, not per-pair
+    def add_pk(t: pa.Table) -> pa.Table:
+        l = t.column("left_id").to_numpy(zero_copy_only=False).astype(object)
+        r = t.column("right_id").to_numpy(zero_copy_only=False).astype(object)
+        h = (fnv1a_str(l.astype(str).astype(object)) * np.uint64(31)
+             + fnv1a_str(r.astype(str).astype(object))) % np.uint64(256)
+        return t.append_column("pk", pa.array(h.astype(np.int32)))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["left_id", "right_id"]).drop(columns=["pk"])
+
+    return out.map_batches(add_pk, batch_format="pyarrow").groupby("pk").map_groups(
+        dedup, batch_format="pandas"
     )
 
 

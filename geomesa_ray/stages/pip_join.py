@@ -81,8 +81,25 @@ def broadcast_pip_join(
     lat_col: str = "lat",
     concurrency=None,
     batch_size: int = 65536,
+    actor_threshold: int = 64,
 ):
-    ref = ray.put(_as_wkt_list(polygons))
+    """Small polygon sets run as STATELESS tasks (the bucket index is cheap
+    to build, and plain tasks fuse into the upstream map chain with zero
+    actor-pool ramp); big sets amortize the index across batches in an
+    autoscaling actor pool (the IteratorCache pattern)."""
+    wkts, names = _as_wkt_list(polygons)
+    ref = ray.put((wkts, names))
+    if len(wkts) <= actor_threshold:
+        holder: dict = {}
+
+        def join_fn(batch: pa.Table) -> pa.Table:
+            if "j" not in holder:  # once per task process, not per batch
+                holder["j"] = BroadcastPIPJoin(ref, lon_col, lat_col)
+            return holder["j"](batch)
+
+        return points_ds.map_batches(
+            join_fn, batch_format="pyarrow", batch_size=batch_size
+        )
     return points_ds.map_batches(
         BroadcastPIPJoin,
         fn_constructor_kwargs={"polys_ref": ref, "lon_col": lon_col, "lat_col": lat_col},

@@ -1,0 +1,172 @@
+"""Tube select + route search — track-proximity analytics.
+
+Parity targets:
+- ``TubeSelectProcess`` / ``TubeBuilder`` (reference geomesa-process/.../
+  tube/{TubeBuilder,TubeSelectProcess}.scala): buffer+time-bin a track
+  (geodesic meters -> degrees at the bin centroid, TubeBuilder.scala:56-70),
+  optionally gap-fill between samples, then select data falling inside any
+  tube bin's buffered geometry AND time interval.
+- ``RouteSearchProcess`` (.../query/RouteSearchProcess.scala): features
+  within a buffer of a route polyline.
+
+Ray shape: tubes/routes are small (driver-built, broadcast); the data side
+streams through one ``map_batches`` doing a vectorized bins x batch mask —
+no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from geomesa_ray.geo.distance import haversine_m, meters_to_degrees_at
+from geomesa_ray.util import default_concurrency
+
+
+def build_tube(track: pd.DataFrame, buffer_m: float, bin_ms: int, gap_fill: str = "nofill"):
+    """Track (ts_ms, lon, lat) -> list of tube bins:
+    (t0, t1, xmin, ymin, xmax, ymax, clon, clat). ``gap_fill="line"``
+    interpolates a point per empty bin between consecutive samples
+    (TubeBuilder's line gap-fill)."""
+    df = track.sort_values("ts_ms").reset_index(drop=True)
+    pts = df[["ts_ms", "lon", "lat"]].to_numpy(dtype=np.float64)
+    if gap_fill == "line" and len(pts) > 1:
+        filled = [pts[0]]
+        for prev, cur in zip(pts[:-1], pts[1:]):
+            n_missing = int((cur[0] - prev[0]) // bin_ms) - 1
+            for k in range(1, n_missing + 1):
+                f = k / (n_missing + 1)
+                filled.append(prev + (cur - prev) * f)
+            filled.append(cur)
+        pts = np.asarray(filled)
+    bins: dict[int, list] = {}
+    for t, x, y in pts:
+        bins.setdefault(int(t // bin_ms), []).append((x, y))
+    out = []
+    for b, coords in sorted(bins.items()):
+        arr = np.asarray(coords)
+        clon, clat = arr[:, 0].mean(), arr[:, 1].mean()
+        dlon, dlat = meters_to_degrees_at(clat, buffer_m)
+        out.append({
+            "t0": b * bin_ms, "t1": (b + 1) * bin_ms,
+            "xmin": arr[:, 0].min() - float(dlon), "xmax": arr[:, 0].max() + float(dlon),
+            "ymin": arr[:, 1].min() - float(dlat), "ymax": arr[:, 1].max() + float(dlat),
+            "clon": float(clon), "clat": float(clat),
+        })
+    return out
+
+
+class _TubeProbe:
+    def __init__(self, bins_ref, buffer_m, id_col, lon_col, lat_col, ts_col):
+        b = ray.get(bins_ref) if isinstance(bins_ref, ray.ObjectRef) else bins_ref
+        self.t0 = np.array([x["t0"] for x in b], dtype=np.int64)
+        self.t1 = np.array([x["t1"] for x in b], dtype=np.int64)
+        self.xmin = np.array([x["xmin"] for x in b])
+        self.xmax = np.array([x["xmax"] for x in b])
+        self.ymin = np.array([x["ymin"] for x in b])
+        self.ymax = np.array([x["ymax"] for x in b])
+        self.clon = np.array([x["clon"] for x in b])
+        self.clat = np.array([x["clat"] for x in b])
+        self.buffer_m = buffer_m
+        self.id_col = id_col
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.ts_col = ts_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        ts = batch.column(self.ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ms = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+        else:
+            ms = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        # (bins, rows) candidate mask: time + bbox
+        cand = (
+            (ms[None, :] >= self.t0[:, None]) & (ms[None, :] < self.t1[:, None])
+            & (lon[None, :] >= self.xmin[:, None]) & (lon[None, :] <= self.xmax[:, None])
+            & (lat[None, :] >= self.ymin[:, None]) & (lat[None, :] <= self.ymax[:, None])
+        )
+        bi, ri = np.nonzero(cand)
+        if len(bi):
+            # exact geodesic refine against the bin centroid+buffer envelope:
+            # the tube geometry is the buffered track; centroid distance with
+            # the bbox pre-filter matches TubeBuilder's buffered-bin geometry
+            d = haversine_m(lon[ri], lat[ri], self.clon[bi], self.clat[bi])
+            span_m = haversine_m(self.xmin[bi], self.ymin[bi], self.xmax[bi], self.ymax[bi])
+            keep = d <= (self.buffer_m + span_m / 2.0)
+            bi, ri = bi[keep], ri[keep]
+        out = batch.take(pa.array(ri))
+        return out.append_column("tube_bin", pa.array(self.t0[bi]))
+
+
+def tube_select(ds, track: pd.DataFrame, buffer_m: float = 50_000, bin_ms: int = 3_600_000,
+                gap_fill: str = "nofill", id_col="doc_id", lon_col="lon", lat_col="lat",
+                ts_col="ts"):
+    """Rows of ``ds`` inside the track's buffered spatio-temporal tube.
+    Output = matching rows + ``tube_bin`` (bin start ms); a row in several
+    bins appears once per bin (tube semantics)."""
+    bins = build_tube(track, buffer_m, bin_ms, gap_fill)
+    ref = ray.put(bins)
+    return ds.map_batches(
+        _TubeProbe,
+        fn_constructor_kwargs=dict(bins_ref=ref, buffer_m=buffer_m, id_col=id_col,
+                                   lon_col=lon_col, lat_col=lat_col, ts_col=ts_col),
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )
+
+
+class _RouteProbe:
+    """Vectorized min point-to-segment distance against a broadcast route."""
+
+    def __init__(self, route_ref, tolerance_m, lon_col, lat_col):
+        r = ray.get(route_ref) if isinstance(route_ref, ray.ObjectRef) else route_ref
+        self.route = np.asarray(r, dtype=np.float64)  # (k, 2) lon/lat
+        self.tolerance_m = tolerance_m
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        # planar scaling at the route's mean latitude (TubeBuilder-style
+        # meters->degrees local approximation)
+        clat = float(self.route[:, 1].mean())
+        self.kx = 111_194.9 * max(np.cos(np.radians(clat)), 1e-6)
+        self.ky = 111_194.9
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        px = lon * self.kx
+        py = lat * self.ky
+        ax = self.route[:-1, 0] * self.kx
+        ay = self.route[:-1, 1] * self.ky
+        bx = self.route[1:, 0] * self.kx
+        by = self.route[1:, 1] * self.ky
+        dx = bx - ax
+        dy = by - ay
+        seg_len2 = np.maximum(dx * dx + dy * dy, 1e-12)
+        # (rows, segs) projection parameter clamped to [0,1]
+        t = ((px[:, None] - ax[None, :]) * dx[None, :] + (py[:, None] - ay[None, :]) * dy[None, :]) / seg_len2[None, :]
+        t = np.clip(t, 0.0, 1.0)
+        cx = ax[None, :] + t * dx[None, :]
+        cy = ay[None, :] + t * dy[None, :]
+        d2 = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
+        dmin = np.sqrt(d2.min(axis=1))
+        mask = dmin <= self.tolerance_m
+        out = batch.take(pa.array(np.nonzero(mask)[0]))
+        return out.append_column("route_distance_m", pa.array(dmin[mask]))
+
+
+def route_search(ds, route_lonlat, tolerance_m: float = 10_000, lon_col="lon", lat_col="lat"):
+    """Rows within ``tolerance_m`` of the route polyline; adds
+    ``route_distance_m`` (planar local approximation)."""
+    ref = ray.put(np.asarray(route_lonlat, dtype=np.float64))
+    return ds.map_batches(
+        _RouteProbe,
+        fn_constructor_kwargs=dict(route_ref=ref, tolerance_m=tolerance_m,
+                                   lon_col=lon_col, lat_col=lat_col),
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )
