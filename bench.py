@@ -31,7 +31,7 @@ def _corpus_docs_for(sf_dir: str) -> int:
         return 20_000
     if "0.01" in sf_dir:
         return 100_000
-    return 1_500_000  # sf0.1 bench default
+    return 6_000_000  # sf0.1 bench default
 
 
 POLYGONS = {
@@ -70,7 +70,7 @@ def run_bench(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
     from geomesa_ray.stages.pip_join import broadcast_pip_join, partitioned_pip_join
 
     n_docs = _corpus_docs_for(sf_dir)
-    corpus = synthesize_corpus(n_docs, seed=42, n_shards=int(os.environ.get("GRAFT_SHARDS", "128")), use_ray=True)
+    corpus = synthesize_corpus(n_docs, seed=42, n_shards=int(os.environ.get("GRAFT_SHARDS", "64")), use_ray=True)
 
     import glob
 
@@ -201,7 +201,12 @@ def _hardware_ceiling(lo: int, hi: int) -> float:
 
 def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8) -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        # cap Arrow's IO thread pool to the CPU budget: parquet decompression
+        # runs on IO threads OUTSIDE Ray's num_cpus accounting, which inflates
+        # the small-config baseline and understates measured scaling
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   ARROW_IO_THREADS=str(max(1, ncpu // 2)),
+                   OMP_NUM_THREADS="1")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py"),
              "--headline-only"],
