@@ -530,6 +530,104 @@ def oracle_ann_neighbors() -> str:
     """
 
 
+# proximity query points: taken from the derived point set itself (the
+# fmod derivation traces a 1-D curve; fixed city coords would miss it)
+_PROX_POINTS = [
+    (round(float(np.fmod(v * _LON_MUL, 360.0) - 180.0), 6),
+     round(float(np.fmod(v * _LAT_MUL, 180.0) - 90.0), 6))
+    for v in (6.55, 105.3, 246.25)
+]
+
+
+def q_proximity(sf_dir: str):
+    """Proximity search: events within 500 km of 3 probe points
+    (ProximitySearchProcess). Ids only — FP distance formulas differ."""
+    from geomesa_ray.stages.proximity import proximity_join
+
+    q = pd.DataFrame({"lon": [p[0] for p in _PROX_POINTS],
+                      "lat": [p[1] for p in _PROX_POINTS]})
+    out = proximity_join(_geo_events(sf_dir), q, radius_m=500_000)
+    return out.select_columns(["event_id"])
+
+
+def oracle_proximity() -> str:
+    pts = ", ".join(f"({x}, {y})" for x, y in _PROX_POINTS)
+    return f"""
+    WITH pts AS ({_DERIVE_SQL}),
+    q(qlon, qlat) AS (VALUES {pts})
+    SELECT DISTINCT pts.event_id
+    FROM pts JOIN q ON 2.0 * 6371008.8 * asin(sqrt(
+        pow(sin((radians(pts.lat) - radians(q.qlat)) / 2.0), 2)
+        + cos(radians(q.qlat)) * cos(radians(pts.lat))
+          * pow(sin((radians(pts.lon) - radians(q.qlon)) / 2.0), 2)
+    )) <= 500000.0
+    """
+
+
+def q_attr_filter(sf_dir: str):
+    """Attribute-index query: type + time-interval predicate (the attribute
+    key space with a tiered date suffix, AttributeIndexKeySpace)."""
+    t0 = 1_704_412_800_000  # 2024-01-05
+    t1 = 1_705_276_800_000  # 2024-01-15
+
+    def filt(t: pa.Table) -> pa.Table:
+        ms = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        mask = (et == "purchase") & (ms >= t0) & (ms < t1)
+        return t.filter(pa.array(mask)).select(["event_id", "user_id"])
+
+    return _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"]).map_batches(
+        filt, batch_format="pyarrow"
+    )
+
+
+def oracle_attr_filter() -> str:
+    return """
+    SELECT event_id, user_id FROM events
+    WHERE event_type = 'purchase'
+      AND epoch_ms(ts) >= 1704412800000 AND epoch_ms(ts) < 1705276800000
+    """
+
+
+def q_histogram(sf_dir: str):
+    """Fixed-range 20-bin histogram of order totals (HistogramStat) —
+    emitted as (bin, n) rows."""
+    from geomesa_ray.stages.stats import stats_scan
+
+    stats = stats_scan(_read(sf_dir, "orders", columns=["o_totalprice"]),
+                       "histogram(o_totalprice,n_bins=20,lo=0,hi=600000)")
+    bins = stats[0].result()
+    return pd.DataFrame({"bin": np.arange(20, dtype=np.int64), "n": bins.astype(np.int64)})
+
+
+def oracle_histogram() -> str:
+    return """
+    WITH b AS (
+      SELECT LEAST(CAST(floor(o_totalprice / 600000.0 * 20) AS BIGINT), 19) AS bin
+      FROM orders WHERE o_totalprice >= 0 AND o_totalprice <= 600000
+    ),
+    g AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+    all_bins AS (SELECT unnest(range(20)) AS bin)
+    SELECT all_bins.bin, coalesce(g.n, 0) AS n
+    FROM all_bins LEFT JOIN g ON all_bins.bin = g.bin
+    """
+
+
+def q_grouped_stats(sf_dir: str):
+    """GroupBy(attr, stat): per-event-type descriptive stats via grouped
+    sketch merge (rows-only: sketch internals aren't SQL)."""
+    from geomesa_ray.stages.stats import grouped_stats_scan
+
+    res = grouped_stats_scan(_read(sf_dir, "events", columns=["event_type", "value"]),
+                             "event_type", "count;descriptive(value)")
+    rows = []
+    for k, stats in sorted(res.items()):
+        d = stats[1].result()
+        rows.append({"event_type": k, "n": stats[0].result(),
+                     "mean_value": d["mean"], "stddev_value": d["stddev"]})
+    return pd.DataFrame(rows)
+
+
 # ----------------------------------------------------------- stream-shaped
 
 
@@ -812,6 +910,10 @@ QUERIES = {
     "track_lines": q_track_lines,
     "geohash_counts": q_geohash_counts,
     "extent_join": q_extent_join,
+    "proximity": q_proximity,
+    "attr_filter": q_attr_filter,
+    "histogram": q_histogram,
+    "grouped_stats": q_grouped_stats,
     "tube_select": q_tube_select,
     "route_search": q_route_search,
     "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -844,4 +946,7 @@ ORACLES = {
     "session_windows": oracle_session_windows(),
     "latest_event": oracle_latest_event(),
     "extent_join": oracle_extent_join(),
+    "proximity": oracle_proximity(),
+    "attr_filter": oracle_attr_filter(),
+    "histogram": oracle_histogram(),
 }

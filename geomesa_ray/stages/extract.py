@@ -20,10 +20,18 @@ import pyarrow.compute as pc
 from geomesa_ray.geo.wkt import parse_points_wkt
 
 
-def extract_geometry(batch: pa.Table, spans_col: str = "spans") -> pa.Table:
+def extract_geometry(batch: pa.Table, spans_col: str = "spans", error_mode: str = "mask") -> pa.Table:
     """Adds ``lon``/``lat`` (float64, NaN when absent) and ``has_geom``
     (bool) from the FIRST ``kind == "geo"`` span of each doc (a feature has
-    one default geometry, SimpleFeatureTypes.scala:111-125)."""
+    one default geometry, SimpleFeatureTypes.scala:111-125).
+
+    error_mode (the converter ErrorMode, AbstractConverter.scala:152-154):
+    - "mask" (skip-and-count analog): unparseable geo spans leave
+      has_geom=False.
+    - "raise": fail the task on the first unparseable geo span.
+    - "dead_letter": also adds ``geo_error`` (the offending span text, null
+      when clean) so a downstream filter can route bad rows aside.
+    """
     n = batch.num_rows
     spans = batch.column(spans_col)
     if isinstance(spans, pa.ChunkedArray):
@@ -35,6 +43,7 @@ def extract_geometry(batch: pa.Table, spans_col: str = "spans") -> pa.Table:
 
     lon = np.full(n, np.nan, dtype=np.float64)
     lat = np.full(n, np.nan, dtype=np.float64)
+    errors = np.full(n, None, dtype=object)
     if geo_mask.any():
         geo_parents = parents[geo_mask]
         geo_texts = flat.field("text").to_numpy(zero_copy_only=False)[geo_mask]
@@ -43,10 +52,22 @@ def extract_geometry(batch: pa.Table, spans_col: str = "spans") -> pa.Table:
         plon, plat, valid = parse_points_wkt(geo_texts[first_idx])
         lon[uniq[valid]] = plon[valid]
         lat[uniq[valid]] = plat[valid]
+        if not valid.all():
+            bad_docs = uniq[~valid]
+            bad_texts = geo_texts[first_idx][~valid]
+            if error_mode == "raise":
+                raise ValueError(
+                    f"unparseable geometry span (doc row {int(bad_docs[0])}): "
+                    f"{str(bad_texts[0])[:80]!r}"
+                )
+            errors[bad_docs] = bad_texts
 
     has_geom = ~np.isnan(lon)
-    return (
+    out = (
         batch.append_column("lon", pa.array(lon, type=pa.float64()))
         .append_column("lat", pa.array(lat, type=pa.float64()))
         .append_column("has_geom", pa.array(has_geom))
     )
+    if error_mode == "dead_letter":
+        out = out.append_column("geo_error", pa.array(errors, type=pa.string()))
+    return out

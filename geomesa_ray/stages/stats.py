@@ -406,6 +406,46 @@ class _StatsPartial:
         return pa.table({"sketch": pa.array([pickle.dumps(stats)], type=pa.binary())})
 
 
+def grouped_stats_scan(ds, key_col: str, spec: str, batch_size: int = 65536):
+    """GroupBy(attr, stat) (reference geomesa-utils/.../stats/GroupBy.scala,
+    Stat.scala:305): per-batch per-key sketches, merged per key in one small
+    groupby over serialized partials. Returns {key: [Stat, ...]}."""
+    parsed = parse_stat_spec(spec)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        uniq, starts = np.unique(skeys, return_index=True)
+        ends = np.append(starts[1:], len(skeys))
+        out_keys, out_blobs = [], []
+        for k, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+            rows = order[s:e]
+            stats = []
+            for kind, col, kwargs in parsed:
+                st = STAT_FACTORIES[kind](**kwargs)
+                if kind == "count":
+                    st.update(np.empty(len(rows)))
+                else:
+                    st.update(batch.column(col).to_numpy(zero_copy_only=False)[rows])
+                stats.append(st)
+            out_keys.append(k)
+            out_blobs.append(pickle.dumps(stats))
+        return pa.table({"__key": pa.array(out_keys), "sketch": pa.array(out_blobs, type=pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        merged = None
+        for blob in g["sketch"]:
+            stats = pickle.loads(blob)
+            merged = stats if merged is None else [a.merge(b) for a, b in zip(merged, stats)]
+        return pd.DataFrame({"__key": [g["__key"].iloc[0]], "sketch": [pickle.dumps(merged)]})
+
+    out = partials.groupby("__key").map_groups(merge_group, batch_format="pandas").to_pandas()
+    return {row["__key"]: pickle.loads(row["sketch"]) for _, row in out.iterrows()}
+
+
 def stats_scan(ds, spec: str, batch_size: int = 65536):
     """Run a SeqStat-style multi-sketch pass; returns the merged Stat list
     (one per spec entry). The reduce is driver-side over O(batches) rows —
