@@ -46,15 +46,16 @@ def extract_geometry(batch: pa.Table, spans_col: str = "spans", error_mode: str 
     errors = np.full(n, None, dtype=object)
     if geo_mask.any():
         geo_parents = parents[geo_mask]
-        geo_texts = flat.field("text").to_numpy(zero_copy_only=False)[geo_mask]
         # first geo span per doc: parents are nondecreasing -> unique keeps first
         uniq, first_idx = np.unique(geo_parents, return_index=True)
-        plon, plat, valid = parse_points_wkt(geo_texts[first_idx])
+        # stay in Arrow: filter+take the text child, parse with the C++ regex
+        geo_texts = flat.field("text").filter(pa.array(geo_mask)).take(pa.array(first_idx))
+        plon, plat, valid = parse_points_wkt(geo_texts)
         lon[uniq[valid]] = plon[valid]
         lat[uniq[valid]] = plat[valid]
         if not valid.all():
             bad_docs = uniq[~valid]
-            bad_texts = geo_texts[first_idx][~valid]
+            bad_texts = geo_texts.to_numpy(zero_copy_only=False)[~valid]
             if error_mode == "raise":
                 raise ValueError(
                     f"unparseable geometry span (doc row {int(bad_docs[0])}): "
