@@ -1,0 +1,106 @@
+"""Generic attribute joins + the column-group re-attach pattern.
+
+The reference writes attribute subsets into separate column families and
+re-hydrates full rows only at the end (WritableFeature column groups,
+SURVEY §4 "Large/wide rows"). At 100 TB the same rule applies to the heavy
+``spans`` payload: spatial shuffles carry only (doc_id, lon, lat, keys) and
+the wide columns re-attach afterwards with one hash join on doc_id.
+
+``attach`` wraps ``Dataset.join`` (Ray's hash-partitioned join) with sane
+defaults; ``reattach_spans`` is the span-specific convenience.
+"""
+
+from __future__ import annotations
+
+
+def _default_partitions() -> int:
+    try:
+        import ray
+
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 16
+
+
+def attach(left_ds, right_ds, on: str, how: str = "inner", num_partitions: int | None = None,
+           right_cols: list[str] | None = None):
+    """Hash join: left rows gain the right side's columns (right side is
+    typically the wide payload keyed by id)."""
+    if right_cols is not None:
+        cols = list(dict.fromkeys([on] + right_cols))
+        right_ds = right_ds.select_columns(cols)
+    return left_ds.join(
+        right_ds,
+        join_type=how,
+        num_partitions=num_partitions or _default_partitions(),
+        on=(on,),
+    )
+
+
+def attach_wide(left_ds, right_ds, on: str, right_cols: list[str] | None = None,
+                n_buckets: int | None = None):
+    """Hash join that supports NESTED right-side payloads (list/struct
+    columns), which Arrow's acero join rejects. Both sides bucket on
+    ``hash(key) % B`` and co-group through one union + groupby; the in-group
+    merge is pandas (object cells carry the nested values through)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from geomesa_ray.cells.shard import fnv1a_str, fnv1a_u64
+
+    B = n_buckets or _default_partitions() * 2
+    if right_cols is not None:
+        right_ds = right_ds.select_columns(list(dict.fromkeys([on] + right_cols)))
+
+    def add_bucket(side):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = t.column(on).to_numpy(zero_copy_only=False)
+            h = fnv1a_u64(keys) if keys.dtype.kind in "iu" else fnv1a_str(keys.astype(object))
+            return t.append_column("__b", pa.array((h % np.uint64(B)).astype(np.int32))) \
+                    .append_column("__side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+        return fn
+
+    left_cols = [c for c in left_ds.schema().base_schema.names]
+    l = left_ds.map_batches(add_bucket(0), batch_format="pyarrow")
+    r = right_ds.map_batches(add_bucket(1), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0]
+        rg = g[g["__side"] == 1]
+        if lg.empty or rg.empty:
+            return lg.iloc[0:0].drop(columns=["__b", "__side"]).merge(
+                rg.iloc[0:0].drop(columns=["__b", "__side"]), on=on, how="inner"
+            )
+        lg = lg.drop(columns=["__b", "__side"]).dropna(axis=1, how="all")
+        rg = rg.drop(columns=["__b", "__side"]).dropna(axis=1, how="all")
+        lg = lg[[c for c in left_cols if c in lg.columns]]
+        rg = rg[[on] + [c for c in rg.columns if c != on and c not in lg.columns]]
+        return lg.merge(rg, on=on, how="inner")
+
+    # union requires identical schemas: give each side the other's columns as nulls
+    l_schema = l.schema().base_schema
+    r_schema = r.schema().base_schema
+    all_fields = {f.name: f.type for f in l_schema} | {
+        f.name: f.type for f in r_schema if f.name not in l_schema.names
+    }
+
+    def conform(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in all_fields.items():
+            if name in t.column_names:
+                cols[name] = t.column(name)
+            else:
+                cols[name] = pa.nulls(t.num_rows, typ)
+        return pa.table(cols)
+
+    both = l.map_batches(conform, batch_format="pyarrow").union(
+        r.map_batches(conform, batch_format="pyarrow")
+    )
+    return both.groupby("__b").map_groups(merge, batch_format="pandas")
+
+
+def reattach_spans(keys_ds, corpus_ds, id_col: str = "doc_id"):
+    """Re-hydrate the spans payload after a keys-only shuffle stage
+    (nested-safe bucketed join)."""
+    return attach_wide(keys_ds, corpus_ds, on=id_col, right_cols=["spans"])
