@@ -177,16 +177,31 @@ def minhash_clusters(
 
         with_lab = exploded.map_batches(attach, batch_format="pyarrow")
 
-        def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
-            mn = g["cluster"].min()
-            return pd.DataFrame({id_col: g[id_col].unique(), "cluster": mn})
+        # min label per bucket, broadcast back to the bucket's docs, then min
+        # per doc — both as vectorized Min aggregates (per-group pandas calls
+        # on thousands of tiny LSH buckets were the bottleneck)
+        from ray.data.aggregate import Min
 
-        bucketed = with_lab.groupby(["band", "band_hash"]).map_groups(bucket_min, batch_format="pandas")
+        bucket_mins = with_lab.groupby(["band", "band_hash"]).aggregate(
+            Min("cluster", alias_name="bmin")
+        )
+        bmin_ref = ray.put(bucket_mins.to_pandas())
 
-        def doc_min(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({id_col: [g[id_col].iloc[0]], "cluster": [g["cluster"].min()]})
+        def relabel(t: pa.Table, ref=bmin_ref) -> pa.Table:
+            bmap = ray.get(ref)
+            df = pd.DataFrame({
+                id_col: t.column(id_col).to_numpy(zero_copy_only=False),
+                "band": t.column("band").to_numpy(zero_copy_only=False),
+                "band_hash": t.column("band_hash").to_numpy(zero_copy_only=False),
+            })
+            merged = df.merge(bmap, on=["band", "band_hash"], how="left")
+            return pa.table({
+                id_col: pa.array(merged[id_col].to_numpy()),
+                "cluster": pa.array(merged["bmin"].to_numpy(dtype=object)),
+            })
 
-        labels = bucketed.groupby(id_col).map_groups(doc_min, batch_format="pandas")
+        relabeled = exploded.map_batches(relabel, batch_format="pyarrow")
+        labels = relabeled.groupby(id_col).aggregate(Min("cluster", alias_name="cluster"))
     return labels
 
 
