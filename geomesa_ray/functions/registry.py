@@ -201,6 +201,103 @@ def f_st_distance_sphere(lon1, lat1, lon2, lat2):
 def f_st_dwithin(lon1, lat1, lon2, lat2, meters):
     return haversine_m(lon1, lat1, lon2, lat2) <= float(meters)
 
+def f_st_envelope(wkt_values):
+    """st_envelope: geometry WKT -> (xmin, ymin, xmax, ymax) arrays."""
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    vals = np.asarray(wkt_values, dtype=object)
+    out = np.empty((len(vals), 4), dtype=np.float64)
+    for i, w in enumerate(vals):  # query-side geometries are few
+        g = parse_wkt(str(w))
+        if g["type"] == "Point":
+            x, y = g["coords"]
+            out[i] = (x, y, x, y)
+        elif g["type"] == "LineString":
+            c = g["coords"]
+            out[i] = (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+        else:
+            rings = g["coords"] if g["type"] == "Polygon" else [r for p in g["coords"] for r in p]
+            ext = np.vstack(rings)
+            out[i] = (ext[:, 0].min(), ext[:, 1].min(), ext[:, 0].max(), ext[:, 1].max())
+    return out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+
+
+def f_st_centroid(wkt_values):
+    """st_centroid for polygons (area-weighted shoelace centroid) and
+    points/linestrings (vertex mean)."""
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    vals = np.asarray(wkt_values, dtype=object)
+    cx = np.empty(len(vals))
+    cy = np.empty(len(vals))
+    for i, w in enumerate(vals):
+        g = parse_wkt(str(w))
+        if g["type"] == "Point":
+            cx[i], cy[i] = g["coords"]
+        elif g["type"] == "LineString":
+            cx[i], cy[i] = g["coords"][:, 0].mean(), g["coords"][:, 1].mean()
+        else:
+            ring = g["coords"][0] if g["type"] == "Polygon" else g["coords"][0][0]
+            x, y = ring[:, 0], ring[:, 1]
+            if x[0] != x[-1] or y[0] != y[-1]:
+                x = np.append(x, x[0]); y = np.append(y, y[0])
+            cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+            a = cross.sum() / 2.0
+            if abs(a) < 1e-12:
+                cx[i], cy[i] = x[:-1].mean(), y[:-1].mean()
+            else:
+                cx[i] = ((x[:-1] + x[1:]) * cross).sum() / (6.0 * a)
+                cy[i] = ((y[:-1] + y[1:]) * cross).sum() / (6.0 * a)
+    return cx, cy
+
+
+def f_st_num_points(wkt_values):
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    vals = np.asarray(wkt_values, dtype=object)
+    out = np.empty(len(vals), dtype=np.int64)
+    for i, w in enumerate(vals):
+        g = parse_wkt(str(w))
+        if g["type"] == "Point":
+            out[i] = 1
+        elif g["type"] == "LineString":
+            out[i] = len(g["coords"])
+        elif g["type"] == "Polygon":
+            out[i] = sum(len(r) for r in g["coords"])
+        else:
+            out[i] = sum(len(r) for p in g["coords"] for r in p)
+    return out
+
+
+def f_st_as_geojson(wkt_values):
+    """st_asGeoJSON for point WKT (the hot output case), vectorized."""
+    lon, lat, valid = parse_points_wkt(wkt_values)
+    s = pd.Series(lon).map("{:.6f}".format) + "," + pd.Series(lat).map("{:.6f}".format)
+    out = ('{"type":"Point","coordinates":[' + s + "]}").to_numpy(dtype=object)
+    out[~valid] = None
+    return out
+
+
+def f_st_buffer_point(lon, lat, meters):
+    """st_bufferPoint: circle polygon WKT around each point (16-gon in the
+    local meters-to-degrees frame — the reference's bufferPoint is also a
+    geodesic approximation)."""
+    from geomesa_ray.geo.distance import meters_to_degrees_at
+
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    dlon, dlat = meters_to_degrees_at(lat, float(meters))
+    dlon = np.broadcast_to(np.asarray(dlon, dtype=np.float64), lon.shape)
+    dlat = np.broadcast_to(np.asarray(dlat, dtype=np.float64), lat.shape)
+    ang = np.linspace(0, 2 * np.pi, 17)
+    out = np.empty(len(lon), dtype=object)
+    for i in range(len(lon)):  # output is WKT text; few rows expected
+        xs = lon[i] + dlon[i] * np.cos(ang)
+        ys = lat[i] + dlat[i] * np.sin(ang)
+        out[i] = "POLYGON ((" + ", ".join(f"{x:.6f} {y:.6f}" for x, y in zip(xs, ys)) + "))"
+    return out
+
+
 _GEOHASH32 = np.array(list("0123456789bcdefghjkmnpqrstuvwxyz"), dtype=object)
 
 def f_st_geohash(lon, lat, precision=9):
@@ -276,6 +373,9 @@ FUNCTIONS = {
     "st_contains": f_st_contains, "st_intersects": f_st_intersects,
     "st_within": f_st_within, "st_distanceSphere": f_st_distance_sphere,
     "st_dwithin": f_st_dwithin, "st_geoHash": f_st_geohash,
+    "st_envelope": f_st_envelope, "st_centroid": f_st_centroid,
+    "st_numPoints": f_st_num_points, "st_asGeoJSON": f_st_as_geojson,
+    "st_bufferPoint": f_st_buffer_point,
     # id / hash
     "md5": f_md5, "hash64": f_hash64, "uuid": f_uuid_from,
 }
