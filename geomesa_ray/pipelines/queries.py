@@ -857,6 +857,34 @@ def q_cosine_dedup(sf_dir: str):
     return cosine_dedup_pairs(ds, dim=dim, threshold=0.9, n_bits=8)
 
 
+def q_s2_cells(sf_dir: str):
+    """S2-scheme cell assignment + counts (rows-only: S2 ids aren't SQL)."""
+    from geomesa_ray.cells.s2 import S2CellId
+    from ray.data.aggregate import Count
+
+    def assign(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        return pa.table({"s2_cell": pa.array(S2CellId.from_latlng(lat, lon, level=8))})
+
+    return _geo_events(sf_dir).map_batches(assign, batch_format="pyarrow").groupby(
+        "s2_cell"
+    ).aggregate(Count(alias_name="n"))
+
+
+def q_z3_keys(sf_dir: str):
+    """Full Z3 composite keys [(time_bin, z3)] over events (rows-only:
+    bit-interleaved keys aren't SQL; bin correctness is covered by
+    ``time_bins``)."""
+    from geomesa_ray.stages.assign import AssignCells
+
+    out = _geo_events(sf_dir).map_batches(
+        AssignCells(level=12, n_shards=4, id_col="event_id", ts_col="ts", period="week"),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["event_id", "time_bin", "z3", "cell_id", "shard"])
+
+
 def q_corpus_pip_join(sf_dir: str):
     """Flagship: interleaved corpus -> extract -> assign -> spatial join.
     Deterministic synthetic corpus (seed 42); rows-only check."""
@@ -921,6 +949,8 @@ QUERIES = {
     "lang_quality": q_lang_quality,
     "stats_sketches": q_stats_sketches,
     "cosine_dedup": q_cosine_dedup,
+    "s2_cells": q_s2_cells,
+    "z3_keys": q_z3_keys,
     "corpus_pip_join": q_corpus_pip_join,
     "corpus_density": q_corpus_density,
 }
