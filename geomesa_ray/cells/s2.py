@@ -173,13 +173,16 @@ class S2CellId:
         """cell id -> (lat, lng) of the cell center (degrees)."""
         cid = np.asarray(cell_id).astype(np.int64)
         face, i, j = S2CellId.to_face_ij(cid)
-        lsb = (cid & -cid).astype(np.uint64)
-        # center of the cell: offset half the cell size in leaf ij units
-        half = (lsb >> np.uint64(1)).astype(np.int64)
-        si = i + np.where(half > 0, half, 0)
-        tj = j + np.where(half > 0, half, 0)
-        s = si.astype(np.float64) / (1 << MAX_LEVEL)
-        t = tj.astype(np.float64) / (1 << MAX_LEVEL)
+        # center in half-leaf (si/ti) units, the s2geometry GetCenterSiTi
+        # rule: si = 2*i + delta with delta 1 for leaves, else 2 or 0 by the
+        # parity of (i ^ (id >> 2))
+        is_leaf = (cid & 1) == 1
+        parity = ((i ^ (cid >> 2)) & 1) == 1
+        delta = np.where(is_leaf, 1, np.where(parity, 2, 0)).astype(np.int64)
+        si = 2 * i + delta
+        ti = 2 * j + delta
+        s = si.astype(np.float64) / (1 << (MAX_LEVEL + 1))
+        t = ti.astype(np.float64) / (1 << (MAX_LEVEL + 1))
         u = _uv_from_st(s)
         v = _uv_from_st(t)
         # face uv -> xyz (inverse of _face_uv_from_xyz, s2 FaceUVtoXYZ)

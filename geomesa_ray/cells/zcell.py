@@ -76,13 +76,16 @@ class ZCellGrid:
         ymin = max(float(ymin), -90.0)
         xmax = min(float(xmax), 180.0)
         ymax = min(float(ymax), 90.0)
-        cx0 = int(np.clip((xmin + 180.0) // self.cell_width, 0, self.n_side - 1))
-        cy0 = int(np.clip((ymin + 90.0) // self.cell_height, 0, self.n_side - 1))
-        # upper bounds: a max exactly on a cell edge still intersects the
-        # lower cell only if the interval is degenerate; we include the cell
-        # containing max (clamped), which is conservative.
-        cx1 = int(np.clip((xmax + 180.0) // self.cell_width, 0, self.n_side - 1))
-        cy1 = int(np.clip((ymax + 90.0) // self.cell_height, 0, self.n_side - 1))
+        # corner cells MUST come from the same normalize arithmetic as
+        # cell_of_points (floor((x-min)*2^31/range) >> (31-level)) — naive
+        # (x+180)//cell_width float division disagrees by one cell at some
+        # representable boundaries, which would break the no-false-negative
+        # covering guarantee
+        shift = 31 - self.level
+        cx0 = int(self.sfc.lon.normalize(np.array([xmin]))[0]) >> shift
+        cx1 = int(self.sfc.lon.normalize(np.array([xmax]))[0]) >> shift
+        cy0 = int(self.sfc.lat.normalize(np.array([ymin]))[0]) >> shift
+        cy1 = int(self.sfc.lat.normalize(np.array([ymax]))[0]) >> shift
         nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
         if max_cells is not None and nx * ny > max_cells:
             raise ValueError(f"covering of {nx * ny} cells exceeds max_cells={max_cells}")

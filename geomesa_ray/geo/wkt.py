@@ -17,12 +17,12 @@ import re
 import numpy as np
 import pandas as pd
 
-_POINT_RE = r"POINT\s*\(\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s+(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*\)"
+_POINT_RE = r"(?i)^\s*POINT\s*\(\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s+(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*\)\s*$"
 
 
 _POINT_RE_NAMED = (
-    r"POINT\s*\(\s*(?P<x>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
-    r"\s+(?P<y>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*\)"
+    r"(?i)^\s*POINT\s*\(\s*(?P<x>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"\s+(?P<y>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*\)\s*$"
 )
 
 

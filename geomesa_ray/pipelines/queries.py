@@ -211,7 +211,9 @@ def q_time_bins(sf_dir: str):
     from ray.data.aggregate import Count
 
     def add_bin(t: pa.Table) -> pa.Table:
-        millis = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+        from geomesa_ray.util import ts_to_millis
+
+        millis = ts_to_millis(t.column("ts"))
         bins, _ = BinnedTime.to_binned_time(millis, "day")
         return pa.table({
             "time_bin": pa.array(bins.astype(np.int64)),
@@ -571,7 +573,9 @@ def q_attr_filter(sf_dir: str):
     t1 = 1_705_276_800_000  # 2024-01-15
 
     def filt(t: pa.Table) -> pa.Table:
-        ms = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+        from geomesa_ray.util import ts_to_millis
+
+        ms = ts_to_millis(t.column("ts"))
         et = t.column("event_type").to_numpy(zero_copy_only=False)
         mask = (et == "purchase") & (ms >= t0) & (ms < t1)
         return t.filter(pa.array(mask)).select(["event_id", "user_id"])
@@ -783,7 +787,9 @@ def q_tube_select(sf_dir: str):
     v = ev.column("value").to_numpy()
     lon = np.fmod(v * _LON_MUL, 360.0) - 180.0
     lat = np.fmod(v * _LAT_MUL, 180.0) - 90.0
-    ms = ev.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy() // 1000
+    from geomesa_ray.util import ts_to_millis
+
+    ms = ts_to_millis(ev.column("ts"))
     pick = [0, 50, 100, 150]
     track = pd.DataFrame({"ts_ms": ms[pick], "lon": lon[pick], "lat": lat[pick]})
     return tube_select(_geo_events(sf_dir), track, buffer_m=500_000,

@@ -114,6 +114,10 @@ def query_indexed(
         # row-group pruning at the read — the BatchScanPlan ranges analog
         pred = pads.field(cell_col).isin(pa.array(cells, type=pa.int64()))
 
+    if spec.intervals and not ts_col:
+        raise ValueError("QuerySpec has time intervals but no ts_col was given "
+                         "— the intervals would be silently ignored")
+
     ds = rd.read_parquet(paths, filter=pred)
 
     bboxes = spec.bboxes()
@@ -138,11 +142,9 @@ def query_indexed(
                     m |= points_in_bbox(lon, lat, xmin, ymin, xmax, ymax)
             mask &= m
         if intervals and ts_col:
-            ts = t.column(ts_col)
-            if pa.types.is_timestamp(ts.type):
-                millis = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
-            else:
-                millis = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+            from geomesa_ray.util import ts_to_millis
+
+            millis = ts_to_millis(t.column(ts_col))
             m = np.zeros(n, dtype=bool)
             for (t0, t1) in intervals:
                 m |= (millis >= t0) & (millis < t1)

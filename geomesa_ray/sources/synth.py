@@ -65,10 +65,16 @@ _WORDS = np.array(
 )
 
 
-def synthesize_shard(n_docs: int, seed: int, shard: int, n_shards: int) -> pa.Table:
-    """Generate one shard's documents; pure function of (seed, shard)."""
+def synthesize_shard(n_docs: int, seed: int, shard: int, n_shards: int,
+                     start: int | None = None) -> pa.Table:
+    """Generate one shard's documents; pure function of (seed, shard).
+
+    ``start`` is the shard's global doc-id offset; when omitted it assumes
+    full shards (start = shard * n_docs). Callers with a partial final
+    shard MUST pass the stride-based start or ids collide across shards."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, shard]))
-    start = shard * n_docs
+    if start is None:
+        start = shard * n_docs
     doc_idx = np.arange(start, start + n_docs, dtype=np.int64)
 
     span_counts = rng.integers(1, 9, n_docs)
@@ -157,8 +163,10 @@ def synthesize_corpus(
 
         @ray.remote
         def _gen(shard: int) -> str:
-            n = min(per_shard, n_docs - shard * per_shard)
-            table = synthesize_shard(n, seed, shard, n_shards)
+            n = max(0, min(per_shard, n_docs - shard * per_shard))
+            if n == 0:
+                return ""
+            table = synthesize_shard(n, seed, shard, n_shards, start=shard * per_shard)
             path = os.path.join(out, f"shard-{shard:04d}.parquet")
             pq.write_table(table, path)
             return path
@@ -166,8 +174,10 @@ def synthesize_corpus(
         ray.get([_gen.remote(s) for s in range(n_shards)])
     else:
         for shard in range(n_shards):
-            n = min(per_shard, n_docs - shard * per_shard)
-            table = synthesize_shard(n, seed, shard, n_shards)
+            n = max(0, min(per_shard, n_docs - shard * per_shard))
+            if n == 0:
+                continue
+            table = synthesize_shard(n, seed, shard, n_shards, start=shard * per_shard)
             pq.write_table(table, os.path.join(out, f"shard-{shard:04d}.parquet"))
     with open(marker, "w") as f:
         f.write(f"{n_shards}\n")

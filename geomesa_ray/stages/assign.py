@@ -67,11 +67,9 @@ class AssignCells:
             "shard", pa.array(shards, type=pa.int16())
         )
         if self.ts_col:
-            ts = batch.column(self.ts_col)
-            if pa.types.is_timestamp(ts.type):
-                millis = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
-            else:
-                millis = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+            from geomesa_ray.util import ts_to_millis
+
+            millis = ts_to_millis(batch.column(self.ts_col))
             bins, offsets = BinnedTime.to_binned_time(millis, self.period)
             z3 = self.z3.index(lon_c, lat_c, offsets, lenient=True)
             out = out.append_column("time_bin", pa.array(bins, type=pa.int16())).append_column(

@@ -38,11 +38,9 @@ class BinPack:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         track = _track_hash(batch.column(self.track_col).to_numpy(zero_copy_only=False))
-        dtg = batch.column(self.dtg_col)
-        if pa.types.is_timestamp(dtg.type):
-            secs = (dtg.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000)
-        else:
-            secs = dtg.to_numpy(zero_copy_only=False).astype(np.int64)
+        from geomesa_ray.util import ts_to_millis
+
+        secs = ts_to_millis(batch.column(self.dtg_col)) // 1000
         lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False).astype(np.float32)
         lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False).astype(np.float32)
 

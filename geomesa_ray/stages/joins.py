@@ -61,21 +61,18 @@ def attach_wide(left_ds, right_ds, on: str, right_cols: list[str] | None = None,
                     .append_column("__side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
         return fn
 
-    left_cols = [c for c in left_ds.schema().base_schema.names]
+    left_cols = list(left_ds.schema().base_schema.names)
+    right_cols_true = list(right_ds.schema().base_schema.names)
     l = left_ds.map_batches(add_bucket(0), batch_format="pyarrow")
     r = right_ds.map_batches(add_bucket(1), batch_format="pyarrow")
 
+    # output columns: left's schema + right-only columns (selected by NAME —
+    # null-ness pruning would silently drop genuinely all-null columns)
+    out_right = [c for c in right_cols_true if c != on and c not in left_cols]
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0]
-        rg = g[g["__side"] == 1]
-        if lg.empty or rg.empty:
-            return lg.iloc[0:0].drop(columns=["__b", "__side"]).merge(
-                rg.iloc[0:0].drop(columns=["__b", "__side"]), on=on, how="inner"
-            )
-        lg = lg.drop(columns=["__b", "__side"]).dropna(axis=1, how="all")
-        rg = rg.drop(columns=["__b", "__side"]).dropna(axis=1, how="all")
-        lg = lg[[c for c in left_cols if c in lg.columns]]
-        rg = rg[[on] + [c for c in rg.columns if c != on and c not in lg.columns]]
+        lg = g[g["__side"] == 0][left_cols]
+        rg = g[g["__side"] == 1][[on] + out_right]
         return lg.merge(rg, on=on, how="inner")
 
     # union requires identical schemas: give each side the other's columns as nulls

@@ -28,7 +28,7 @@ from geomesa_ray.util import default_concurrency
 
 def build_tube(track: pd.DataFrame, buffer_m: float, bin_ms: int, gap_fill: str = "nofill"):
     """Track (ts_ms, lon, lat) -> list of tube bins:
-    (t0, t1, xmin, ymin, xmax, ymax, clon, clat). ``gap_fill="line"``
+    (t0, t1, xmin, ymin, xmax, ymax, samples). ``gap_fill="line"``
     interpolates a point per empty bin between consecutive samples
     (TubeBuilder's line gap-fill)."""
     df = track.sort_values("ts_ms").reset_index(drop=True)
@@ -48,13 +48,13 @@ def build_tube(track: pd.DataFrame, buffer_m: float, bin_ms: int, gap_fill: str 
     out = []
     for b, coords in sorted(bins.items()):
         arr = np.asarray(coords)
-        clon, clat = arr[:, 0].mean(), arr[:, 1].mean()
+        clat = arr[:, 1].mean()
         dlon, dlat = meters_to_degrees_at(clat, buffer_m)
         out.append({
             "t0": b * bin_ms, "t1": (b + 1) * bin_ms,
             "xmin": arr[:, 0].min() - float(dlon), "xmax": arr[:, 0].max() + float(dlon),
             "ymin": arr[:, 1].min() - float(dlat), "ymax": arr[:, 1].max() + float(dlat),
-            "clon": float(clon), "clat": float(clat),
+            "samples": arr.tolist(),  # (lon, lat) track samples in this bin
         })
     return out
 
@@ -68,8 +68,7 @@ class _TubeProbe:
         self.xmax = np.array([x["xmax"] for x in b])
         self.ymin = np.array([x["ymin"] for x in b])
         self.ymax = np.array([x["ymax"] for x in b])
-        self.clon = np.array([x["clon"] for x in b])
-        self.clat = np.array([x["clat"] for x in b])
+        self.samples = [np.asarray(x["samples"], dtype=np.float64) for x in b]
         self.buffer_m = buffer_m
         self.id_col = id_col
         self.lon_col = lon_col
@@ -79,11 +78,9 @@ class _TubeProbe:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
         lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
-        ts = batch.column(self.ts_col)
-        if pa.types.is_timestamp(ts.type):
-            ms = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
-        else:
-            ms = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        from geomesa_ray.util import ts_to_millis
+
+        ms = ts_to_millis(batch.column(self.ts_col))
         # (bins, rows) candidate mask: time + bbox
         cand = (
             (ms[None, :] >= self.t0[:, None]) & (ms[None, :] < self.t1[:, None])
@@ -92,12 +89,18 @@ class _TubeProbe:
         )
         bi, ri = np.nonzero(cand)
         if len(bi):
-            # exact geodesic refine against the bin centroid+buffer envelope:
-            # the tube geometry is the buffered track; centroid distance with
-            # the bbox pre-filter matches TubeBuilder's buffered-bin geometry
-            d = haversine_m(lon[ri], lat[ri], self.clon[bi], self.clat[bi])
-            span_m = haversine_m(self.xmin[bi], self.ymin[bi], self.xmax[bi], self.ymax[bi])
-            keep = d <= (self.buffer_m + span_m / 2.0)
+            # exact refine: geodesic distance to the NEAREST track sample in
+            # the bin must be within the buffer (the buffered-track geometry;
+            # a centroid test false-negatives points near far-flung samples)
+            keep = np.zeros(len(bi), dtype=bool)
+            for b in np.unique(bi):
+                rows = bi == b
+                s = self.samples[b]
+                d = haversine_m(
+                    lon[ri[rows]][:, None], lat[ri[rows]][:, None],
+                    s[None, :, 0], s[None, :, 1],
+                ).min(axis=1)
+                keep[rows] = d <= self.buffer_m
             bi, ri = bi[keep], ri[keep]
         out = batch.take(pa.array(ri))
         return out.append_column("tube_bin", pa.array(self.t0[bi]))

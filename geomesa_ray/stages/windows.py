@@ -23,9 +23,9 @@ import pyarrow as pa
 
 
 def _ts_millis(col) -> np.ndarray:
-    if pa.types.is_timestamp(col.type):
-        return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
-    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    from geomesa_ray.util import ts_to_millis
+
+    return ts_to_millis(col)
 
 
 def tumbling_window(ds, key_col: str, ts_col: str, window_ms: int, agg_col: str):

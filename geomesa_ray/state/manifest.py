@@ -130,9 +130,12 @@ def run_resumable(
         files = sorted(
             os.path.join(unit_dir, f) for f in os.listdir(unit_dir) if f.endswith(".parquet")
         )
-        out_tables = [pq.read_table(f) for f in files]
-        rows_out = sum(t.num_rows for t in out_tables)
+        rows_out = sum(pq.read_metadata(f).num_rows for f in files)
         rows_in = sum(pq.read_metadata(p).num_rows for p in unit_shards)
+        # full output reads only when the caller asked for content checks
+        out_tables = (
+            [pq.read_table(f) for f in files] if (verify_spans or metrics_fn is not None) else []
+        )
         record = {
             "unit": unit,
             "inputs": unit_shards,

@@ -18,3 +18,15 @@ def default_concurrency(cap: int = 16) -> tuple[int, int]:
     except Exception:
         cpus = 4
     return (1, max(2, min(cap, cpus - 1)))
+
+
+def ts_to_millis(col):
+    """Arrow timestamp/integer column -> epoch-millis int64 numpy array.
+    Casts through microseconds (a direct us->ms Arrow cast raises on sub-ms
+    precision)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(col.type):
+        return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -81,22 +81,22 @@ class TestTube:
         })
         buffer_m = 100_000
         out = tube_select(ds, track, buffer_m=buffer_m, bin_ms=3_600_000).to_pandas()
-        # every reported row is inside its bin time window and within the
-        # buffered envelope distance of the bin centroid
+        # exact oracle: a row matches bin b iff its ts is in the window and
+        # its distance to the NEAREST track sample in b is within the buffer
         bins = {b["t0"]: b for b in build_tube(track, buffer_m, 3_600_000)}
-        for _, row in out.iterrows():
-            b = bins[row["tube_bin"]]
-            assert b["t0"] <= row["ts"] < b["t1"]
-            assert b["xmin"] <= row["lon"] <= b["xmax"]
-            assert b["ymin"] <= row["lat"] <= b["ymax"]
-        # and rows clearly inside a bin are found
         for t0, b in bins.items():
-            clearly = df[
-                (df["ts"] >= b["t0"]) & (df["ts"] < b["t1"])
-                & (haversine_m(df["lon"], df["lat"], b["clon"], b["clat"]) < buffer_m * 0.5)
-            ]
+            samples = np.asarray(b["samples"])
+            d = haversine_m(
+                df["lon"].to_numpy()[:, None], df["lat"].to_numpy()[:, None],
+                samples[None, :, 0], samples[None, :, 1],
+            ).min(axis=1)
+            expected = set(
+                df["doc_id"].to_numpy()[
+                    (df["ts"].to_numpy() >= b["t0"]) & (df["ts"].to_numpy() < b["t1"]) & (d <= buffer_m)
+                ]
+            )
             got_bin = set(out[out["tube_bin"] == t0]["doc_id"])
-            assert set(clearly["doc_id"]) <= got_bin
+            assert got_bin == expected
 
     def test_route_search(self, ray_session, data):
         ds, df = data
