@@ -863,6 +863,26 @@ def q_cosine_dedup(sf_dir: str):
     return cosine_dedup_pairs(ds, dim=dim, threshold=0.9, n_bits=8)
 
 
+def q_xz2_keys(sf_dir: str):
+    """XZ2 extent-key assignment over derived event boxes (rows-only:
+    sequence codes aren't SQL; covering recall is fixture-tested)."""
+    from geomesa_ray.stages.assign import AssignExtentCells
+
+    def boxes(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("event_id").cast(pa.string()),
+            "xmin": pa.array(lon - 0.25), "ymin": pa.array(lat - 0.25),
+            "xmax": pa.array(lon + 0.25), "ymax": pa.array(lat + 0.25),
+            "ts": t.column("ts"),
+        })
+
+    ds = _geo_events(sf_dir).map_batches(boxes, batch_format="pyarrow")
+    out = ds.map_batches(AssignExtentCells(g=12, ts_col="ts"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "xz2", "time_bin", "shard"])
+
+
 def q_s2_cells(sf_dir: str):
     """S2-scheme cell assignment + counts (rows-only: S2 ids aren't SQL)."""
     from geomesa_ray.cells.s2 import S2CellId
@@ -955,6 +975,7 @@ QUERIES = {
     "lang_quality": q_lang_quality,
     "stats_sketches": q_stats_sketches,
     "cosine_dedup": q_cosine_dedup,
+    "xz2_keys": q_xz2_keys,
     "s2_cells": q_s2_cells,
     "z3_keys": q_z3_keys,
     "corpus_pip_join": q_corpus_pip_join,

@@ -22,6 +22,39 @@ from geomesa_ray.curves.binnedtime import BinnedTime
 from geomesa_ray.curves.z3 import Z3SFC
 
 
+class AssignExtentCells:
+    """XZ2 key assignment for rows WITH spatial extent (bbox columns) — the
+    XZ2/XZ3 key-space write path (reference
+    geomesa-index-api/.../index/z2/XZ2IndexKeySpace.scala:44-71): adds
+    ``xz2: int64`` (+ ``time_bin`` when a timestamp column is given, the
+    XZ3 composite)."""
+
+    def __init__(self, g: int = 12, n_shards: int = 4, id_col: str = "doc_id",
+                 bbox_cols=("xmin", "ymin", "xmax", "ymax"),
+                 ts_col: str | None = None, period: str = "week"):
+        from geomesa_ray.curves.xz2 import XZ2SFC
+
+        self.xz2 = XZ2SFC(g)
+        self.n_shards = n_shards
+        self.id_col = id_col
+        self.bbox_cols = bbox_cols
+        self.ts_col = ts_col
+        self.period = period
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = [batch.column(c).to_numpy(zero_copy_only=False) for c in self.bbox_cols]
+        codes = self.xz2.index(*cols, lenient=True)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        out = batch.append_column("xz2", pa.array(np.atleast_1d(codes), type=pa.int64()))
+        out = out.append_column("shard", pa.array(shard_of(ids, self.n_shards), type=pa.int16()))
+        if self.ts_col:
+            from geomesa_ray.util import ts_to_millis
+
+            bins, _ = BinnedTime.to_binned_time(ts_to_millis(batch.column(self.ts_col)), self.period)
+            out = out.append_column("time_bin", pa.array(bins, type=pa.int16()))
+        return out
+
+
 class AssignCells:
     def __init__(
         self,

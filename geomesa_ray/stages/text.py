@@ -47,12 +47,18 @@ class TextStats:
         n_words = s.str.count(self.word_re).to_numpy(dtype=np.int64)
         n_punct = s.str.count(self.punct_re).to_numpy(dtype=np.int64)
 
+        # vectorized stopword hits: explode the token lists once, run one
+        # isin per language over the flat array, sum back per row (the
+        # per-row Python map was the stage's hot spot)
         lower_words = s.str.lower().str.findall(self.word_re)
+        exploded = lower_words.explode()
+        flat = exploded.to_numpy(dtype=object)
+        row_idx = exploded.index.to_numpy()
         stop_hits = np.zeros((len(self.langs), len(s)), dtype=np.float64)
-        for li, stops in enumerate(self.stop_sets):
-            stop_hits[li] = lower_words.map(
-                lambda ws, st=stops: sum(w in st for w in ws)
-            ).to_numpy(dtype=np.float64)
+        if len(flat):
+            for li, stops in enumerate(self.stop_sets):
+                hits = pd.Series(flat).isin(stops).to_numpy()
+                np.add.at(stop_hits[li], row_idx[hits], 1.0)
         denom = np.maximum(n_words, 1)
         ratios = stop_hits / denom
         best = ratios.argmax(axis=0)
