@@ -183,15 +183,25 @@ def _burn(_):
     return 1
 
 
+def _pin_threads():
+    # runs in each spawned worker BEFORE numpy loads: single-threaded BLAS so
+    # the ceiling measures process scaling under the same regime Ray workers
+    # use (Ray pins OMP_NUM_THREADS=1)
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["MKL_NUM_THREADS"] = "1"
+
+
 def _hardware_ceiling(lo: int, hi: int) -> float:
     """Raw-CPU microbenchmark: the box's own throughput ratio going lo->hi
     worker processes (shared/memory-bound sandbox cores saturate well below
     nominal CPU count; engine scaling can't exceed this ceiling)."""
     import multiprocessing as mp
 
+    ctx = mp.get_context("spawn")  # fresh interpreters -> _pin_threads applies
     rates = {}
     for n in (lo, hi):
-        with mp.Pool(n) as p:
+        with ctx.Pool(n, initializer=_pin_threads) as p:
             p.map(_burn, range(n))  # warm
             t0 = time.time()
             p.map(_burn, range(n * 4))

@@ -41,6 +41,9 @@ def meters_to_degrees_at(lat_deg, meters) -> tuple[np.ndarray, np.ndarray]:
     latitude — the reference's TubeBuilder.metersToDegrees analog
     (geomesa-process/.../tube/TubeBuilder.scala:56-70)."""
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-    dlat = np.asarray(meters) / 111_194.9  # meters per degree latitude
-    dlon = np.asarray(meters) / (111_194.9 * np.maximum(np.cos(lat), 1e-6))
+    # 1% pad: the planar formula slightly UNDERestimates the true geodesic
+    # circle's lon half-width near its east/west extremes; envelope callers
+    # (proximity/tube pre-filters) need a conservative bound
+    dlat = 1.01 * np.asarray(meters) / 111_194.9
+    dlon = 1.01 * np.asarray(meters) / (111_194.9 * np.maximum(np.cos(lat), 1e-6))
     return dlon, dlat

@@ -698,7 +698,7 @@ def q_latest_event(sf_dir: str):
     from geomesa_ray.stages.windows import latest_per_key
 
     out = latest_per_key(_read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
-                         "user_id", "ts")
+                         "user_id", "ts", tiebreak_col="event_id")
     return out.select_columns(["user_id", "event_id"])
 
 
@@ -706,7 +706,7 @@ def oracle_latest_event() -> str:
     return """
     SELECT user_id, event_id FROM (
       SELECT user_id, event_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ) WHERE rn = 1
     """
@@ -854,13 +854,30 @@ def q_stats_sketches(sf_dir: str):
 
 
 def q_cosine_dedup(sf_dir: str):
+    """Embedding near-dup pairs. The raw embeddings are random (no pairs
+    clear the threshold), so known duplicates are injected — the gate then
+    asserts the operator actually finds them instead of passing on 0 rows."""
+    import ray.data as rd
+
     from geomesa_ray.stages.similarity import cosine_dedup_pairs
 
-    t = pq.read_schema(f"{sf_dir}/embeddings.parquet")
-    ds = _read(sf_dir, "embeddings")
-    first = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).column("embedding")
-    dim = len(first[0])
-    return cosine_dedup_pairs(ds, dim=dim, threshold=0.9, n_bits=8)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = next(pf.iter_batches(batch_size=32, columns=["vec_id", "embedding"]))
+    dim = len(head.column("embedding")[0])
+    dup = pa.table({
+        "vec_id": pa.array((head.column("vec_id").to_numpy() + 1_000_000)),
+        "embedding": head.column("embedding"),
+        "label": pa.nulls(head.num_rows, pa.int32()),
+    })
+    ds = _read(sf_dir, "embeddings").union(rd.from_arrow(dup))
+    pairs = cosine_dedup_pairs(ds, dim=dim, threshold=0.999, n_bits=8)
+    return pairs.map_batches(
+        lambda t: pa.table({
+            "left_id": t.column("left_id").cast(pa.int64()),
+            "right_id": t.column("right_id").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
 
 
 def q_xz2_keys(sf_dir: str):

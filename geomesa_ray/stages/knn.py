@@ -50,23 +50,32 @@ class KnnPartial:
         ok = ~(np.isnan(lon) | np.isnan(lat))
         lon, lat, ids = lon[ok], lat[ok], ids[ok]
         if len(lon) == 0 or len(self.qlon) == 0:
+            id_type = batch.schema.field(self.id_col).type
             return pa.table({
                 "query_id": pa.array([], type=pa.string()),
-                "neighbor_id": pa.array([], type=pa.string()),
+                "neighbor_id": pa.array([], type=id_type),
                 "distance_m": pa.array([], type=pa.float64()),
             })
         d = haversine_matrix_m(self.qlon, self.qlat, lon, lat)  # (nq, np)
         kk = min(self.k, d.shape[1])
-        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(d.shape[0]), kk)
-        cols = part.ravel()
+        # total order (distance, neighbor_id): exact-distance ties at the k
+        # boundary must resolve identically in every partial and in the
+        # final merge, or the global top-k is block-split-dependent
+        tie = ids if ids.dtype.kind in "iu" else ids.astype(str)
+        rows_l, cols_l = [], []
+        for qi in range(d.shape[0]):
+            order = np.lexsort((tie, d[qi]))[:kk]
+            rows_l.append(np.full(len(order), qi))
+            cols_l.append(order)
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
         dist = d[rows, cols]
         if self.max_distance_m is not None:
             keep = dist <= self.max_distance_m
             rows, cols, dist = rows[keep], cols[keep], dist[keep]
         return pa.table({
             "query_id": pa.array(self.qids[rows].astype(str)),
-            "neighbor_id": pa.array(ids[cols].astype(str)),
+            "neighbor_id": pa.array(ids[cols]),
             "distance_m": pa.array(dist),
         })
 

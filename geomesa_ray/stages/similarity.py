@@ -136,8 +136,13 @@ def cosine_dedup_pairs(ds, dim: int, threshold: float = 0.95, id_col: str = "vec
     bucketed = lsh_bucketed(ds, dim, n_bits=n_bits, vec_col=vec_col, seed=seed)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        id_dtype = g[id_col].dtype
         if len(g) < 2:
-            return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
+            return pd.DataFrame({
+                "left_id": pd.Series([], dtype=id_dtype),
+                "right_id": pd.Series([], dtype=id_dtype),
+                "cosine": pd.Series([], dtype=np.float64),
+            })
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         m = _normalize(np.stack(g[vec_col].to_numpy()))

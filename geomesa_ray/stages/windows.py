@@ -76,12 +76,15 @@ def session_windows(ds, key_col: str, ts_col: str, gap_ms: int):
     )
 
 
-def latest_per_key(ds, key_col: str, ts_col: str):
-    """TrackLabel: the most recent row per key (ties: max of remaining cols
-    deterministic via sort)."""
+def latest_per_key(ds, key_col: str, ts_col: str, tiebreak_col: str | None = None):
+    """TrackLabel: the most recent row per key. Exact-timestamp ties resolve
+    by ``tiebreak_col`` (max wins) when given — without it the winner among
+    ties is block-order-dependent."""
+
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(ts_col, kind="mergesort").tail(1)
+        return g.sort_values(sort_cols, kind="mergesort").tail(1)
 
     return ds.groupby(key_col).map_groups(latest, batch_format="pandas")
 

@@ -60,6 +60,10 @@ def main():
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -90,7 +94,8 @@ def main():
             try:
                 pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, rtol=1e-9)
             except AssertionError as e:
-                status = "VALUES differ: " + str(e).split("\n")[-2][:120]
+                lines = [l for l in str(e).splitlines() if l.strip()]
+                status = "VALUES differ: " + (lines[-1][:120] if lines else "")
         if status == "ok":
             print(f"ok    {name:22s} {len(got):7d} rows  {dt:5.1f}s")
         else:
