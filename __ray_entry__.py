@@ -23,10 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry() -> Any:
-    """Flagship: events-as-geo-docs -> cell assignment -> PIP join."""
-    from geomesa_ray.pipelines.queries import q_pip_join
+    """Flagship: interleaved corpus -> extract -> assign -> spatial join
+    (the north-star pipeline at smoke scale)."""
+    from geomesa_ray.pipelines.queries import q_corpus_pip_join
 
-    return q_pip_join("/root/testdata/sf0.001")
+    return q_corpus_pip_join("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

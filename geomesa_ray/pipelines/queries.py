@@ -928,6 +928,48 @@ def q_z3_keys(sf_dir: str):
     return out.select_columns(["event_id", "time_bin", "z3", "cell_id", "shard"])
 
 
+def q_ivf_neighbors(sf_dir: str):
+    """IVF-Flat approximate ANN (the scale path past brute force; rows-only
+    — approximate by design, recall asserted in tests vs brute force)."""
+    from geomesa_ray.stages.similarity import ivf_topk
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = next(pf.iter_batches(batch_size=2, columns=["embedding"]))
+    q = np.stack([np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()])
+    out = ivf_topk(_read(sf_dir, "embeddings"), q, ["e0", "e1"], k=5, n_lists=16, nprobe=4)
+    return out.map_batches(
+        lambda t: pa.table({
+            "query_id": t.column("query_id"),
+            "neighbor_id": t.column("neighbor_id").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: media spans -> deterministic feature vectors
+    (decode kernel stubbed; rows-only)."""
+    import ray.data as rd
+
+    from geomesa_ray.sources.synth import synthesize_corpus
+    from geomesa_ray.stages.media import media_features
+
+    corpus = synthesize_corpus(5000, seed=42, n_shards=4)
+    out = media_features(rd.read_parquet(corpus), dim=16)
+    return out.select_columns(["doc_id", "media_ref", "feature_dim"])
+
+
+def q_bin_export(sf_dir: str):
+    """Packed 16-byte BIN records over events (rows-only: binary payload)."""
+    from geomesa_ray.stages.bin_export import bin_export
+
+    out = bin_export(_geo_events(sf_dir), "user_id", "ts")
+    return out.map_batches(
+        lambda t: pa.table({"bin_hex": pa.array([b.hex() for b in t.column("bin").to_pylist()])}),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_pip_join(sf_dir: str):
     """Flagship: interleaved corpus -> extract -> assign -> spatial join.
     Deterministic synthetic corpus (seed 42); rows-only check."""
@@ -995,6 +1037,9 @@ QUERIES = {
     "xz2_keys": q_xz2_keys,
     "s2_cells": q_s2_cells,
     "z3_keys": q_z3_keys,
+    "ivf_neighbors": q_ivf_neighbors,
+    "media_features": q_media_features,
+    "bin_export": q_bin_export,
     "corpus_pip_join": q_corpus_pip_join,
     "corpus_density": q_corpus_density,
 }

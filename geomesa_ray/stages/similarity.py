@@ -128,6 +128,75 @@ def lsh_bucketed(ds, dim: int, n_bits: int = 12, vec_col: str = "embedding", see
     return ds.map_batches(AddBucket, batch_format="pyarrow", concurrency=(1, 8))
 
 
+class IVFIndex:
+    """IVF coarse quantizer: seeded k-means (Lloyd, fixed iterations) over a
+    driver-side sample; vectors assign to their nearest centroid ("list").
+    Queries probe the ``nprobe`` nearest lists — the classic IVF-Flat
+    recall/latency trade and the scale path past brute force."""
+
+    def __init__(self, sample: np.ndarray, n_lists: int = 64, iters: int = 10, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        m = _normalize(np.asarray(sample, dtype=np.float32))
+        n_lists = min(n_lists, len(m))
+        centroids = m[rng.choice(len(m), n_lists, replace=False)]
+        for _ in range(iters):
+            assign = (m @ centroids.T).argmax(axis=1)
+            for c in range(n_lists):
+                members = m[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+            centroids = _normalize(centroids)
+        self.centroids = centroids
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return (_normalize(m) @ self.centroids.T).argmax(axis=1).astype(np.int32)
+
+    def probe_lists(self, queries: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = _normalize(np.asarray(queries, dtype=np.float32)) @ self.centroids.T
+        return np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+
+
+def ivf_topk(ds, query_vectors, query_ids, k: int = 10, n_lists: int = 64, nprobe: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding", sample_rows: int = 10_000,
+             seed: int = 42, concurrency=None):
+    """IVF-Flat approximate top-k: train the quantizer on a streamed sample,
+    broadcast it, filter each batch to vectors whose list is probed by ANY
+    query, exact cosine on the survivors (same merge as ann_topk).
+    Approximate by design — recall depends on nprobe/n_lists."""
+    sample_df = ds.limit(sample_rows).to_pandas()
+    sample = np.stack(sample_df[vec_col].to_numpy())
+    index = IVFIndex(sample, n_lists=n_lists, seed=seed)
+    q = np.asarray(query_vectors, dtype=np.float32)
+    probed = np.unique(index.probe_lists(q, nprobe))
+    state_ref = ray.put({"index": index, "probed": probed,
+                         "query_id": np.asarray(query_ids, dtype=object), "vectors": q})
+
+    class IVFPartial:
+        def __init__(self):
+            st = ray.get(state_ref)
+            self.index = st["index"]
+            self.probed = st["probed"]
+            self.inner = AnnPartial(
+                {"query_id": st["query_id"], "vectors": st["vectors"]}, k, id_col, vec_col
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _matrix(batch.column(vec_col))
+            lists = self.index.assign(m)
+            keep = np.isin(lists, self.probed)
+            return self.inner(batch.filter(pa.array(keep)))
+
+    partials = ds.map_batches(
+        IVFPartial, batch_format="pyarrow", batch_size=65536,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def cosine_dedup_pairs(ds, dim: int, threshold: float = 0.95, id_col: str = "vec_id",
                        vec_col: str = "embedding", n_bits: int = 10, seed: int = 42):
     """Embedding near-dup pairs with cosine >= threshold, candidates limited

@@ -172,3 +172,30 @@ class TestSimilarity:
         got = set(zip(pairs["left_id"].astype(int), pairs["right_id"].astype(int)))
         for vid in table["vec_id"]:
             assert (vid, vid + 10_000) in got
+
+
+class TestIVF:
+    def test_self_match_and_recall(self, ray_session, sf_small):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from geomesa_ray.stages.similarity import ann_topk, ivf_topk
+
+        ds = rd.read_parquet(f"{sf_small}/embeddings.parquet")
+        table = pq.read_table(f"{sf_small}/embeddings.parquet")
+        m = np.stack(table.column("embedding").to_pandas().to_numpy())
+        queries = m[:5]
+        qids = [f"q{i}" for i in range(5)]
+        ivf = ivf_topk(ds, queries, qids, k=10, n_lists=16, nprobe=4).to_pandas()
+        brute = ann_topk(ds, queries, qids, k=10).to_pandas()
+        # each query's own vector is in a probed list -> top-1 is itself
+        for i, qid in enumerate(qids):
+            top = ivf[ivf["query_id"] == qid].sort_values("cosine", ascending=False)
+            assert int(top["neighbor_id"].iloc[0]) == int(table.column("vec_id")[i].as_py())
+        # recall@10 vs brute force is reasonable for nprobe=4/16
+        recalls = []
+        for qid in qids:
+            b = set(brute[brute["query_id"] == qid]["neighbor_id"].astype(int))
+            a = set(ivf[ivf["query_id"] == qid]["neighbor_id"].astype(int))
+            recalls.append(len(a & b) / len(b))
+        assert np.mean(recalls) >= 0.5
