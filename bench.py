@@ -135,12 +135,32 @@ def run_bench(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
     )
     timings["cell_assign"] = time.time() - t0
 
-    # 3. partitioned (shuffled) join with salting
+    # 3. partitioned (shuffled) join with salting — once with the same small
+    # AOI set as the broadcast headline (apples-to-apples), once with a
+    # generated 2,000-polygon side (the regime the chooser actually routes
+    # to the partitioned path)
     t0 = time.time()
     pts2 = extracted().filter(expr="has_geom")
     pj = partitioned_pip_join(pts2, POLYGONS, partition_level=6, n_salts=4, keep_cols=[])
     pj_matches = pj.count()
     timings["pip_join_partitioned"] = time.time() - t0
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    big_set = {}
+    for k in range(2000):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        w, h = rng.uniform(0.2, 1.5), rng.uniform(0.2, 1.5)
+        big_set[f"g{k}"] = (
+            f"POLYGON (({cx-w} {cy-h}, {cx+w} {cy-h}, {cx+w} {cy+h}, {cx-w} {cy+h}, {cx-w} {cy-h}))"
+        )
+    t0 = time.time()
+    pj2k = partitioned_pip_join(
+        extracted().filter(expr="has_geom"), big_set, partition_level=6, n_salts=4, keep_cols=[]
+    )
+    pj2k_matches = pj2k.count()
+    timings["pip_join_partitioned_2k"] = time.time() - t0
 
     # 4. kNN probe set
     import pandas as pd
@@ -166,6 +186,7 @@ def run_bench(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
         "docs_per_sec": round(n_docs / headline, 1),
         "join_matches": int(n_matches),
         "partitioned_matches": int(pj_matches),
+        "partitioned_2k_matches": int(pj2k_matches),
         "tiles": int(tiles),
         "sf": sf_dir,
         "num_cpus": num_cpus,

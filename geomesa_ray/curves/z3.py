@@ -91,4 +91,72 @@ class Z3SFC:
         )
 
 
+    # ------------------------------------------------------------------
+    # Range planning: BFS over the implicit oct-tree (the sfcurve
+    # Z3.zranges analog used by Z3SFC.ranges, Z3SFC.scala:55-62) — a cell
+    # fully inside the normalized query box contributes its whole z
+    # interval; partial overlaps recurse to ``max_recurse`` levels.
+    # ------------------------------------------------------------------
+
+    def bbox_ranges(
+        self,
+        xmin: float,
+        ymin: float,
+        xmax: float,
+        ymax: float,
+        t0: float,
+        t1: float,
+        max_recurse: int = 7,
+    ) -> list[tuple[int, int]]:
+        """Covering of (lon, lat, offset) box as sorted inclusive [zlo, zhi]
+        ranges over full-precision z3 values (t in bin-offset units)."""
+        qx = (int(self.lon.normalize(max(xmin, self.lon.min))[()]),
+              int(self.lon.normalize(min(xmax, self.lon.max))[()]))
+        qy = (int(self.lat.normalize(max(ymin, self.lat.min))[()]),
+              int(self.lat.normalize(min(ymax, self.lat.max))[()]))
+        qt = (int(self.time.normalize(max(t0, self.time.min))[()]),
+              int(self.time.normalize(min(t1, self.time.max))[()]))
+        p = self.precision
+        ranges: list[tuple[int, int]] = []
+        stack = [(0, 0, 0, 0)]  # (level, cx, cy, ct)
+        while stack:
+            level, cx, cy, ct = stack.pop()
+            shift = p - level
+            bounds = []
+            ok = True
+            contained = True
+            for (c, (qlo, qhi)) in ((cx, qx), (cy, qy), (ct, qt)):
+                lo, hi = c << shift, ((c + 1) << shift) - 1
+                if hi < qlo or lo > qhi:
+                    ok = False
+                    break
+                if lo < qlo or hi > qhi:
+                    contained = False
+                bounds.append((lo, hi))
+            if not ok:
+                continue
+            if contained or level >= max_recurse:
+                (xlo, xhi), (ylo, yhi), (tlo, thi) = bounds
+                zlo = int((split3(np.array([xlo], dtype=np.uint64))
+                           | (split3(np.array([ylo], dtype=np.uint64)) << np.uint64(1))
+                           | (split3(np.array([tlo], dtype=np.uint64)) << np.uint64(2)))[0])
+                zhi = int((split3(np.array([xhi], dtype=np.uint64))
+                           | (split3(np.array([yhi], dtype=np.uint64)) << np.uint64(1))
+                           | (split3(np.array([thi], dtype=np.uint64)) << np.uint64(2)))[0])
+                ranges.append((zlo, zhi))
+            else:
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        for dt in (0, 1):
+                            stack.append((level + 1, (cx << 1) | dx, (cy << 1) | dy, (ct << 1) | dt))
+        ranges.sort()
+        merged: list[tuple[int, int]] = []
+        for lo, hi in ranges:
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        return merged
+
+
 Z3 = Z3SFC("week", 21)

@@ -201,3 +201,24 @@ class TestXZ2:
         v = xz.index(np.array([1.0, 2.0]), np.array([1.0, 2.0]), np.array([1.5, 2.5]), np.array([1.5, 2.5]))
         a = xz.index(1.0, 1.0, 1.5, 1.5)
         assert v[0] == np.atleast_1d(a)[0]
+
+
+class TestZ3Ranges:
+    def test_cover_points_exclude_far(self):
+        z3 = Z3SFC("week", 21)
+        rng = np.random.default_rng(23)
+        x = rng.uniform(-20, 20, 400)
+        y = rng.uniform(-10, 10, 400)
+        t = rng.integers(100_000, 200_000, 400)
+        zs = z3.index(x, y, t)
+        ranges = z3.bbox_ranges(-20, -10, 20, 10, 100_000, 200_000)
+        covered = np.zeros(len(zs), dtype=bool)
+        for lo, hi in ranges:
+            covered |= (zs >= lo) & (zs <= hi)
+        assert covered.all()
+        # spatially near but temporally far point excluded
+        far = z3.index(np.array([0.0]), np.array([0.0]), np.array([500_000]))[0]
+        assert not any(lo <= far <= hi for lo, hi in ranges)
+        # spatially far point excluded
+        far2 = z3.index(np.array([150.0]), np.array([80.0]), np.array([150_000]))[0]
+        assert not any(lo <= far2 <= hi for lo, hi in ranges)
