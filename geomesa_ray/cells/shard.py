@@ -49,6 +49,21 @@ def fnv1a_str(values) -> np.ndarray:
     return h.reshape(arr.shape)
 
 
+def mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain mixer): FNV alone has weak
+    avalanche on sequential keys, which skews sketch/LSH distributions."""
+    z = np.asarray(h).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash64_str(values) -> np.ndarray:
+    """Well-mixed deterministic 64-bit hash of a string array — the shared
+    content-hash primitive (dedup, fingerprints, media features, id hashing)."""
+    return mix64(fnv1a_str(np.asarray(values, dtype=object)))
+
+
 def shard_of(doc_ids, n_shards: int) -> np.ndarray:
     """doc id (int64 or string array) -> shard in [0, n_shards) (int16)."""
     if n_shards <= 1:

@@ -336,10 +336,9 @@ def f_md5(v):
 
 def f_hash64(v):
     """murmur3_64 analog: deterministic 64-bit content hash."""
-    from geomesa_ray.stages.stats import _mix64
+    from geomesa_ray.cells.shard import hash64_str
 
-    arr = np.asarray(v, dtype=object)
-    return _mix64(fnv1a_str(arr)).astype(np.int64)
+    return hash64_str(v).astype(np.int64)
 
 def f_uuid_from(v):
     """Deterministic UUIDv5-style id from content (uuidZ3 analog: stable

@@ -4,8 +4,9 @@ The reference parses geometries via JTS WKTReader inside its converter
 functions (reference geomesa-convert/.../transforms/GeometryFunctionFactory.scala).
 Here:
 
-- ``parse_points_wkt``: the HOT path — vectorized regex extraction of
-  ``POINT (x y)`` strings via pandas ``str.extract`` (no Python row loop).
+- ``parse_points_wkt``: the HOT path — anchored, case-insensitive regex
+  extraction of ``POINT (x y)`` strings via Arrow's C++ ``extract_regex``
+  (pandas fallback for non-Arrow inputs; no Python row loop).
 - ``parse_wkt``: driver-side general parser for POINT / LINESTRING /
   POLYGON / MULTIPOLYGON (query geometries are few; plain Python is fine).
 """

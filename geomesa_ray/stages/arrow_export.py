@@ -33,12 +33,14 @@ def arrow_export(
     """Write the Dataset to one Arrow IPC (Feather v2 / stream) file."""
     dict_cols = dict_cols or []
     dictionaries: dict[str, pa.Array] = {}
+    value_maps: dict[str, dict] = {}
     if dict_cols:
         spec = ";".join(f"topk({c},k={dict_top},capacity={max(4 * dict_top, 4096)})" for c in dict_cols)
         stats = stats_scan(ds, spec)
         for c, st in zip(dict_cols, stats):
             values = [k for k, _ in st.result()]
             dictionaries[c] = pa.array(values, type=pa.string())
+            value_maps[c] = {v: i for i, v in enumerate(values)}
 
     if sort_by:
         ds = ds.sort(sort_by)
@@ -54,12 +56,9 @@ def arrow_export(
                     if isinstance(col, pa.ChunkedArray):
                         col = col.combine_chunks()
                     if name in dictionaries:
-                        d = dictionaries[name]
-                        idx = pd.Series(col.to_pandas()).map(
-                            {v: i for i, v in enumerate(d.to_pylist())}
-                        )
+                        idx = pd.Series(col.to_pandas()).map(value_maps[name])
                         indices = pa.array(idx.astype("Int32"), type=pa.int32())
-                        col = pa.DictionaryArray.from_arrays(indices, d)
+                        col = pa.DictionaryArray.from_arrays(indices, dictionaries[name])
                     arrays.append(col)
                     fields.append(pa.field(name, arrays[-1].type))
                 batch = pa.table(arrays, schema=pa.schema(fields))

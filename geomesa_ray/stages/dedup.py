@@ -32,7 +32,9 @@ _MERSENNE = (1 << 61) - 1
 
 
 def content_hash(values) -> np.ndarray:
-    return _mix64(fnv1a_str(np.asarray(values, dtype=object)))
+    from geomesa_ray.cells.shard import hash64_str
+
+    return hash64_str(values)
 
 
 def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id"):

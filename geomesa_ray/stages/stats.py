@@ -31,13 +31,7 @@ import pyarrow as pa
 from geomesa_ray.cells.shard import fnv1a_str, fnv1a_u64
 
 
-def _mix64(h: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (public domain mixer): FNV alone has weak
-    avalanche on sequential keys, which skews HLL rank distributions."""
-    z = h.astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+from geomesa_ray.cells.shard import mix64 as _mix64  # shared mixer (re-export for callers)
 
 
 def _hash_values(values: np.ndarray) -> np.ndarray:

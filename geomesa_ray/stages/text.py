@@ -90,7 +90,9 @@ def fingerprint(ds, text_col: str = "text", normalize: bool = True):
         s = pd.Series(batch.column(text_col).to_numpy(zero_copy_only=False)).astype("string").fillna("")
         if normalize:
             s = s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
-        h = _mix64(fnv1a_str(s.to_numpy(dtype=object)))
+        from geomesa_ray.cells.shard import hash64_str
+
+        h = hash64_str(s.to_numpy(dtype=object))
         return batch.append_column("fingerprint", pa.array(h.astype(np.int64)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
