@@ -436,6 +436,151 @@ def oracle_sample_mod() -> str:
     return "SELECT event_id, event_type FROM events WHERE event_id % 10 = 0"
 
 
+def q_union_views(sf_dir: str):
+    """Merged-store union (MergedDataStoreView analog): high-value purchases
+    union error events."""
+
+    def purchases(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((et == "purchase") & (v > 100.0))).select(["event_id", "event_type"])
+
+    def errors(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(et == "error")).select(["event_id", "event_type"])
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return ev.map_batches(purchases, batch_format="pyarrow").union(
+        ev.map_batches(errors, batch_format="pyarrow")
+    )
+
+
+def oracle_union_views() -> str:
+    return """
+    SELECT event_id, event_type FROM events WHERE event_type = 'purchase' AND value > 100.0
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE event_type = 'error'
+    """
+
+
+def q_sort_limit(sf_dir: str):
+    """Global top-20 events by value (client-side sort + limit,
+    QueryPlanner.scala:68-84), deterministic tie-break on event_id."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "value_cents": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"]).map_batches(prep, batch_format="pyarrow")
+    return ds.sort(["value_cents", "event_id"], descending=[True, False]).limit(20)
+
+
+def oracle_sort_limit() -> str:
+    return """
+    SELECT event_id, CAST(round(value*100) AS BIGINT) AS value_cents
+    FROM events ORDER BY value_cents DESC, event_id ASC LIMIT 20
+    """
+
+
+def q_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT) per day — two-level aggregation (dedup inside the
+    group, count outside)."""
+    from geomesa_ray.curves.binnedtime import BinnedTime
+    from geomesa_ray.util import ts_to_millis
+
+    def add_day(t: pa.Table) -> pa.Table:
+        bins, _ = BinnedTime.to_binned_time(ts_to_millis(t.column("ts")), "day")
+        return pa.table({
+            "day_bin": pa.array(bins.astype(np.int64)),
+            "user_id": t.column("user_id"),
+        })
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"]).map_batches(add_day, batch_format="pyarrow")
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day_bin": [g["day_bin"].iloc[0]],
+                             "n_users": [g["user_id"].nunique()]})
+
+    return ds.groupby("day_bin").map_groups(nunique, batch_format="pandas").map_batches(
+        lambda t: pa.table({"day_bin": t.column("day_bin").cast(pa.int64()),
+                            "n_users": t.column("n_users").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def oracle_distinct_users() -> str:
+    return """
+    SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day_bin,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """
+
+
+def q_anti_join(sf_dir: str):
+    """Anti join via broadcast key set: customers with no order above
+    $300k (a plain no-orders anti join is empty on this data — every
+    customer has orders)."""
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    mask = pc.greater(t.column("o_totalprice"), 300000.0)
+    keys = set(t.filter(mask).column("o_custkey").to_pylist())
+    kref = ray.put(keys)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ids = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        mask = ~pd.Series(ids).isin(ks).to_numpy()
+        return t.filter(pa.array(mask)).select(["c_custkey", "c_name"])
+
+    return _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        filt, batch_format="pyarrow"
+    )
+
+
+def oracle_anti_join() -> str:
+    return """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+    """
+
+
+def q_window_rank(sf_dir: str):
+    """Per-user top-2 events by value (windowed rank), deterministic
+    tie-break on event_id."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "value_cents": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value_cents", "event_id"], ascending=[False, True]).head(2)
+
+    return ds.groupby("user_id").map_groups(top2, batch_format="pandas")
+
+
+def oracle_window_rank() -> str:
+    return """
+    SELECT user_id, event_id, value_cents FROM (
+      SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS value_cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    """
+
+
 # ------------------------------------------------------------ training-data
 
 
@@ -1013,6 +1158,11 @@ QUERIES = {
     "minmax_stats": q_minmax_stats,
     "equijoin_parts": q_equijoin_parts,
     "sample_mod": q_sample_mod,
+    "union_views": q_union_views,
+    "sort_limit": q_sort_limit,
+    "distinct_users": q_distinct_users,
+    "anti_join": q_anti_join,
+    "window_rank": q_window_rank,
     "exact_dedup_docs": q_exact_dedup_docs,
     "norm_dedup_docs": q_norm_dedup_docs,
     "token_counts": q_token_counts,
@@ -1057,6 +1207,11 @@ ORACLES = {
     "minmax_stats": oracle_minmax_stats(),
     "equijoin_parts": oracle_equijoin_parts(),
     "sample_mod": oracle_sample_mod(),
+    "union_views": oracle_union_views(),
+    "sort_limit": oracle_sort_limit(),
+    "distinct_users": oracle_distinct_users(),
+    "anti_join": oracle_anti_join(),
+    "window_rank": oracle_window_rank(),
     "exact_dedup_docs": oracle_exact_dedup_docs(),
     "norm_dedup_docs": oracle_norm_dedup_docs(),
     "token_counts": oracle_token_counts(),
