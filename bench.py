@@ -25,8 +25,11 @@ import time
 
 def _corpus_docs_for(sf_dir: str) -> int:
     # corpus scale keyed to the TPC-ish sf dir used for relational queries.
-    # sf0.1 is sized so per-stage work dominates fixed scheduling overheads
-    # at 32 CPUs (a too-small corpus understates scaling efficiency).
+    # GRAFT_DOCS overrides; the scaling mode passes a larger corpus so
+    # per-stage work dominates fixed scheduling overheads (a too-small
+    # corpus understates scaling efficiency).
+    if os.environ.get("GRAFT_DOCS"):
+        return int(os.environ["GRAFT_DOCS"])
     if "0.001" in sf_dir:
         return 20_000
     if "0.01" in sf_dir:
@@ -236,6 +239,8 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8) -> dict:
         # runs on IO threads OUTSIDE Ray's num_cpus accounting, which inflates
         # the small-config baseline and understates measured scaling
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_DOCS=os.environ.get("GRAFT_SCALE_DOCS", "24000000"),
+                   GRAFT_SHARDS=os.environ.get("GRAFT_SHARDS", "128"),
                    ARROW_IO_THREADS=str(max(1, ncpu // 2)),
                    OMP_NUM_THREADS="1")
         out = subprocess.run(

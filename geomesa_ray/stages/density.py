@@ -44,25 +44,26 @@ class DensityPartial:
         self.weight_col = weight_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """batch -> ONE row holding the dense W*H float64 grid as binary
+        (a mergeable sketch, like the stats partials) — merging dense grids
+        needs no row sort, unlike (tile_i, tile_j, weight) row partials
+        whose groupby dominated low-CPU runs."""
         lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
         lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
         i = self.snap.i(lon)
         j = self.snap.j(lat)
         ok = (i >= 0) & (j >= 0) & ~(np.isnan(lon) | np.isnan(lat))
         flat = i[ok] * self.snap.height + j[ok]
+        grid = np.zeros(self.snap.width * self.snap.height, dtype=np.float64)
         if self.weight_col:
             w = batch.column(self.weight_col).to_numpy(zero_copy_only=False)[ok]
-            sums = np.bincount(flat, weights=w)
+            np.add.at(grid, flat, w)
         else:
-            sums = np.bincount(flat)
-        occupied = np.nonzero(sums)[0]
-        return pa.table(
-            {
-                "tile_i": pa.array((occupied // self.snap.height).astype(np.int32)),
-                "tile_j": pa.array((occupied % self.snap.height).astype(np.int32)),
-                "weight": pa.array(sums[occupied].astype(np.float64)),
-            }
-        )
+            np.add.at(grid, flat, 1.0)
+        return pa.table({
+            "part": pa.array(np.zeros(1, dtype=np.int32)),
+            "grid": pa.array([grid.tobytes()], type=pa.binary()),
+        })
 
 
 def density_grid(
@@ -76,57 +77,51 @@ def density_grid(
     lon_col: str = "lon",
     lat_col: str = "lat",
     weight_col: str | None = None,
-    mode: str = "auto",
+    mode: str = "auto",  # retained for API compat; all modes shuffle-merge
 ):
     """Dataset of points -> Dataset[(tile_i, tile_j, weight)] — final merge of
     per-batch partials. Adds ``x``/``y`` tile-center columns like
     DensityScan's decode.
 
-    Merge modes: the partial stage bounds each batch's output at W x H rows,
-    so when the grid is small the final combine is a driver-side dense-array
-    sum over streamed partials (the reference's client reducer,
-    QueryPlanner.scala:61-66) — no shuffle at all. Grids too big for one
-    machine fall back to a distributed groupby. ``auto`` switches at 2^20
-    tiles."""
-    from ray.data.aggregate import Sum
-
-    partial = ds.map_batches(
-        DensityPartial,
-        fn_constructor_kwargs=dict(
-            xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax, width=width, height=height,
-            lon_col=lon_col, lat_col=lat_col, weight_col=weight_col,
-        ),
-        batch_format="pyarrow",
-        batch_size=100_000,  # geomesa.density.batch.size analog (DensityScan.scala:58)
-        concurrency=default_concurrency(),
+    The merge is ALWAYS the distributed groupby over the bounded partials
+    (<= W x H rows per input block). Two alternatives were tried and
+    removed after large-scale measurement: a driver-side iter_batches sum
+    throttles the whole streaming pipeline to driver-consumption speed
+    (48M docs: 185 s vs 21 s), and a coalescing-repartition tree reduce
+    makes the executor bundle the entire fused upstream into ONE task via
+    its (mis)estimated tiny output size (166 s in a single worker)."""
+    # STATELESS tasks, whole-block batches: the partial's output is bounded
+    # by W x H tiles regardless of input rows, and its state (a GridSnap) is
+    # trivial to build per task. An actor-pool version of this stage fused
+    # with the upstream read and collapsed the whole pipeline into a single
+    # actor task at large scale (observed: 48M docs -> ONE task, 25x slower);
+    # plain tasks keep task granularity = input blocks.
+    holder: dict = {}
+    kwargs = dict(
+        xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax, width=width, height=height,
+        lon_col=lon_col, lat_col=lat_col, weight_col=weight_col,
     )
+
+    def density_partial_fn(batch):
+        if "p" not in holder:
+            holder["p"] = DensityPartial(**kwargs)
+        return holder["p"](batch)
+
+    partial = ds.map_batches(density_partial_fn, batch_format="pyarrow")
     snap = GridSnap(xmin, ymin, xmax, ymax, width, height)
 
-    if mode == "driver" or (mode == "auto" and width * height <= (1 << 20)):
-        import ray.data as rd
-
-        grid = np.zeros(width * height, dtype=np.float64)
-        for b in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
-            flat = (
-                b.column("tile_i").to_numpy(zero_copy_only=False).astype(np.int64) * height
-                + b.column("tile_j").to_numpy(zero_copy_only=False)
-            )
-            np.add.at(grid, flat, b.column("weight").to_numpy(zero_copy_only=False))
-        occ = np.nonzero(grid)[0]
+    def merge_grids(g: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros(width * height, dtype=np.float64)
+        for blob in g["grid"]:
+            total += np.frombuffer(blob, dtype=np.float64)
+        occ = np.nonzero(total)[0]
         i = (occ // height).astype(np.int64)
         j = (occ % height).astype(np.int64)
-        table = pa.table({
-            "tile_i": pa.array(i), "tile_j": pa.array(j),
-            "weight": pa.array(grid[occ]),
-            "x": pa.array(snap.x(i)), "y": pa.array(snap.y(j)),
+        return pd.DataFrame({
+            "tile_i": i, "tile_j": j, "weight": total[occ],
+            "x": snap.x(i), "y": snap.y(j),
         })
-        return rd.from_arrow(table)
 
-    merged = partial.groupby(["tile_i", "tile_j"]).aggregate(Sum("weight", alias_name="weight"))
-
-    def add_centers(t: pa.Table) -> pa.Table:
-        i = t.column("tile_i").to_numpy(zero_copy_only=False)
-        j = t.column("tile_j").to_numpy(zero_copy_only=False)
-        return t.append_column("x", pa.array(snap.x(i))).append_column("y", pa.array(snap.y(j)))
-
-    return merged.map_batches(add_centers, batch_format="pyarrow")
+    # one group of <=O(blocks) grid rows (W*H*8 bytes each): the all-to-all
+    # moves megabytes of sketches instead of sorting millions of tile rows
+    return partial.groupby("part").map_groups(merge_grids, batch_format="pandas")

@@ -158,3 +158,30 @@ class TestMedia:
 
         with pytest.raises(NotImplementedError):
             MediaFeatureExtract(fake=False)
+
+
+class TestStageRegistry:
+    def test_config_driven_pipeline(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geomesa_ray.sources.synth import synthesize_corpus
+        from geomesa_ray.stages.registry import STAGES, apply, build_pipeline, register
+
+        corpus = synthesize_corpus(1000, seed=5, base=str(tmp_path), n_shards=2)
+        ds = rd.read_parquet(corpus)
+        out = build_pipeline(ds, [
+            ("extract_geometry", {}),
+            ("assign_cells", {"level": 10, "n_shards": 2}),
+        ])
+        df = out.to_pandas()
+        assert {"lon", "lat", "cell_id", "shard"} <= set(df.columns)
+
+        # user-registered custom stage
+        @register("keep_geo")
+        def _keep(ds_, **kw):
+            return ds_.filter(expr="has_geom")
+
+        n = apply(out, "keep_geo").count()
+        assert 0 < n < len(df)
+        with pytest.raises(KeyError, match="unknown stage"):
+            apply(ds, "nope")
