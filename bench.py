@@ -64,6 +64,13 @@ def run_bench(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray Data's default per-operator CPU reservation (50%) starves
+    # multi-operator fused pipelines at small num_cpus: the 48M-doc headline
+    # ran 99 s at 8 CPUs with reservation vs 26 s without (the root cause of
+    # earlier super-linear 8->32 comparisons). Disable it: this engine's
+    # pipelines are fused map chains + one small merge, which the streaming
+    # executor schedules fine without static reservations.
+    ctx.op_resource_reservation_enabled = False
 
     from geomesa_ray.sources.synth import synthesize_corpus
     from geomesa_ray.stages.assign import AssignCells
