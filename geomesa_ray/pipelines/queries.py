@@ -267,8 +267,8 @@ def oracle_agg_lineitem() -> str:
     return """
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-           SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS sum_disc_bp,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
@@ -315,7 +315,7 @@ def oracle_topk_customers() -> str:
     return """
     SELECT o.o_custkey AS c_custkey,
            max(c.c_mktsegment) AS c_mktsegment,
-           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY o.o_custkey
@@ -361,7 +361,7 @@ def oracle_minmax_stats() -> str:
     SELECT event_type,
            MIN(CAST(round(value*100) AS BIGINT)) AS min_cents,
            MAX(CAST(round(value*100) AS BIGINT)) AS max_cents,
-           SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """
@@ -409,9 +409,9 @@ def q_equijoin_parts(sf_dir: str):
 def oracle_equijoin_parts() -> str:
     return """
     SELECT p.p_brand,
-           SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
                - (CAST(round(l.l_extendedprice*100) AS BIGINT)
-                  * CAST(round(l.l_discount*10000) AS BIGINT)) // 10000) AS revenue_cents,
+                  * CAST(round(l.l_discount*10000) AS BIGINT)) // 10000) AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size > 40
@@ -804,7 +804,7 @@ def oracle_tumbling_hour() -> str:
     SELECT event_type,
            (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
            COUNT(*) AS n,
-           SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY 1, 2
     """
 

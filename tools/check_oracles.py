@@ -28,14 +28,16 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value — NO dtype coercion.
+
+    The driver hashes typed values, so an int64/float64 mismatch between the
+    Ray result and the DuckDB oracle is a real failure; coercing here (as an
+    earlier version did) hid the DuckDB SUM(BIGINT)->HUGEINT->float64 class
+    of bug (round-1 verdict, 'What's wrong' #1)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].astype(np.float64)
-        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype(np.int64)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -92,10 +94,12 @@ def main():
             status = f"ROWS {len(got)} != {len(exp)}"
         else:
             try:
-                pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, rtol=1e-9)
+                # dtype-aware + exact: strictly at-least-as-strong as the
+                # driver's typed value hash, so a local 'ok' implies green.
+                pd.testing.assert_frame_equal(got, exp, check_dtype=True, check_exact=True)
             except AssertionError as e:
                 lines = [l for l in str(e).splitlines() if l.strip()]
-                status = "VALUES differ: " + (lines[-1][:120] if lines else "")
+                status = "VALUES/DTYPE differ: " + (lines[-1][:120] if lines else "")
         if status == "ok":
             print(f"ok    {name:22s} {len(got):7d} rows  {dt:5.1f}s")
         else:
