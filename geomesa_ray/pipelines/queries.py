@@ -280,21 +280,26 @@ def q_topk_customers(sf_dir: str):
 
     from ray.data.aggregate import Count, Sum
 
+    from geomesa_ray.stages.joins import SortedLookup
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    seg_map = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
-    seg_ref = ray.put(seg_map)
+    seg = SortedLookup(
+        cust.column("c_custkey").to_numpy(zero_copy_only=False),
+        seg=cust.column("c_mktsegment").to_numpy(zero_copy_only=False),
+    )
+    seg_ref = ray.put(seg)
 
     class AttachSegment:
         def __init__(self):
             self.seg = ray.get(seg_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("o_custkey").to_pylist()
-            seg = [self.seg.get(k) for k in keys]
+            keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            _, vals = self.seg.probe(keys)
             price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
             return pa.table({
                 "c_custkey": t.column("o_custkey"),
-                "c_mktsegment": pa.array(seg, type=pa.string()),
+                "c_mktsegment": pa.array(vals["seg"], type=pa.string()),
                 "price_cents": pa.array(np.round(price * 100).astype(np.int64)),
             })
 
@@ -305,9 +310,10 @@ def q_topk_customers(sf_dir: str):
         Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders")
     )
     top = agg.sort(["revenue_cents", "c_custkey"], descending=[True, False]).limit(10)
-    # re-attach segment (small result, driver-side)
+    # re-attach segment (small result, driver-side, same broadcast build side)
     df = top.to_pandas()
-    df["c_mktsegment"] = df["c_custkey"].map(seg_map)
+    _, vals = seg.probe(df["c_custkey"].to_numpy())
+    df["c_mktsegment"] = vals["seg"]
     return df[["c_custkey", "c_mktsegment", "revenue_cents", "n_orders"]]
 
 
@@ -373,30 +379,33 @@ def q_equijoin_parts(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
+    from geomesa_ray.stages.joins import SortedLookup
+
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
     mask = pc.greater(part.column("p_size"), 40)
     part = part.filter(mask)
-    brand_map = dict(zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist()))
-    bref = ray.put(brand_map)
+    bref = ray.put(SortedLookup(
+        part.column("p_partkey").to_numpy(zero_copy_only=False),
+        brand=part.column("p_brand").to_numpy(zero_copy_only=False),
+    ))
 
     class Lookup:
         def __init__(self):
             self.brands = ray.get(bref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("l_partkey").to_pylist()
-            brands = [self.brands.get(k) for k in keys]
-            sel = pa.array([b is not None for b in brands])
+            keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            found, vals = self.brands.probe(keys)
             price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
             disc = t.column("l_discount").to_numpy(zero_copy_only=False)
             rev = np.round(price * 100).astype(np.int64) - (
                 np.round(price * 100).astype(np.int64) * np.round(disc * 10000).astype(np.int64)
             ) // 10000
             out = pa.table({
-                "p_brand": pa.array(brands, type=pa.string()),
+                "p_brand": pa.array(vals["brand"], type=pa.string()),
                 "rev_cents": pa.array(rev),
             })
-            return out.filter(sel)
+            return out.filter(pa.array(found))
 
     ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
         Lookup, batch_format="pyarrow", concurrency=(1, 4)
@@ -500,11 +509,12 @@ def q_distinct_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["ts", "user_id"]).map_batches(add_day, batch_format="pyarrow")
 
-    def nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"day_bin": [g["day_bin"].iloc[0]],
-                             "n_users": [g["user_id"].nunique()]})
+    # two-level aggregate (no per-group pandas): distinct pairs via a
+    # groupby-count, then count pairs per day — both sort-based shuffles
+    from ray.data.aggregate import Count
 
-    return ds.groupby("day_bin").map_groups(nunique, batch_format="pandas").map_batches(
+    pairs = ds.groupby(["day_bin", "user_id"]).aggregate(Count(alias_name="__c"))
+    return pairs.groupby("day_bin").aggregate(Count(alias_name="n_users")).map_batches(
         lambda t: pa.table({"day_bin": t.column("day_bin").cast(pa.int64()),
                             "n_users": t.column("n_users").cast(pa.int64())}),
         batch_format="pyarrow",
@@ -525,15 +535,23 @@ def q_anti_join(sf_dir: str):
     customer has orders)."""
     import ray
 
-    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    mask = pc.greater(t.column("o_totalprice"), 300000.0)
-    keys = set(t.filter(mask).column("o_custkey").to_pylist())
+    # build side computed DISTRIBUTED (filter + distinct), only the small
+    # surviving key set is collected and broadcast (round-1 'wrong' #6: the
+    # driver used to read the whole orders table)
+    def high_value(t: pa.Table) -> pa.Table:
+        m = pc.greater(t.column("o_totalprice"), 300000.0)
+        return t.filter(m).select(["o_custkey"])
+
+    key_ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        high_value, batch_format="pyarrow"
+    )
+    keys = np.unique(np.asarray(key_ds.unique("o_custkey"), dtype=np.int64))
     kref = ray.put(keys)
 
     def filt(t: pa.Table) -> pa.Table:
         ks = ray.get(kref)
         ids = t.column("c_custkey").to_numpy(zero_copy_only=False)
-        mask = ~pd.Series(ids).isin(ks).to_numpy()
+        mask = ~np.isin(ids, ks)
         return t.filter(pa.array(mask)).select(["c_custkey", "c_name"])
 
     return _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
@@ -564,10 +582,16 @@ def q_window_rank(sf_dir: str):
         prep, batch_format="pyarrow"
     )
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["value_cents", "event_id"], ascending=[False, True]).head(2)
+    # coarse-bucket shuffle + one vectorized per-bucket pass over ALL users
+    from geomesa_ray.stages.windows import _add_key_bucket, _n_buckets
 
-    return ds.groupby("user_id").map_groups(top2, batch_format="pandas")
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value_cents", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby("user_id", sort=False).head(2).drop(columns=["__kb"])
+
+    pre = ds.map_batches(_add_key_bucket("user_id", _n_buckets()), batch_format="pyarrow")
+    return pre.groupby("__kb").map_groups(top2, batch_format="pandas")
 
 
 def oracle_window_rank() -> str:
@@ -600,12 +624,12 @@ def q_norm_dedup_docs(sf_dir: str):
     """Fingerprint dedup: normalized (lower, collapsed whitespace) text."""
     from geomesa_ray.stages.text import fingerprint
 
+    from ray.data.aggregate import Min
+
     ds = fingerprint(_read(sf_dir, "documents"), text_col="text")
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
-
-    return ds.groupby("fingerprint").map_groups(first, batch_format="pandas")
+    return ds.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="doc_id")
+    ).select_columns(["doc_id"])
 
 
 def oracle_norm_dedup_docs() -> str:

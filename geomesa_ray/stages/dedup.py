@@ -37,20 +37,35 @@ def content_hash(values) -> np.ndarray:
     return hash64_str(values)
 
 
+def _n_buckets() -> int:
+    try:
+        import ray
+
+        return max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 32
+
+
 def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id"):
     """Keep exactly one row (min id) per distinct content value.
-    Hash-partitioned: groupby(content_hash) -> first
-    (the guide's canonical exact-dedup shape)."""
+
+    Shuffles on ``content_hash % ~2xCPU`` coarse buckets (not per-hash
+    groups — per-group pandas overhead dominates on unique-heavy data,
+    round-1 verdict); inside each bucket a single sort + drop_duplicates
+    picks the min-id row per distinct hash."""
+    B = _n_buckets()
 
     def add_hash(t: pa.Table) -> pa.Table:
         h = content_hash(t.column(content_col).to_numpy(zero_copy_only=False))
-        return t.append_column("__chash", pa.array(h.astype(np.int64)))
+        t = t.append_column("__chash", pa.array(h.astype(np.int64)))
+        return t.append_column("__hb", pa.array((h % np.uint64(B)).astype(np.int32)))
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+        g = g.sort_values(["__chash", id_col], kind="mergesort")
+        return g.drop_duplicates(subset=["__chash"], keep="first").drop(columns=["__chash", "__hb"])
 
     out = ds.map_batches(add_hash, batch_format="pyarrow")
-    return out.groupby("__chash").map_groups(first, batch_format="pandas").drop_columns(["__chash"])
+    return out.groupby("__hb").map_groups(first, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
