@@ -313,6 +313,46 @@ class DescriptiveStats(Stat):
         return {"count": self.n, "mean": self.mean, "variance": var, "stddev": float(np.sqrt(var))}
 
 
+class MomentsStat(Stat):
+    """Exact integer moments (n, sum, sum-of-squares) over an int column.
+
+    Unlike ``DescriptiveStats`` (Welford — merge-order-dependent in the last
+    float ulp), integer moments are EXACT and order-independent, so derived
+    mean/stddev are reproducible bit-for-bit against a SQL oracle. Callers
+    quantize (e.g. cents) before updating; int64 sumsq holds ~1e18, ample
+    for cents^2 x 1e9 rows."""
+
+    def __init__(self):
+        self.n = 0
+        self.sum = 0
+        self.sumsq = 0
+
+    def update(self, values):
+        v = np.asarray(values).astype(np.int64)
+        self.n += len(v)
+        self.sum += int(v.sum())
+        self.sumsq += int((v * v).sum())
+
+    def merge(self, other):
+        self.n += other.n
+        self.sum += other.sum
+        self.sumsq += other.sumsq
+        return self
+
+    def result(self):
+        """Derived floats use ONE fixed formula (mirror it in any oracle):
+        mean = sum/n; var = (sumsq - sum*sum/n) / (n-1), clamped at 0."""
+        if self.n == 0:
+            return {"n": 0, "sum": 0, "sumsq": 0, "mean": 0.0, "stddev": 0.0}
+        mean = float(self.sum) / self.n
+        if self.n > 1:
+            var = max((float(self.sumsq) - float(self.sum) * float(self.sum) / self.n) / (self.n - 1), 0.0)
+        else:
+            var = 0.0
+        return {"n": self.n, "sum": self.sum, "sumsq": self.sumsq,
+                "mean": mean, "stddev": float(np.sqrt(var))}
+
+
 class Z3HistogramStat(Stat):
     """Counts keyed by (time_bin, coarse z3 prefix) — the spatio-temporal
     density sketch (Z3Histogram.scala). Expects dict update with keys."""
@@ -352,6 +392,7 @@ STAT_FACTORIES = {
     "frequency": lambda **kw: Frequency(**kw),
     "histogram": lambda **kw: HistogramStat(**kw),
     "descriptive": lambda **kw: DescriptiveStats(),
+    "moments": lambda **kw: MomentsStat(),
 }
 
 

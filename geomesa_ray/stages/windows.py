@@ -130,13 +130,27 @@ def latest_per_key(ds, key_col: str, ts_col: str, tiebreak_col: str | None = Non
     return pre.groupby("__kb").map_groups(latest, batch_format="pandas")
 
 
-def track_lines(ds, key_col: str, ts_col: str, lon_col="lon", lat_col="lat", min_points: int = 2):
+def track_lines(ds, key_col: str, ts_col: str, lon_col="lon", lat_col="lat", min_points: int = 2,
+                tiebreak_col: str | None = None, precision: int | None = None):
     """Point2Point: per-key time-ordered LineString WKT + point count.
-    Coordinates use Python float repr (the engine's canonical WKT form)."""
+
+    ``precision=k`` formats coordinates with printf ``%.kf`` (reproducible
+    against SQL printf); default is Python float repr. ``tiebreak_col``
+    makes equal-timestamp point order deterministic."""
 
     def lines(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, ts_col], kind="mergesort")
-        coord = g[lon_col].astype(str) + " " + g[lat_col].astype(str)
+        sort_cols = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        g = g.sort_values(sort_cols, kind="mergesort")
+        if precision is not None:
+            fmt = f"%.{precision}f"
+            coord = pd.Series(
+                np.char.add(np.char.add(
+                    np.char.mod(fmt, g[lon_col].to_numpy(dtype=np.float64)), " "),
+                    np.char.mod(fmt, g[lat_col].to_numpy(dtype=np.float64))),
+                index=g.index,
+            )
+        else:
+            coord = g[lon_col].astype(str) + " " + g[lat_col].astype(str)
         agg = (
             pd.DataFrame({key_col: g[key_col].to_numpy(), "__coord": coord.to_numpy()})
             .groupby(key_col, sort=True)["__coord"]
