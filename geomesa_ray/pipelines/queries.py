@@ -136,6 +136,37 @@ def oracle_pip_join() -> str:
     """
 
 
+def q_antimeridian_bbox(sf_dir: str):
+    """Pacific-crossing bbox query: the QuerySpec splits the translated box
+    (150..210) at ±180 into two OR'd in-range boxes
+    (GeometryProcessing.scala:39-166 parity; round-1 'What's missing' #3)."""
+    from geomesa_ray.geo.predicates import points_in_bbox
+    from geomesa_ray.pipelines.query import QuerySpec
+
+    spec = QuerySpec(geometries=["POLYGON ((150 -30, 210 -30, 210 30, 150 30, 150 -30))"])
+    boxes = spec.bboxes()
+    assert len(boxes) == 2  # the split is the thing under test
+
+    def filt(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        m = np.zeros(t.num_rows, dtype=bool)
+        for (x0, y0, x1, y1) in boxes:
+            m |= points_in_bbox(lon, lat, x0, y0, x1, y1)
+        return t.filter(pa.array(m)).select(["event_id", "lon", "lat"])
+
+    return _geo_events(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+
+def oracle_antimeridian_bbox() -> str:
+    return f"""
+    WITH pts AS ({_DERIVE_SQL})
+    SELECT event_id, lon, lat FROM pts
+    WHERE ((lon >= 150.0 AND lon <= 180.0) OR (lon >= -180.0 AND lon <= -150.0))
+      AND lat >= -30.0 AND lat <= 30.0
+    """
+
+
 def q_density(sf_dir: str):
     """Density / heatmap tile aggregation (DensityScan)."""
     from geomesa_ray.stages.density import density_grid
@@ -1696,6 +1727,7 @@ def oracle_corpus_density() -> str:
 QUERIES = {
     "cell_counts": q_cell_counts,
     "bbox_filter": q_bbox_filter,
+    "antimeridian_bbox": q_antimeridian_bbox,
     "pip_join": q_pip_join,
     "density": q_density,
     "knn": q_knn,
@@ -1746,6 +1778,7 @@ QUERIES = {
 ORACLES = {
     "cell_counts": oracle_cell_counts(),
     "bbox_filter": oracle_bbox_filter(),
+    "antimeridian_bbox": oracle_antimeridian_bbox(),
     "pip_join": oracle_pip_join(),
     "density": oracle_density(),
     "knn": oracle_knn(),

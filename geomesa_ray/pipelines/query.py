@@ -63,7 +63,16 @@ class QuerySpec:
         return True
 
     def bboxes(self) -> list[tuple]:
-        return [p.bbox() for p in self.parsed_geoms()]
+        """Query bboxes, with antimeridian-crossing boxes split into their
+        two in-range pieces (GeometryProcessing.scala:39-166 — see
+        geo/antimeridian.py). A crossing geometry thus contributes TWO OR'd
+        bboxes to range planning and the coarse filter."""
+        from geomesa_ray.geo.antimeridian import split_bbox
+
+        out: list[tuple] = []
+        for p in self.parsed_geoms():
+            out.extend(split_bbox(*p.bbox()))
+        return out
 
 
 def plan_cells(spec: QuerySpec, level: int, max_cells: int = RANGE_TARGET):
@@ -137,6 +146,13 @@ def query_indexed(
             if exact:
                 for g in geoms:
                     m |= g.contains(lon, lat)
+                    # translated antimeridian-crossing polygon: also test the
+                    # wrapped copy (GeometryProcessing split semantics)
+                    gx0, _, gx1, _ = g.bbox()
+                    if gx1 > 180.0:
+                        m |= g.contains(lon + 360.0, lat)
+                    if gx0 < -180.0:
+                        m |= g.contains(lon - 360.0, lat)
             else:
                 for (xmin, ymin, xmax, ymax) in bboxes:
                     m |= points_in_bbox(lon, lat, xmin, ymin, xmax, ymax)

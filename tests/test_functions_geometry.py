@@ -1,0 +1,106 @@
+"""Unit tests for the round-2 geometry function widening (accessors,
+constructors, convex relations — SpatialRelationFunctions parity)."""
+
+import numpy as np
+import pytest
+
+from geomesa_ray.functions.registry import FUNCTIONS, call
+
+SQ = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"       # 4x4 square
+SQ_SHIFT = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"  # overlapping square
+SQ_FAR = "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"
+SQ_TOUCH = "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))"  # shares the x=4 edge
+SQ_INNER = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"  # inside SQ
+MP = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+
+
+def test_registry_size_meets_reference_bar():
+    assert len(FUNCTIONS) >= 60
+
+
+def test_st_translate_point_and_polygon():
+    out = call("st_translate", np.array(["POINT (1 2)"], dtype=object), 0.5, -0.5)
+    assert out[0] == "POINT (1.5 1.5)"
+    poly = call("st_translate", np.array([SQ], dtype=object), 1, 1)[0]
+    assert "1.0 1.0" in poly or "1 1" in poly
+
+
+def test_st_area_square_and_hole():
+    assert call("st_area", np.array([SQ], dtype=object))[0] == pytest.approx(16.0)
+    holed = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    assert call("st_area", np.array([holed], dtype=object))[0] == pytest.approx(15.0)
+    assert call("st_area", np.array([MP], dtype=object))[0] == pytest.approx(2.0)
+
+
+def test_st_length_and_perimeter():
+    line = "LINESTRING (0 0, 3 4, 3 10)"
+    assert call("st_length", np.array([line], dtype=object))[0] == pytest.approx(11.0)
+    assert call("st_perimeter", np.array([SQ], dtype=object))[0] == pytest.approx(16.0)
+
+
+def test_st_is_empty():
+    out = call("st_isEmpty", np.array(["POINT EMPTY", SQ, ""], dtype=object))
+    assert out.tolist() == [True, False, True]
+
+
+def test_st_num_geometries_and_geometry_n():
+    assert call("st_numGeometries", np.array([MP, SQ], dtype=object)).tolist() == [2, 1]
+    g2 = call("st_geometryN", np.array([MP], dtype=object), 2)[0]
+    assert "5" in g2 and g2.startswith("POLYGON")
+
+
+def test_st_exterior_ring():
+    out = call("st_exteriorRing", np.array([SQ], dtype=object))[0]
+    assert out.startswith("LINESTRING") and "4.0 4.0" in out
+
+
+def test_st_make_line_polygon_bbox():
+    line = call("st_makeLine", [0, 1, 2], [0, 1, 0])
+    assert line == "LINESTRING (0.0 0.0, 1.0 1.0, 2.0 0.0)"
+    poly = call("st_makePolygon", [0, 4, 4, 0], [0, 0, 4, 4])
+    assert poly.startswith("POLYGON ((") and poly.count(",") == 4  # auto-closed
+    bbox = call("st_makeBBOX", 0, 0, 2, 3)[0]
+    assert bbox == "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 3.0, 0.0 3.0, 0.0 0.0))"
+
+
+def test_st_convex_hull():
+    lon = np.array([0.0, 4.0, 4.0, 0.0, 2.0])  # interior point must vanish
+    lat = np.array([0.0, 0.0, 4.0, 4.0, 2.0])
+    hull = call("st_convexHull", lon, lat)
+    assert hull.startswith("POLYGON") and "2.0 2.0" not in hull
+    assert call("st_convexHull", [1.0], [2.0]) == "POINT (1.0 2.0)"
+
+
+def test_convex_relations():
+    a = np.array([SQ], dtype=object)
+    assert call("st_intersectsPoly", a, np.array([SQ_SHIFT], dtype=object))[0]
+    assert call("st_disjoint", a, np.array([SQ_FAR], dtype=object))[0]
+    assert call("st_touches", a, np.array([SQ_TOUCH], dtype=object))[0]
+    assert not call("st_touches", a, np.array([SQ_SHIFT], dtype=object))[0]
+    assert call("st_overlaps", a, np.array([SQ_SHIFT], dtype=object))[0]
+    # containment is intersecting but NOT overlapping
+    assert not call("st_overlaps", a, np.array([SQ_INNER], dtype=object))[0]
+    assert call("st_equals", a, np.array([SQ], dtype=object))[0]
+    assert not call("st_equals", a, np.array([SQ_SHIFT], dtype=object))[0]
+
+
+def test_st_crosses_line_polygon():
+    crossing = np.array(["LINESTRING (-1 2, 5 2)"], dtype=object)
+    inside = np.array(["LINESTRING (1 1, 2 2)"], dtype=object)
+    assert call("st_crosses", crossing, np.array([SQ], dtype=object))[0]
+    assert not call("st_crosses", inside, np.array([SQ], dtype=object))[0]
+
+
+def test_wkb_roundtrip():
+    pts = np.array(["POINT (2.5 -3.25)"], dtype=object)
+    hexes = call("st_asBinary", pts)
+    assert hexes[0].startswith("0101000000")
+    back = call("st_geomFromWKB", hexes)
+    assert back[0] == "POINT (2.5 -3.25)"
+
+
+def test_point_from_text_and_antimeridian():
+    out = call("st_pointFromText", np.array(["POINT (1 2)", "nope"], dtype=object))
+    assert out[0] == "POINT (1.0 2.0)" and out[1] is None
+    boxes = call("antimeridianSafeBBox", 170, -10, 190, 10)
+    assert len(boxes) == 2 and boxes[0][2] == 180.0

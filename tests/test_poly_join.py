@@ -86,3 +86,35 @@ class TestScaleShapeGates:
         assert "self.seg.probe" in text or "SortedLookup" in text
         for needle in ("self.seg.get(", "self.brands.get("):
             assert needle not in text
+
+
+class TestAntimeridian:
+    def test_split_conventions(self):
+        from geomesa_ray.geo.antimeridian import split_bbox
+
+        assert split_bbox(150, -30, 210, 30) == [(150, -30, 180.0, 30), (-180.0, -30, -150.0, 30)]
+        assert split_bbox(170, -10, -170, 10) == [(170, -10, 180.0, 10), (-180.0, -10, -170, 10)]
+        assert split_bbox(-190, -10, -170, 10) == [(170.0, -10, 180.0, 10), (-180.0, -10, -170, 10)]
+        assert split_bbox(-10, -10, 10, 10) == [(-10, -10, 10, 10)]
+
+    def test_queryspec_splits_crossing_box(self):
+        from geomesa_ray.pipelines.query import QuerySpec
+
+        spec = QuerySpec(geometries=["POLYGON ((150 -30, 210 -30, 210 30, 150 30, 150 -30))"])
+        boxes = spec.bboxes()
+        assert len(boxes) == 2
+        assert boxes[0][2] == 180.0 and boxes[1][0] == -180.0
+
+    def test_plan_cells_covers_both_sides(self):
+        import numpy as np
+
+        from geomesa_ray.cells.zcell import ZCellGrid
+        from geomesa_ray.pipelines.query import QuerySpec, plan_cells
+
+        spec = QuerySpec(geometries=["POLYGON ((170 -10, 190 -10, 190 10, 170 10, 170 -10))"])
+        cells = plan_cells(spec, level=6)
+        assert cells is not None
+        grid = ZCellGrid(6)
+        east = grid.cell_of_points(np.array([175.0]), np.array([0.0]))[0]
+        west = grid.cell_of_points(np.array([-175.0]), np.array([0.0]))[0]
+        assert east in cells and west in cells
