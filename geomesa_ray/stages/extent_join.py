@@ -156,7 +156,7 @@ def extent_join(
 
         l = t.column("left_id").to_numpy(zero_copy_only=False).astype(object)
         r = t.column("right_id").to_numpy(zero_copy_only=False).astype(object)
-        h = (fnv1a_str(l) * np.uint64(31) + fnv1a_str(r)) % np.uint64(256)
+        h = (fnv1a_str(l) * np.uint64(31) + fnv1a_str(r)) % np.uint64(max(1024, 32 * n_buckets))
         return t.append_column("pk", pa.array(h.astype(np.int32)))
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
@@ -292,7 +292,7 @@ def polygon_join(
 
         lv = t.column("left_id").to_numpy(zero_copy_only=False).astype(object)
         rv = t.column("right_id").to_numpy(zero_copy_only=False).astype(object)
-        h = (fnv1a_str(lv) * np.uint64(31) + fnv1a_str(rv)) % np.uint64(256)
+        h = (fnv1a_str(lv) * np.uint64(31) + fnv1a_str(rv)) % np.uint64(max(1024, 32 * n_buckets))
         return t.append_column("pk", pa.array(h.astype(np.int32)))
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
