@@ -167,6 +167,33 @@ def oracle_antimeridian_bbox() -> str:
     """
 
 
+def q_ecql_filter(sf_dir: str):
+    """ECQL text front-end end-to-end: parse -> vectorized mask over the
+    stream (the GeoTools ECQL.toFilter + LocalQueryRunner path, round-1
+    'What's missing' #4)."""
+    from geomesa_ray.pipelines.ecql import compile_ecql
+
+    f = compile_ecql(
+        "event_type IN ('purchase', 'view') AND value BETWEEN 50 AND 350 "
+        "AND BBOX(geom, -120, -60, 120, 60)"
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(f.mask(t))).select(["event_id"])
+
+    return _geo_events(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+
+def oracle_ecql_filter() -> str:
+    return f"""
+    WITH pts AS ({_DERIVE_SQL})
+    SELECT event_id FROM pts
+    WHERE event_type IN ('purchase', 'view')
+      AND value >= 50 AND value <= 350
+      AND lon >= -120.0 AND lon <= 120.0 AND lat >= -60.0 AND lat <= 60.0
+    """
+
+
 def q_density(sf_dir: str):
     """Density / heatmap tile aggregation (DensityScan)."""
     from geomesa_ray.stages.density import density_grid
@@ -1728,6 +1755,7 @@ QUERIES = {
     "cell_counts": q_cell_counts,
     "bbox_filter": q_bbox_filter,
     "antimeridian_bbox": q_antimeridian_bbox,
+    "ecql_filter": q_ecql_filter,
     "pip_join": q_pip_join,
     "density": q_density,
     "knn": q_knn,
@@ -1779,6 +1807,7 @@ ORACLES = {
     "cell_counts": oracle_cell_counts(),
     "bbox_filter": oracle_bbox_filter(),
     "antimeridian_bbox": oracle_antimeridian_bbox(),
+    "ecql_filter": oracle_ecql_filter(),
     "pip_join": oracle_pip_join(),
     "density": oracle_density(),
     "knn": oracle_knn(),

@@ -1,0 +1,96 @@
+"""ECQL front-end: parse, vectorized evaluation, pushdown extraction."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.pipelines.ecql import compile_ecql, query_spec_from_ecql
+
+T = pa.table({
+    "event_type": ["purchase", "view", "error", "purchase", None],
+    "value": [120.0, 10.0, 55.0, 80.0, 200.0],
+    "user_id": [1, 2, 3, 4, 5],
+    "name": ["alpha", "beta", "alice", "bob", "axolotl"],
+    "lon": [10.0, 100.0, -170.0, 175.0, 0.0],
+    "lat": [10.0, 40.0, 5.0, -5.0, 0.0],
+    "ts": pa.array([1704067200000, 1704672000000, 1705276800000,
+                    1705881600000, 1706486400000], type=pa.int64()),  # epoch ms
+})
+
+
+def m(expr):
+    return compile_ecql(expr).mask(T).tolist()
+
+
+class TestComparisons:
+    def test_eq_and_numeric(self):
+        assert m("event_type = 'purchase'") == [True, False, False, True, False]
+        assert m("value > 100") == [True, False, False, False, True]
+        assert m("value <= 55") == [False, True, True, False, False]
+        assert m("user_id <> 3") == [True, True, False, True, True]
+
+    def test_between_in_like_null(self):
+        assert m("value BETWEEN 50 AND 150") == [True, False, True, True, False]
+        assert m("event_type IN ('view', 'error')") == [False, True, True, False, False]
+        assert m("name LIKE 'a%'") == [True, False, True, False, True]
+        assert m("name LIKE 'a_o%'") == [False, False, False, False, True]
+        assert m("event_type IS NULL") == [False, False, False, False, True]
+        assert m("event_type IS NOT NULL") == [True, True, True, True, False]
+
+    def test_logic(self):
+        assert m("value > 50 AND value < 150") == [True, False, True, True, False]
+        assert m("user_id = 1 OR user_id = 5") == [True, False, False, False, True]
+        assert m("NOT (value > 50)") == [False, True, False, False, False]
+        assert m("INCLUDE") == [True] * 5
+        assert m("EXCLUDE") == [False] * 5
+
+
+class TestSpatialTemporal:
+    def test_bbox(self):
+        assert m("BBOX(geom, -20, -20, 20, 20)") == [True, False, False, False, True]
+
+    def test_bbox_antimeridian(self):
+        # translated crossing box picks up both +175 and -170 points
+        assert m("BBOX(geom, 160, -10, 200, 10)") == [False, False, True, True, False]
+
+    def test_intersects_polygon(self):
+        assert m("INTERSECTS(geom, POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5)))") == \
+            [True, False, False, False, False]
+
+    def test_dwithin(self):
+        got = m("DWITHIN(geom, POINT (10.1 10.1), 50, kilometers)")
+        assert got == [True, False, False, False, False]
+
+    def test_during_after_before(self):
+        assert m("ts DURING 2024-01-05T00:00:00Z/2024-01-20T00:00:00Z") == \
+            [False, True, True, False, False]
+        assert m("ts AFTER 2024-01-20T00:00:00Z") == [False, False, False, True, True]
+        assert m("ts BEFORE 2024-01-05T00:00:00Z") == [True, False, False, False, False]
+
+
+class TestPushdownExtraction:
+    def test_conjunct_bbox_and_interval_extracted(self):
+        spec, f = query_spec_from_ecql(
+            "event_type = 'purchase' AND BBOX(geom, -10, -10, 10, 10) "
+            "AND ts DURING 2024-01-01T00:00:00Z/2024-02-01T00:00:00Z")
+        assert len(spec.geometries) == 1
+        assert spec.intervals == [(1704067200000, 1706745600000)]
+
+    def test_or_spatial_not_extracted_when_mixed(self):
+        spec, _ = query_spec_from_ecql("value > 5 OR BBOX(geom, 0, 0, 1, 1)")
+        assert spec.geometries == []
+
+    def test_or_spatial_extracted_when_all_spatial(self):
+        spec, _ = query_spec_from_ecql(
+            "BBOX(geom, 0, 0, 1, 1) OR BBOX(geom, 5, 5, 6, 6)")
+        assert len(spec.geometries) == 2
+
+    def test_crossing_bbox_splits(self):
+        spec, _ = query_spec_from_ecql("BBOX(geom, 170, -10, 190, 10)")
+        assert len(spec.geometries) == 2
+
+    def test_parse_errors(self):
+        with pytest.raises(ValueError):
+            compile_ecql("value >")
+        with pytest.raises(ValueError):
+            compile_ecql("BBOX(geom, 1, 2)")
