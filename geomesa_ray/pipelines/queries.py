@@ -1583,6 +1583,111 @@ def oracle_xz2_keys() -> str:
     """
 
 
+def _sql_s2_cells(level: int) -> str:
+    """Generates the full S2 point-encoding pipeline in SQL (cells/s2.py:
+    face/uv selection, quadratic st, 30-bit ij, Hilbert position via the
+    1024-entry lookup table embedded as a VALUES CTE joined once per 4-bit
+    nibble, parent truncation to ``level``). Returns SQL producing
+    (event_id, s2_cell) from the derived ``pts`` CTE (which must exist)."""
+    from geomesa_ray.cells.s2 import _LOOKUP_POS
+
+    lut_rows = ", ".join(f"({k}, {int(v)})" for k, v in enumerate(_LOOKUP_POS))
+    steps = []
+    prev = "h8"
+    for k in range(7, -1, -1):
+        steps.append(f"""
+    h{k} AS (
+      SELECT p.event_id, p.i, p.j,
+             p.n + CAST(l.val >> 2 AS HUGEINT) * {1 << (k * 8)} AS n,
+             l.val & 3 AS bits
+      FROM {prev} p JOIN lut l
+        ON l.key = p.bits + ((p.i >> {k * 4}) & 15) * 64 + ((p.j >> {k * 4}) & 15) * 4
+    )""")
+        prev = f"h{k}"
+    lsb = 1 << (2 * (30 - level))
+    return f"""
+    lut(key, val) AS (VALUES {lut_rows}),
+    xyz AS (
+      SELECT event_id,
+             cos(radians(lat)) * cos(radians(lon)) AS x,
+             cos(radians(lat)) * sin(radians(lon)) AS y,
+             sin(radians(lat)) AS z
+      FROM pts
+    ),
+    fuv0 AS (
+      SELECT *, CASE WHEN abs(x) >= abs(y)
+                     THEN CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+                     ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END END AS f0
+      FROM xyz
+    ),
+    fuv AS (
+      SELECT event_id, x, y, z,
+             CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+                  THEN f0 + 3 ELSE f0 END AS face
+      FROM fuv0
+    ),
+    uv AS (
+      SELECT event_id, face,
+             CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                       WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+             CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                       WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+      FROM fuv
+    ),
+    st AS (
+      SELECT event_id, face,
+             CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                  ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+             CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                  ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+      FROM uv
+    ),
+    h8 AS (
+      SELECT event_id,
+             LEAST(GREATEST(CAST(floor(1073741824.0 * s) AS BIGINT), 0), 1073741823) AS i,
+             LEAST(GREATEST(CAST(floor(1073741824.0 * t) AS BIGINT), 0), 1073741823) AS j,
+             CAST(face AS HUGEINT) * 1152921504606846976 AS n,
+             face & 1 AS bits
+      FROM st
+    ),
+    {','.join(steps)},
+    leaf AS (
+      SELECT event_id,
+             CAST(CASE WHEN n * 2 + 1 >= 9223372036854775808
+                       THEN n * 2 + 1 - 18446744073709551616
+                       ELSE n * 2 + 1 END AS BIGINT) AS leaf_id
+      FROM h0
+    ),
+    s2 AS (
+      SELECT event_id, (leaf_id & -{lsb}) | {lsb} AS s2_cell FROM leaf
+    )"""
+
+
+def oracle_s2_cells() -> str:
+    return f"""
+    WITH pts AS ({_DERIVE_SQL}),
+    {_sql_s2_cells(8)}
+    SELECT s2_cell, COUNT(*) AS n FROM s2 GROUP BY s2_cell
+    """
+
+
+def oracle_s3_keys() -> str:
+    fnv = ",\n             ".join(_sql_fnv_shard("p.event_id", 4))
+    return f"""
+    WITH pts AS ({_DERIVE_SQL}),
+    {_sql_s2_cells(8)}
+    SELECT p.event_id,
+           CAST(epoch_ms(p.ts) // 604800000 AS SMALLINT) AS time_bin,
+           s2.s2_cell AS cell_id,
+           sh.__shard AS shard
+    FROM pts p
+    JOIN s2 ON s2.event_id = p.event_id
+    JOIN (SELECT p.event_id AS eid,
+             {fnv}
+          FROM pts p) sh ON sh.eid = p.event_id
+    """
+
+
 def oracle_cosine_dedup() -> str:
     """Exhaustive-pair oracle: every pair with cosine >= 0.999 over the same
     augmented table (originals + the first 32 vectors re-inserted with
@@ -1645,6 +1750,20 @@ def q_z3_keys(sf_dir: str):
         batch_format="pyarrow",
     )
     return out.select_columns(["event_id", "time_bin", "z3", "cell_id", "shard"])
+
+
+def q_s3_keys(sf_dir: str):
+    """S3 composite keys [(shard, time_bin, s2_cell)] — the S2+time key
+    space (S3IndexKeySpace; rows-only: S2 ids aren't SQL; the time_bin and
+    shard columns are covered by the z3_keys/xz2_keys oracles)."""
+    from geomesa_ray.stages.assign import AssignCells
+
+    out = _geo_events(sf_dir).map_batches(
+        AssignCells(level=8, scheme="s2", n_shards=4, id_col="event_id",
+                    ts_col="ts", period="week"),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["event_id", "time_bin", "cell_id", "shard"])
 
 
 def q_ivf_neighbors(sf_dir: str):
@@ -1723,6 +1842,45 @@ def q_corpus_density(sf_dir: str):
     return density_grid(ds.filter(expr="has_geom"), width=128, height=64)
 
 
+def oracle_corpus_pip_join() -> str:
+    """Corpus flagship oracle: re-read the deterministic corpus parquet,
+    regex-extract the first geo span's point, redo the level-12 z-cell id
+    (unrolled Morton interleave) and the two PIP predicates (box ranges +
+    CCW half-planes, same as oracle_pip_join)."""
+    cx_ = _sql_norm("lon", -180.0, 360.0, 31)
+    cy_ = _sql_norm("lat", -90.0, 180.0, 31)
+    cell = _sql_interleave(["(__cx >> 19)", "(__cy >> 19)"], 12)
+    ax, ay, bx, by, cx, cy = -120.0, 20.0, -60.0, 20.0, -90.0, 55.0
+    tri = (
+        f"((({bx})-({ax}))*(lat-({ay})) - (({by})-({ay}))*(lon-({ax})) > 0 AND "
+        f" (({cx})-({bx}))*(lat-({by})) - (({cy})-({by}))*(lon-({bx})) > 0 AND "
+        f" (({ax})-({cx}))*(lat-({cy})) - (({ay})-({cy}))*(lon-({cx})) > 0)"
+    )
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, list_filter(spans, s -> s.kind = 'geo')[1].text AS wkt
+      FROM read_parquet('/tmp/graft_corpus/n5000_s42_p4/shard-*.parquet')
+      WHERE len(list_filter(spans, s -> s.kind = 'geo')) > 0
+    ),
+    pts AS (
+      SELECT doc_id,
+             CAST(regexp_extract(wkt, 'POINT \(([-0-9.]+) ([-0-9.]+)\)', 1) AS DOUBLE) AS lon,
+             CAST(regexp_extract(wkt, 'POINT \(([-0-9.]+) ([-0-9.]+)\)', 2) AS DOUBLE) AS lat
+      FROM docs
+    ),
+    keyed AS (
+      SELECT doc_id, lon, lat, {cx_} AS __cx, {cy_} AS __cy FROM pts
+    ),
+    cells AS (
+      SELECT doc_id, lon, lat, {cell} AS cell_id FROM keyed
+    )
+    SELECT doc_id, 'box_eu' AS poly_name, cell_id FROM cells
+      WHERE lon > -10.0 AND lon < 30.0 AND lat > 35.0 AND lat < 60.0
+    UNION ALL
+    SELECT doc_id, 'tri_na' AS poly_name, cell_id FROM cells WHERE {tri}
+    """
+
+
 def oracle_corpus_density() -> str:
     # GridSnap (geo/gridsnap.py): dx = 360/128 = dy = 180/64 = 2.8125
     return r"""
@@ -1796,6 +1954,7 @@ QUERIES = {
     "xz2_keys": q_xz2_keys,
     "s2_cells": q_s2_cells,
     "z3_keys": q_z3_keys,
+    "s3_keys": q_s3_keys,
     "ivf_neighbors": q_ivf_neighbors,
     "media_features": q_media_features,
     "bin_export": q_bin_export,
@@ -1837,6 +1996,8 @@ ORACLES = {
     "geohash_counts": oracle_geohash_counts(),
     "z3_keys": oracle_z3_keys(),
     "xz2_keys": oracle_xz2_keys(),
+    "s2_cells": oracle_s2_cells(),
+    "s3_keys": oracle_s3_keys(),
     "track_lines": oracle_track_lines(),
     "grouped_stats": oracle_grouped_stats(),
     "lang_quality": oracle_lang_quality(),
@@ -1845,4 +2006,5 @@ ORACLES = {
     "route_search": oracle_route_search(),
     "cosine_dedup": oracle_cosine_dedup(),
     "corpus_density": oracle_corpus_density(),
+    "corpus_pip_join": oracle_corpus_pip_join(),
 }

@@ -99,10 +99,12 @@ def query_indexed(
     lon_col: str = "lon",
     lat_col: str = "lat",
     ts_col: str | None = None,
+    residual_filter=None,
 ):
     """Run a QuerySpec against an indexed parquet layout (the output of the
     ingest pipeline: materialized cell_id/lon/lat columns). Returns a lazy
-    Dataset."""
+    Dataset. ``residual_filter`` (an ecql.Filter) re-applies the FULL
+    predicate after the coarse scan (LocalQueryRunner semantics)."""
     import glob
     import os
 
@@ -168,6 +170,13 @@ def query_indexed(
         return t.filter(pa.array(mask))
 
     ds = ds.map_batches(refine, batch_format="pyarrow")
+    if residual_filter is not None:
+        def residual(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            return t.filter(pa.array(residual_filter.mask(t)))
+
+        ds = ds.map_batches(residual, batch_format="pyarrow")
     if spec.columns:
         ds = ds.select_columns(spec.columns)
     if spec.sort_by:
@@ -177,3 +186,16 @@ def query_indexed(
     if spec.limit is not None:
         ds = ds.limit(spec.limit)
     return ds
+
+
+def query_indexed_ecql(indexed_dir: str, ecql_text: str, level: int = 12,
+                       columns=None, limit=None, sort_by=None, **kw):
+    """ECQL text -> pushdown QuerySpec + residual mask over an indexed
+    layout (the full reference query path: ECQL.toFilter -> planning ->
+    coarse scan -> local filter)."""
+    from geomesa_ray.pipelines.ecql import query_spec_from_ecql
+
+    spec, residual = query_spec_from_ecql(ecql_text, columns=columns,
+                                          limit=limit, sort_by=sort_by)
+    return query_indexed(indexed_dir, spec, level=level,
+                         residual_filter=residual, **kw)

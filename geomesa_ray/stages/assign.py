@@ -76,7 +76,10 @@ class AssignCells:
         self.ts_col = ts_col
         self.period = period
         self.grid = ZCellGrid(level) if scheme == "zcell" else None
-        self.z3 = Z3SFC(period) if ts_col else None
+        # S3 keyspace (reference geomesa-index-api/.../index/s3/
+        # S3IndexKeySpace.scala: [shard][bin][s2 cell]) = S2 scheme + a time
+        # bin and NO z3 column; the z-curve offset only exists for zcell
+        self.z3 = Z3SFC(period) if (ts_col and scheme == "zcell") else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
@@ -104,8 +107,8 @@ class AssignCells:
 
             millis = ts_to_millis(batch.column(self.ts_col))
             bins, offsets = BinnedTime.to_binned_time(millis, self.period)
-            z3 = self.z3.index(lon_c, lat_c, offsets, lenient=True)
-            out = out.append_column("time_bin", pa.array(bins, type=pa.int16())).append_column(
-                "z3", pa.array(np.where(valid, z3, -1), type=pa.int64())
-            )
+            out = out.append_column("time_bin", pa.array(bins, type=pa.int16()))
+            if self.z3 is not None:  # zcell scheme: full [bin][z3] composite
+                z3 = self.z3.index(lon_c, lat_c, offsets, lenient=True)
+                out = out.append_column("z3", pa.array(np.where(valid, z3, -1), type=pa.int64()))
         return out

@@ -94,3 +94,28 @@ class TestPushdownExtraction:
             compile_ecql("value >")
         with pytest.raises(ValueError):
             compile_ecql("BBOX(geom, 1, 2)")
+
+
+class TestIndexedEcql:
+    def test_ecql_over_indexed_layout(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq_
+
+        from geomesa_ray.cells.zcell import ZCellGrid
+        from geomesa_ray.pipelines.query import query_indexed_ecql
+
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(-180, 180, 2000)
+        lat = rng.uniform(-90, 90, 2000)
+        val = rng.uniform(0, 100, 2000)
+        cells = ZCellGrid(12).cell_of_points(lon, lat)
+        t = pa.table({"fid": pa.array(np.arange(2000)), "lon": pa.array(lon),
+                      "lat": pa.array(lat), "value": pa.array(val),
+                      "cell_id": pa.array(cells)})
+        pq_.write_table(t, tmp_path / "part.parquet")
+
+        got = query_indexed_ecql(
+            str(tmp_path), "BBOX(geom, -30, -20, 30, 20) AND value > 50",
+            level=12, columns=["fid"],
+        ).to_pandas()
+        exp_mask = (lon >= -30) & (lon <= 30) & (lat >= -20) & (lat <= 20) & (val > 50)
+        assert sorted(got["fid"].tolist()) == sorted(np.arange(2000)[exp_mask].tolist())

@@ -1,0 +1,146 @@
+"""Extra scale benches: dedup throughput + skewed extent join.
+
+Artifacts land in BENCH/ (one JSON per bench). Run ONE at a time — the
+sandbox box is shared (see CLAUDE.md benchmarking notes).
+
+  python tools/bench_extras.py dedup   [n_docs]   # exact + minhash dedup
+  python tools/bench_extras.py extent  [n_docs]   # skewed box-box join
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+
+def _init(num_cpus: int):
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+
+
+def _corpus_texts(n_docs: int):
+    """Corpus -> Dataset[(doc_id, text)] — first text span per doc."""
+    import ray.data as rd
+
+    from geomesa_ray.sources.synth import synthesize_corpus
+
+    corpus = synthesize_corpus(n_docs, seed=42,
+                               n_shards=int(os.environ.get("GRAFT_SHARDS", "64")),
+                               use_ray=True)
+
+    def first_text(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
+        tp = parents[is_text]
+        uniq, first_idx = np.unique(tp, return_index=True)
+        texts = np.full(batch.num_rows, "", dtype=object)
+        tvals = flat.field("text").filter(pa.array(is_text)).take(pa.array(first_idx))
+        texts[uniq] = tvals.to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": batch.column("doc_id"), "text": pa.array(texts, type=pa.string())})
+
+    return rd.read_parquet(corpus).map_batches(first_text, batch_format="pyarrow")
+
+
+def bench_dedup(n_docs: int, num_cpus: int = 32) -> dict:
+    _init(num_cpus)
+    from geomesa_ray.stages.dedup import exact_dedup, minhash_dedup
+
+    ds = _corpus_texts(n_docs)
+    t0 = time.time()
+    n_exact = exact_dedup(ds, content_col="text", id_col="doc_id").count()
+    t_exact = time.time() - t0
+
+    # minhash on a capped slice (signature+banding cost is O(chars); the
+    # pipeline shape — joins + aggregates — is identical at any size)
+    mh_docs = min(n_docs, int(os.environ.get("GRAFT_MINHASH_DOCS", "1500000")))
+    mh = _corpus_texts(mh_docs)
+    t0 = time.time()
+    n_mh = minhash_dedup(mh, text_col="text", id_col="doc_id", rounds=2).count()
+    t_mh = time.time() - t0
+    return {
+        "metric": "dedup throughput (docs/sec)",
+        "exact_docs": n_docs, "exact_sec": round(t_exact, 2),
+        "exact_docs_per_sec": round(n_docs / t_exact, 1), "exact_kept": int(n_exact),
+        "minhash_docs": mh_docs, "minhash_sec": round(t_mh, 2),
+        "minhash_docs_per_sec": round(mh_docs / t_mh, 1), "minhash_kept": int(n_mh),
+        "num_cpus": num_cpus,
+    }
+
+
+def bench_extent(n_docs: int, num_cpus: int = 32, half_deg: float = 0.02) -> dict:
+    """Skewed box-box join: boxes around corpus points (half the points
+    cluster on hot cities — the skew regime); even vs odd doc ids."""
+    _init(num_cpus)
+    import ray.data as rd
+
+    from geomesa_ray.sources.synth import synthesize_corpus
+    from geomesa_ray.stages.extent_join import extent_join
+    from geomesa_ray.stages.extract import extract_geometry
+
+    corpus = synthesize_corpus(n_docs, seed=42,
+                               n_shards=int(os.environ.get("GRAFT_SHARDS", "128")),
+                               use_ray=True)
+
+    def boxes(parity):
+        def fn(t: pa.Table) -> pa.Table:
+            lon = t.column("lon").to_numpy(zero_copy_only=False)
+            lat = t.column("lat").to_numpy(zero_copy_only=False)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(lon)
+            # parity on the numeric suffix of doc_id
+            num = np.char.partition(ids[ok].astype(str), "-")[:, 2].astype(np.int64)
+            keep = num % 2 == parity
+            return pa.table({
+                "doc_id": pa.array(ids[ok][keep]),
+                "xmin": pa.array(lon[ok][keep] - half_deg),
+                "ymin": pa.array(lat[ok][keep] - half_deg),
+                "xmax": pa.array(lon[ok][keep] + half_deg),
+                "ymax": pa.array(lat[ok][keep] + half_deg),
+            })
+        return fn
+
+    ext = rd.read_parquet(corpus).map_batches(extract_geometry, batch_format="pyarrow")
+    left = ext.map_batches(boxes(0), batch_format="pyarrow")
+    right = ext.map_batches(boxes(1), batch_format="pyarrow")
+    t0 = time.time()
+    n = extent_join(left, right, level=8).count()
+    dt = time.time() - t0
+    return {
+        "metric": "skewed extent join (hot-city boxes)",
+        "docs": n_docs, "half_deg": half_deg, "level": 8,
+        "sec": round(dt, 2), "matches": int(n),
+        "pairs_per_sec": round(n / dt, 1), "num_cpus": num_cpus,
+    }
+
+
+if __name__ == "__main__":
+    import ray
+
+    mode = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else (6_000_000 if mode == "dedup" else 3_000_000)
+    if mode == "dedup":
+        out = bench_dedup(n)
+    elif mode == "extent":
+        out = bench_extent(n)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+    print(json.dumps(out))
+    ray.shutdown()
