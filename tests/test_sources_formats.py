@@ -1,0 +1,91 @@
+"""Converter format tests: Avro container files, fixed-width text."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.sources.avro import (
+    avro_to_arrow,
+    read_avro,
+    read_avro_file,
+    write_avro_file,
+)
+from geomesa_ray.sources.fixedwidth import parse_fixed_width, read_fixed_width
+
+SCHEMA = {
+    "type": "record",
+    "name": "Obs",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "tag", "type": ["null", "string"]},
+        {"name": "path", "type": {"type": "array", "items": "double"}},
+    ],
+}
+
+ROWS = [
+    {"id": 1, "name": "alpha", "value": 1.5, "tag": "x", "path": [1.0, 2.0]},
+    {"id": 2, "name": "βeta", "value": -2.25, "tag": None, "path": []},
+    {"id": 3, "name": "gamma", "value": 0.0, "tag": "z", "path": [3.5]},
+]
+
+
+class TestAvro:
+    def test_roundtrip_null_codec(self, tmp_path):
+        p = str(tmp_path / "a.avro")
+        write_avro_file(p, SCHEMA, ROWS)
+        assert read_avro_file(p) == ROWS
+
+    def test_roundtrip_deflate(self, tmp_path):
+        p = str(tmp_path / "b.avro")
+        write_avro_file(p, SCHEMA, ROWS, codec="deflate")
+        assert read_avro_file(p) == ROWS
+
+    def test_arrow_schema(self, tmp_path):
+        p = str(tmp_path / "c.avro")
+        write_avro_file(p, SCHEMA, ROWS)
+        t = avro_to_arrow(p)
+        assert t.num_rows == 3
+        assert t.column("id").to_pylist() == [1, 2, 3]
+        assert t.column("tag").to_pylist() == ["x", None, "z"]
+        assert t.column("path").to_pylist() == [[1.0, 2.0], [], [3.5]]
+
+    def test_ray_dataset(self, tmp_path, ray_session):
+        for i in range(3):
+            write_avro_file(str(tmp_path / f"s{i}.avro"), SCHEMA, ROWS)
+        ds = read_avro(str(tmp_path))
+        assert ds.count() == 9
+
+    def test_rejects_non_avro(self, tmp_path):
+        p = tmp_path / "bad.avro"
+        p.write_bytes(b"not avro at all")
+        with pytest.raises(ValueError):
+            read_avro_file(str(p))
+
+
+class TestFixedWidth:
+    FIELDS = [("station", 0, 4, "string"), ("lon", 4, 9, "double"),
+              ("lat", 13, 7, "double"), ("n", 20, 4, "int")]
+
+    @staticmethod
+    def _line(st, lon, lat, n):
+        return f"{st:<4}{lon:>9.4f}{lat:>7.2f}{n:>4d}"
+
+    def test_parse_vectorized(self):
+        lines = pa.array([
+            self._line("PARI", 2.35, 48.85, 12),
+            self._line("NYC", -74.0, 40.70, 7),
+        ])
+        t = parse_fixed_width(lines, self.FIELDS)
+        assert t.column("station").to_pylist() == ["PARI", "NYC"]
+        assert t.column("lon").to_pylist() == [2.35, -74.0]
+        assert t.column("n").to_pylist() == [12, 7]
+
+    def test_ray_dataset(self, tmp_path, ray_session):
+        f = tmp_path / "fw.txt"
+        f.write_text(self._line("PARI", 2.35, 48.85, 12) + "\n"
+                     + self._line("NYC", -74.0, 40.70, 7) + "\n")
+        ds = read_fixed_width(str(f), self.FIELDS)
+        df = ds.to_pandas().sort_values("station").reset_index(drop=True)
+        assert df["lat"].tolist() == [40.7, 48.85]
