@@ -124,14 +124,21 @@ def tube_select(ds, track: pd.DataFrame, buffer_m: float = 50_000, bin_ms: int =
 
 
 class _RouteProbe:
-    """Vectorized min point-to-segment distance against a broadcast route."""
+    """Vectorized min point-to-segment distance against a broadcast route,
+    with optional heading agreement (RouteSearchProcess.scala's
+    bidirectional course match: a row passes when its heading is within
+    ``heading_tol_deg`` of the NEAREST segment's bearing, either
+    direction)."""
 
-    def __init__(self, route_ref, tolerance_m, lon_col, lat_col):
+    def __init__(self, route_ref, tolerance_m, lon_col, lat_col,
+                 heading_col=None, heading_tol_deg=45.0):
         r = ray.get(route_ref) if isinstance(route_ref, ray.ObjectRef) else route_ref
         self.route = np.asarray(r, dtype=np.float64)  # (k, 2) lon/lat
         self.tolerance_m = tolerance_m
         self.lon_col = lon_col
         self.lat_col = lat_col
+        self.heading_col = heading_col
+        self.heading_tol_deg = heading_tol_deg
         # planar scaling at the route's mean latitude (TubeBuilder-style
         # meters->degrees local approximation)
         clat = float(self.route[:, 1].mean())
@@ -156,20 +163,33 @@ class _RouteProbe:
         cx = ax[None, :] + t * dx[None, :]
         cy = ay[None, :] + t * dy[None, :]
         d2 = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
-        dmin = np.sqrt(d2.min(axis=1))
+        nearest = d2.argmin(axis=1)
+        dmin = np.sqrt(d2[np.arange(len(px)), nearest])
         mask = dmin <= self.tolerance_m
+        if self.heading_col is not None:
+            heading = batch.column(self.heading_col).to_numpy(zero_copy_only=False)
+            seg_bearing = np.degrees(np.arctan2(dx, dy)) % 360.0  # from-north
+            diff = np.abs((heading - seg_bearing[nearest] + 180.0) % 360.0 - 180.0)
+            # bidirectional: a track running the route backwards matches too
+            diff = np.minimum(diff, 180.0 - diff)
+            mask &= diff <= self.heading_tol_deg
         out = batch.take(pa.array(np.nonzero(mask)[0]))
         return out.append_column("route_distance_m", pa.array(dmin[mask]))
 
 
-def route_search(ds, route_lonlat, tolerance_m: float = 10_000, lon_col="lon", lat_col="lat"):
+def route_search(ds, route_lonlat, tolerance_m: float = 10_000, lon_col="lon", lat_col="lat",
+                 heading_col: str | None = None, heading_tol_deg: float = 45.0):
     """Rows within ``tolerance_m`` of the route polyline; adds
-    ``route_distance_m`` (planar local approximation)."""
+    ``route_distance_m`` (planar local approximation). With ``heading_col``
+    the row's course must also agree with the nearest segment's bearing
+    within ``heading_tol_deg`` either direction (RouteSearchProcess's
+    heading match)."""
     ref = ray.put(np.asarray(route_lonlat, dtype=np.float64))
     return ds.map_batches(
         _RouteProbe,
         fn_constructor_kwargs=dict(route_ref=ref, tolerance_m=tolerance_m,
-                                   lon_col=lon_col, lat_col=lat_col),
+                                   lon_col=lon_col, lat_col=lat_col,
+                                   heading_col=heading_col, heading_tol_deg=heading_tol_deg),
         batch_format="pyarrow",
         concurrency=default_concurrency(),
     )

@@ -111,3 +111,31 @@ class TestTube:
         ky = 111_194.9
         near = df[(np.abs(df["lat"] - 45.0) * ky < tol * 0.9) & (df["lon"] >= -10) & (df["lon"] <= 10)]
         assert set(near["doc_id"]) <= got
+
+
+class TestRouteHeading:
+    def test_heading_match_bidirectional(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.tube import route_search
+
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3, 4],
+            "lon": [0.1, 0.2, 0.3, 5.0],
+            "lat": [0.01, -0.01, 0.0, 5.0],
+            "heading": [85.0, 270.0, 0.0, 90.0],  # along, reverse, across, far
+        })
+        route = [(0.0, 0.0), (1.0, 0.0)]  # due east -> bearing 90
+        got = route_search(rd.from_pandas(df), route, tolerance_m=50_000,
+                           heading_col="heading", heading_tol_deg=30.0).to_pandas()
+        assert sorted(got["event_id"].tolist()) == [1, 2]
+
+    def test_no_heading_col_keeps_all_near(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.tube import route_search
+
+        df = pd.DataFrame({"event_id": [1, 2], "lon": [0.1, 5.0], "lat": [0.0, 5.0]})
+        got = route_search(rd.from_pandas(df), [(0.0, 0.0), (1.0, 0.0)],
+                           tolerance_m=50_000).to_pandas()
+        assert got["event_id"].tolist() == [1]
