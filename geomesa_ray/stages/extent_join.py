@@ -67,6 +67,49 @@ class _ExplodeExtents:
         return out.append_column("bucket", pa.array(bucket))
 
 
+def _bounded_cell_candidates(left: pd.DataFrame, right: pd.DataFrame,
+                             lcols: list, rcols: list,
+                             cap_pairs: int = 4_000_000):
+    """Yield per-cell candidate merges in memory-bounded chunks.
+
+    A hot cell (city) can hold 10^4-10^5 rows per side; a single equi-merge
+    on cell materializes |L_cell| x |R_cell| rows at once and OOMs. Cells
+    are greedily packed into chunks of <= cap_pairs candidate rows; a single
+    cell exceeding the cap is processed in left-side slices. Output is
+    identical to the unbounded merge."""
+    lc = left.groupby("cell").size()
+    rc = right.groupby("cell").size()
+    shared = lc.index.intersection(rc.index)
+    if len(shared) == 0:
+        return
+    lprod = (lc[shared] * rc[shared]).sort_index()
+    left = left.sort_values("cell", kind="mergesort")
+    right = right.sort_values("cell", kind="mergesort")
+    cells = lprod.index.to_numpy()
+    prods = lprod.to_numpy()
+    i = 0
+    while i < len(cells):
+        if prods[i] > cap_pairs:
+            cell = cells[i]
+            lsub = left[left["cell"] == cell]
+            rsub = right[right["cell"] == cell]
+            step = max(1, cap_pairs // max(len(rsub), 1))
+            for s in range(0, len(lsub), step):
+                yield lsub.iloc[s:s + step][lcols].merge(rsub[rcols], on="cell",
+                                                         suffixes=("_l", "_r"))
+            i += 1
+            continue
+        total, j = 0, i
+        while j < len(cells) and total + prods[j] <= cap_pairs:
+            total += prods[j]
+            j += 1
+        chunk = cells[i:j]
+        lsub = left[left["cell"].isin(chunk)]
+        rsub = right[right["cell"].isin(chunk)]
+        yield lsub[lcols].merge(rsub[rcols], on="cell", suffixes=("_l", "_r"))
+        i = j
+
+
 def extent_join(
     left_ds,
     right_ds,
@@ -124,27 +167,26 @@ def extent_join(
         matrix threw the co-location pruning away)."""
         left = g[g["side"] == 0]
         right = g[g["side"] == 1]
+        empty = pd.DataFrame({"left_id": pd.Series([], dtype=object),
+                              "right_id": pd.Series([], dtype=object)})
         if left.empty or right.empty:
-            return pd.DataFrame({"left_id": pd.Series([], dtype=object),
-                                 "right_id": pd.Series([], dtype=object)})
-        cand = left[["rid", "xmin", "ymin", "xmax", "ymax", "cell"]].merge(
-            right[["rid", "xmin", "ymin", "xmax", "ymax", "cell"]],
-            on="cell", suffixes=("_l", "_r"),
-        )
-        if cand.empty:
-            return pd.DataFrame({"left_id": pd.Series([], dtype=object),
-                                 "right_id": pd.Series([], dtype=object)})
-        hit = (
-            (cand["xmin_l"].to_numpy() <= cand["xmax_r"].to_numpy())
-            & (cand["xmax_l"].to_numpy() >= cand["xmin_r"].to_numpy())
-            & (cand["ymin_l"].to_numpy() <= cand["ymax_r"].to_numpy())
-            & (cand["ymax_l"].to_numpy() >= cand["ymin_r"].to_numpy())
-        )
-        cand = cand[hit]
-        return pd.DataFrame({
-            "left_id": cand["rid_l"].to_numpy(),
-            "right_id": cand["rid_r"].to_numpy(),
-        })
+            return empty
+        cols = ["rid", "xmin", "ymin", "xmax", "ymax", "cell"]
+        out = []
+        for cand in _bounded_cell_candidates(left, right, cols, cols):
+            if cand.empty:
+                continue
+            hit = (
+                (cand["xmin_l"].to_numpy() <= cand["xmax_r"].to_numpy())
+                & (cand["xmax_l"].to_numpy() >= cand["xmin_r"].to_numpy())
+                & (cand["ymin_l"].to_numpy() <= cand["ymax_r"].to_numpy())
+                & (cand["ymax_l"].to_numpy() >= cand["ymin_r"].to_numpy())
+            )
+            cand = cand[hit]
+            if len(cand):
+                out.append(pd.DataFrame({"left_id": cand["rid_l"].to_numpy(),
+                                         "right_id": cand["rid_r"].to_numpy()}))
+        return pd.concat(out, ignore_index=True) if out else empty
 
     pairs = both.groupby("bucket").map_groups(join_group, batch_format="pandas")
 
@@ -262,28 +304,32 @@ def polygon_join(
                               "right_id": pd.Series([], dtype=object)})
         if left.empty or right.empty:
             return empty
-        cand = left[["rid", "xmin", "ymin", "xmax", "ymax", "cell"] + lnames].merge(
-            right[["rid", "xmin", "ymin", "xmax", "ymax", "cell"] + rnames],
-            on="cell", suffixes=("_l", "_r"),
-        )
-        if cand.empty:
-            return empty
-        hit = (
-            (cand["xmin_l"].to_numpy() <= cand["xmax_r"].to_numpy())
-            & (cand["xmax_l"].to_numpy() >= cand["xmin_r"].to_numpy())
-            & (cand["ymin_l"].to_numpy() <= cand["ymax_r"].to_numpy())
-            & (cand["ymax_l"].to_numpy() >= cand["ymin_r"].to_numpy())
-        )
-        cand = cand[hit]
-        if cand.empty:
-            return empty
-        A = np.stack([np.stack([cand[f"v{i}x"].to_numpy(), cand[f"v{i}y"].to_numpy()], axis=1)
-                      for i in range(ka)], axis=1)
-        B = np.stack([np.stack([cand[f"w{i}x"].to_numpy(), cand[f"w{i}y"].to_numpy()], axis=1)
-                      for i in range(kb)], axis=1)
-        ok = convex_intersect(A, B)
-        return pd.DataFrame({"left_id": cand["rid_l"].to_numpy()[ok],
-                             "right_id": cand["rid_r"].to_numpy()[ok]})
+        out = []
+        for cand in _bounded_cell_candidates(
+            left, right,
+            ["rid", "xmin", "ymin", "xmax", "ymax", "cell"] + lnames,
+            ["rid", "xmin", "ymin", "xmax", "ymax", "cell"] + rnames,
+        ):
+            if cand.empty:
+                continue
+            hit = (
+                (cand["xmin_l"].to_numpy() <= cand["xmax_r"].to_numpy())
+                & (cand["xmax_l"].to_numpy() >= cand["xmin_r"].to_numpy())
+                & (cand["ymin_l"].to_numpy() <= cand["ymax_r"].to_numpy())
+                & (cand["ymax_l"].to_numpy() >= cand["ymin_r"].to_numpy())
+            )
+            cand = cand[hit]
+            if cand.empty:
+                continue
+            A = np.stack([np.stack([cand[f"v{i}x"].to_numpy(), cand[f"v{i}y"].to_numpy()], axis=1)
+                          for i in range(ka)], axis=1)
+            B = np.stack([np.stack([cand[f"w{i}x"].to_numpy(), cand[f"w{i}y"].to_numpy()], axis=1)
+                          for i in range(kb)], axis=1)
+            ok = convex_intersect(A, B)
+            if ok.any():
+                out.append(pd.DataFrame({"left_id": cand["rid_l"].to_numpy()[ok],
+                                         "right_id": cand["rid_r"].to_numpy()[ok]}))
+        return pd.concat(out, ignore_index=True) if out else empty
 
     pairs = both.groupby("bucket").map_groups(join_group, batch_format="pandas")
 

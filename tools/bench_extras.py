@@ -115,7 +115,7 @@ def bench_dedup(n_docs: int, num_cpus: int = 32) -> dict:
     }
 
 
-def bench_extent(n_docs: int, num_cpus: int = 32, half_deg: float = 0.02) -> dict:
+def bench_extent(n_docs: int, num_cpus: int = 32, half_deg: float = 0.005) -> dict:
     """Skewed box-box join: boxes around corpus points (half the points
     cluster on hot cities — the skew regime); even vs odd doc ids."""
     _init(num_cpus)
@@ -151,11 +151,11 @@ def bench_extent(n_docs: int, num_cpus: int = 32, half_deg: float = 0.02) -> dic
     left = ext.map_batches(boxes(0), batch_format="pyarrow")
     right = ext.map_batches(boxes(1), batch_format="pyarrow")
     t0 = time.time()
-    n = extent_join(left, right, level=8).count()
+    n = extent_join(left, right, level=12).count()
     dt = time.time() - t0
     return {
         "metric": "skewed extent join (hot-city boxes)",
-        "docs": n_docs, "half_deg": half_deg, "level": 8,
+        "docs": n_docs, "half_deg": half_deg, "level": 12,
         "sec": round(dt, 2), "matches": int(n),
         "pairs_per_sec": round(n / dt, 1), "num_cpus": num_cpus,
     }
