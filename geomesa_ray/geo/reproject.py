@@ -57,3 +57,99 @@ def reproject_stage(lon_col: str = "lon", lat_col: str = "lat"):
         return t.append_column("mercator_x", pa.array(x)).append_column("mercator_y", pa.array(y))
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# WGS84 UTM (EPSG:326xx north / 327xx south) — ellipsoidal Transverse
+# Mercator via the Krüger series (public formulas, e.g. Karney 2011 /
+# Snyder; 6th-order in n), pure numpy. Extends the reference's arbitrary-CRS
+# reprojection surface (Reprojection.scala) beyond the v1 4326<->3857 pair.
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500_000.0
+_UTM_FN_S = 10_000_000.0
+
+_n = _WGS84_F / (2.0 - _WGS84_F)
+_A_CAP = _WGS84_A / (1.0 + _n) * (1.0 + _n**2 / 4.0 + _n**4 / 64.0 + _n**6 / 256.0)
+# forward series coefficients (alpha) and inverse (beta), 6th order in n
+_ALPHA = np.array([
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180 - 127 * _n**5 / 288,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630,
+    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880,
+    49561 * _n**4 / 161280 - 179 * _n**5 / 168,
+    34729 * _n**5 / 80640,
+])
+_BETA = np.array([
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360 - 81 * _n**5 / 512,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105,
+    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480,
+    4397 * _n**4 / 161280 - 11 * _n**5 / 504,
+    4583 * _n**5 / 161280,
+])
+_E = np.sqrt(_WGS84_F * (2.0 - _WGS84_F))
+
+
+def utm_zone(lon, lat=None) -> np.ndarray:
+    """Standard zone number for a longitude (1..60)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    return (np.floor((lon + 180.0) / 6.0).astype(np.int64) % 60) + 1
+
+
+def lonlat_to_utm(lon, lat, zone: int | None = None):
+    """-> (easting, northing, zone, south). Krüger forward series."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if zone is None:
+        zone_arr = utm_zone(lon)
+    else:
+        zone_arr = np.full(lon.shape, int(zone), dtype=np.int64)
+    lon0 = np.radians(zone_arr * 6.0 - 183.0)
+    phi = np.radians(lat)
+    lam = np.radians(lon) - lon0
+
+    sin_phi = np.sin(phi)
+    t = np.sinh(np.arctanh(sin_phi) - _E * np.arctanh(_E * sin_phi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+
+    easting = _UTM_FE + _UTM_K0 * _A_CAP * eta
+    northing = _UTM_K0 * _A_CAP * xi
+    south = lat < 0
+    northing = np.where(south, northing + _UTM_FN_S, northing)
+    return easting, northing, zone_arr, south
+
+
+def utm_to_lonlat(easting, northing, zone, south=False):
+    """Inverse Krüger series -> (lon, lat) degrees."""
+    easting = np.asarray(easting, dtype=np.float64)
+    northing = np.asarray(northing, dtype=np.float64)
+    zone = np.asarray(zone, dtype=np.int64)
+    south = np.broadcast_to(np.asarray(south, dtype=bool), easting.shape)
+    northing = np.where(south, northing - _UTM_FN_S, northing)
+
+    xi = northing / (_UTM_K0 * _A_CAP)
+    eta = (easting - _UTM_FE) / (_UTM_K0 * _A_CAP)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi.copy()
+    for _ in range(6):  # fixed-point: conformal -> geodetic latitude
+        s = np.sin(phi)
+        phi = np.arcsin(np.clip(np.tanh(np.arctanh(np.clip(np.sin(chi), -1, 1))
+                                        + _E * np.arctanh(_E * s)), -1.0, 1.0))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    lon0 = np.radians(zone * 6.0 - 183.0)
+    return np.degrees(lam + lon0), np.degrees(phi)

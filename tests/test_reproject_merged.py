@@ -123,3 +123,65 @@ class TestCurveProperties:
         win = (max(x - 1, -180), max(y - 1, -90), min(xmax + 1, 180), min(ymax + 1, 90))
         ranges = xz.ranges([win])
         assert any(lo <= code <= hi for lo, hi in ranges)
+
+
+class TestUTM:
+    """Krüger-series UTM vs an INDEPENDENT Snyder (1987) formula
+    implementation — two unrelated public series agreeing to mm validates
+    both; plus machine-precision roundtrips."""
+
+    @staticmethod
+    def _snyder_forward(lon, lat, zone):
+        a, f, k0 = 6378137.0, 1 / 298.257223563, 0.9996
+        e2 = f * (2 - f)
+        ep2 = e2 / (1 - e2)
+        lon0 = np.radians(zone * 6 - 183.0)
+        phi = np.radians(lat)
+        lam = np.radians(lon) - lon0
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        T = np.tan(phi) ** 2
+        C = ep2 * np.cos(phi) ** 2
+        A = lam * np.cos(phi)
+        M = a * ((1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+                 - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
+                 + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+                 - (35 * e2**3 / 3072) * np.sin(6 * phi))
+        x = k0 * N * (A + (1 - T + C) * A**3 / 6
+                      + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120)
+        y = k0 * (M + N * np.tan(phi) * (A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+                  + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720))
+        return x + 500000.0, np.where(lat < 0, y + 10_000_000.0, y)
+
+    def test_matches_independent_snyder_series(self):
+        from geomesa_ray.geo.reproject import lonlat_to_utm
+
+        rng = np.random.default_rng(11)
+        lat = rng.uniform(-80, 80, 500)
+        zone = rng.integers(1, 61, 500)
+        # stay within +-3 deg of each zone's central meridian (UTM's domain)
+        lon = (zone * 6.0 - 183.0) + rng.uniform(-3, 3, 500)
+        e, n, z, s = lonlat_to_utm(lon, lat, zone=None)
+        # points sit inside their natural zone by construction
+        assert (z == zone).all()
+        se, sn = self._snyder_forward(lon, lat, zone)
+        assert np.abs(e - se).max() < 5e-3  # Snyder truncates at A^6 -> mm
+        assert np.abs(n - sn).max() < 5e-3
+
+    def test_roundtrip_machine_precision(self):
+        from geomesa_ray.geo.reproject import lonlat_to_utm, utm_to_lonlat
+
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-179.9, 179.9, 2000)
+        lat = rng.uniform(-84, 84, 2000)
+        e, n, z, s = lonlat_to_utm(lon, lat)
+        lon2, lat2 = utm_to_lonlat(e, n, z, s)
+        assert np.abs(lon2 - lon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-9
+
+    def test_zone_and_hemisphere(self):
+        from geomesa_ray.geo.reproject import lonlat_to_utm
+
+        e, n, z, s = lonlat_to_utm(np.array([2.3522]), np.array([48.8566]))
+        assert z[0] == 31 and not s[0] and 400_000 < e[0] < 500_000
+        e, n, z, s = lonlat_to_utm(np.array([151.2]), np.array([-33.87]))
+        assert z[0] == 56 and s[0] and n[0] > 6_000_000
