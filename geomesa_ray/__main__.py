@@ -76,14 +76,24 @@ def cmd_query(args):
     _init_ray(args.num_cpus)
     from geomesa_ray.pipelines.query import QuerySpec, query_indexed
 
-    spec = QuerySpec(
-        geometries=[args.geometry] if args.geometry else [],
-        intervals=[(args.t0, args.t1)] if args.t0 is not None else [],
-        columns=args.columns.split(",") if args.columns else None,
-        limit=args.limit,
-        sort_by=[args.sort_by] if args.sort_by else None,
-    )
-    ds = query_indexed(args.indexed, spec, level=args.level, ts_col=args.ts_col)
+    if args.ecql:
+        # text front-end (ECQL.toFilter parity): pushdown + residual mask
+        from geomesa_ray.pipelines.query import query_indexed_ecql
+
+        ds = query_indexed_ecql(
+            args.indexed, args.ecql, level=args.level, ts_col=args.ts_col,
+            columns=args.columns.split(",") if args.columns else None,
+            limit=args.limit, sort_by=[args.sort_by] if args.sort_by else None,
+        )
+    else:
+        spec = QuerySpec(
+            geometries=[args.geometry] if args.geometry else [],
+            intervals=[(args.t0, args.t1)] if args.t0 is not None else [],
+            columns=args.columns.split(",") if args.columns else None,
+            limit=args.limit,
+            sort_by=[args.sort_by] if args.sort_by else None,
+        )
+        ds = query_indexed(args.indexed, spec, level=args.level, ts_col=args.ts_col)
     if args.out:
         ds.write_parquet(args.out)
         print(json.dumps({"written": args.out}))
@@ -139,6 +149,7 @@ def main(argv=None):
 
     s = sub.add_parser("query")
     s.add_argument("--indexed", required=True)
+    s.add_argument("--ecql", default=None, help="ECQL filter text (overrides --geometry/--t0/--t1)")
     s.add_argument("--geometry", default=None)
     s.add_argument("--t0", type=int, default=None)
     s.add_argument("--t1", type=int, default=None)

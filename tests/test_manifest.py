@@ -108,3 +108,17 @@ class TestSpanChecksum:
         new_spans = pa.ListArray.from_arrays(spans.offsets, mutated)
         t2 = t.set_column(t.schema.get_field_index("spans"), "spans", new_spans)
         assert span_checksum(t2) != a
+
+
+class TestIntrospect:
+    """IteratorStackCount analog: task counts parsed from ds.stats()."""
+
+    def test_stack_count(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.state.introspect import stack_count
+
+        ds = rd.range(10_000).map_batches(lambda t: t, batch_format="pyarrow").materialize()
+        rep = stack_count(ds)
+        assert rep["total_tasks"] >= 1
+        assert any("MapBatches" in name for name, _, _ in rep["stages"])
