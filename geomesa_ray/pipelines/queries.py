@@ -567,12 +567,21 @@ def q_distinct_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["ts", "user_id"]).map_batches(add_day, batch_format="pyarrow")
 
-    # two-level aggregate (no per-group pandas): distinct pairs via a
-    # groupby-count, then count pairs per day — both sort-based shuffles
-    from ray.data.aggregate import Count
+    # two-level: dedupe (day, user) pairs inside coarse user-hash buckets
+    # (vectorized drop_duplicates; a sort-aggregate over the fine-grained
+    # pair key pays per-distinct-key cost), then one tiny per-day count
+    from ray.data.aggregate import Sum
 
-    pairs = ds.groupby(["day_bin", "user_id"]).aggregate(Count(alias_name="__c"))
-    return pairs.groupby("day_bin").aggregate(Count(alias_name="n_users")).map_batches(
+    from geomesa_ray.stages.windows import _add_key_bucket, _n_buckets
+
+    def partial_days(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.drop_duplicates(subset=["day_bin", "user_id"])
+        out = pairs.groupby("day_bin", sort=False).size().reset_index(name="__c")
+        return out
+
+    pre = ds.map_batches(_add_key_bucket("user_id", _n_buckets()), batch_format="pyarrow")
+    partials = pre.groupby("__kb").map_groups(partial_days, batch_format="pandas")
+    return partials.groupby("day_bin").aggregate(Sum("__c", alias_name="n_users")).map_batches(
         lambda t: pa.table({"day_bin": t.column("day_bin").cast(pa.int64()),
                             "n_users": t.column("n_users").cast(pa.int64())}),
         batch_format="pyarrow",

@@ -161,15 +161,56 @@ def bench_extent(n_docs: int, num_cpus: int = 32, half_deg: float = 0.005) -> di
     }
 
 
+def bench_windows(n_rows: int, n_keys: int = 1_000_000, num_cpus: int = 32) -> dict:
+    """session_windows (coarse-bucket gaps-and-islands) vs tumbling_window
+    (plain groupby-aggregate) on the same synthetic log — the round-1
+    verdict's 2x bar for the natural-key window family."""
+    _init(num_cpus)
+    import ray.data as rd
+
+    from geomesa_ray.cells.shard import mix64
+    from geomesa_ray.stages.windows import session_windows, tumbling_window
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        user = (mix64(ids) % np.uint64(n_keys)).astype(np.int64)
+        ts = (np.int64(1_700_000_000_000)
+              + (mix64(ids * np.uint64(3)) % np.uint64(30 * 86_400_000)).astype(np.int64))
+        val = (mix64(ids * np.uint64(5)) % np.uint64(10_000)).astype(np.int64)
+        return pa.table({"user_id": pa.array(user), "ts": pa.array(ts),
+                         "value_cents": pa.array(val)})
+
+    def log():
+        return rd.range(n_rows).map_batches(mk, batch_format="pyarrow")
+
+    t0 = time.time()
+    n_tumble = tumbling_window(log(), "user_id", "ts", 3_600_000, "value_cents").count()
+    t_tumble = time.time() - t0
+    t0 = time.time()
+    n_sessions = session_windows(log(), "user_id", "ts", 1_800_000).count()
+    t_sessions = time.time() - t0
+    return {
+        "metric": "window family throughput (rows/sec)",
+        "rows": n_rows, "keys": n_keys,
+        "tumbling_sec": round(t_tumble, 2), "tumbling_windows": int(n_tumble),
+        "session_sec": round(t_sessions, 2), "sessions": int(n_sessions),
+        "session_vs_tumbling": round(t_sessions / t_tumble, 2),
+        "num_cpus": num_cpus,
+    }
+
+
 if __name__ == "__main__":
     import ray
 
     mode = sys.argv[1]
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else (6_000_000 if mode == "dedup" else 3_000_000)
+    defaults = {"dedup": 6_000_000, "extent": 3_000_000, "windows": 48_000_000}
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 1_000_000)
     if mode == "dedup":
         out = bench_dedup(n)
     elif mode == "extent":
         out = bench_extent(n)
+    elif mode == "windows":
+        out = bench_windows(n)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(json.dumps(out))
