@@ -1806,6 +1806,32 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["doc_id", "media_ref", "feature_dim"])
 
 
+def q_media_decode(sf_dir: str):
+    """REAL native-format media decode (PPM images + PCM16 WAV audio, pure
+    numpy codecs) over deterministic synthesized payloads; compressed
+    formats fall back with decoded=False (rows-only: decode math isn't
+    SQL)."""
+    import ray.data as rd
+
+    from geomesa_ray.stages.codecs import encode_ppm, encode_wav
+    from geomesa_ray.stages.media import decode_media
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(300):
+        kind = i % 3
+        if kind == 0:
+            img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            rows.append({"media_ref": f"img://{i:04d}", "payload": encode_ppm(img)})
+        elif kind == 1:
+            wav = rng.normal(0, 1000, 2000).astype(np.int16)
+            rows.append({"media_ref": f"aud://{i:04d}", "payload": encode_wav(wav)})
+        else:
+            rows.append({"media_ref": f"vid://{i:04d}", "payload": b"\x00compressed"})
+    out = decode_media(rd.from_items(rows), dim=16)
+    return out.select_columns(["media_ref", "media_kind", "feature_dim", "decoded"])
+
+
 def q_bin_export(sf_dir: str):
     """Packed 16-byte BIN records over events (rows-only: binary payload)."""
     from geomesa_ray.stages.bin_export import bin_export
@@ -1966,6 +1992,7 @@ QUERIES = {
     "s3_keys": q_s3_keys,
     "ivf_neighbors": q_ivf_neighbors,
     "media_features": q_media_features,
+    "media_decode": q_media_decode,
     "bin_export": q_bin_export,
     "corpus_pip_join": q_corpus_pip_join,
     "corpus_density": q_corpus_density,

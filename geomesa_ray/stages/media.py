@@ -1,16 +1,18 @@
-"""Multimodal (image/audio/video) stage plumbing.
+"""Multimodal (image/audio/video) stage plumbing + native-format decode.
 
 Media rides in the corpus as opaque references inside ``kind == "media"``
-spans (``media_ref`` like ``img://<hash>``); payload bytes would be a
-``binary`` column. The decode libraries are NOT in this container, so the
-decode kernel is stubbed two ways:
+spans (``media_ref`` like ``img://<hash>``); payload bytes travel as a
+``binary`` column keyed by media_ref. Decode tiers:
 
-- ``fake=True`` (default for tests/bench): a deterministic feature vector
-  derived from the media_ref hash — exercises the REAL Ray plumbing
-  (actor-pool stage, small batches for large payloads, list<float> output
-  schema, metadata columns) end to end.
-- ``fake=False``: raises NotImplementedError with the dependency note —
-  the marked integration point for a real decoder.
+- ``MediaDecode`` (REAL): PPM/PGM images and PCM16 WAV audio decode with
+  pure numpy (``stages/codecs.py`` — plain-byte public formats need no
+  library) into block-mean / RMS-envelope feature vectors.
+- compressed formats (jpeg/png/mp3/mp4): no codec libraries exist in this
+  container — rows fall back to deterministic ref-hash features with
+  ``decoded=False`` so downstream filters can route them (the documented
+  integration point for a real codec).
+- ``MediaFeatureExtract`` with ``fake=True``: span-explode plumbing with
+  hash features only (bench/tests without payloads).
 
 Batch sizing: media batches must be small (payload x batch_size x
 concurrency bounded by worker heap — SURVEY §4 memory row); default 256.
@@ -31,9 +33,9 @@ class MediaFeatureExtract:
                  id_col: str = "doc_id"):
         if not fake:
             raise NotImplementedError(
-                "real media decode requires an image/audio library not present "
-                "in this environment; run with fake=True for deterministic "
-                "plumbing-identical features"
+                "span-explode with inline decode is not wired; decode real "
+                "payloads with stages.media.decode_media (PPM/PGM/WAV native; "
+                "compressed formats need codec libraries absent here)"
             )
         self.dim = dim
         self.spans_col = spans_col
@@ -80,6 +82,95 @@ class MediaFeatureExtract:
             "features": features,
             "feature_dim": pa.array(np.full(len(refs), self.dim, dtype=np.int32)),
         })
+
+
+class MediaDecode:
+    """Actor-pool stage over (media_ref, payload: binary) rows: REAL decode
+    for the engine's native formats, honest fallback elsewhere.
+
+    Output: media_ref, features list<float32>, feature_dim, media_kind
+    ('image' | 'audio' | 'unknown'), decoded (bool)."""
+
+    def __init__(self, dim: int = 64, payload_col: str = "payload",
+                 ref_col: str = "media_ref"):
+        from geomesa_ray.stages.codecs import (
+            audio_features,
+            decode_ppm,
+            decode_wav,
+            image_features,
+        )
+
+        self.dim = dim
+        self.grid = max(2, int(np.sqrt(dim)))
+        self.payload_col = payload_col
+        self.ref_col = ref_col
+        self._decode_ppm = decode_ppm
+        self._decode_wav = decode_wav
+        self._image_features = image_features
+        self._audio_features = audio_features
+
+    def _fallback(self, refs: np.ndarray) -> np.ndarray:
+        from geomesa_ray.cells.shard import fnv1a_str
+        from geomesa_ray.stages.stats import _mix64
+
+        h = _mix64(fnv1a_str(refs))
+        out = np.empty((len(refs), self.dim), dtype=np.float32)
+        x = h.copy()
+        for d in range(self.dim):
+            x = _mix64(x + np.uint64(d + 1))
+            out[:, d] = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53) - 0.5
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        refs = batch.column(self.ref_col).to_numpy(zero_copy_only=False).astype(object)
+        n = len(payloads)
+        feats = np.zeros((n, self.dim), dtype=np.float32)
+        kinds = np.empty(n, dtype=object)
+        decoded = np.zeros(n, dtype=bool)
+        fb = None
+        for i, blob in enumerate(payloads):
+            blob = bytes(blob) if blob is not None else b""
+            try:
+                if blob.startswith((b"P6", b"P5")):
+                    f = self._image_features(self._decode_ppm(blob), grid=self.grid)
+                    feats[i, : len(f)] = f[: self.dim]
+                    kinds[i], decoded[i] = "image", True
+                elif blob.startswith(b"RIFF"):
+                    samples, _ = self._decode_wav(blob)
+                    feats[i] = self._audio_features(samples, dim=self.dim)
+                    kinds[i], decoded[i] = "audio", True
+                else:
+                    raise ValueError("unknown container")
+            except Exception:
+                if fb is None:
+                    fb = self._fallback(refs)
+                feats[i] = fb[i]
+                kinds[i] = "unknown"
+        offsets = pa.array(np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int32))
+        features = pa.ListArray.from_arrays(offsets, pa.array(feats.ravel(), type=pa.float32()))
+        return pa.table({
+            self.ref_col: pa.array(refs.astype(str)),
+            "features": features,
+            "feature_dim": pa.array(np.full(n, self.dim, dtype=np.int32)),
+            "media_kind": pa.array(kinds, type=pa.string()),
+            "decoded": pa.array(decoded),
+        })
+
+
+def decode_media(ds, dim: int = 64, batch_size: int = 64, concurrency=None,
+                 payload_col: str = "payload", ref_col: str = "media_ref"):
+    """Dataset[(media_ref, payload binary)] -> decoded feature rows (small
+    batches: payloads are the large side)."""
+    from geomesa_ray.util import default_concurrency
+
+    return ds.map_batches(
+        MediaDecode,
+        fn_constructor_kwargs=dict(dim=dim, payload_col=payload_col, ref_col=ref_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
 
 
 def media_features(ds, dim: int = 64, fake: bool = True, batch_size: int = 256,

@@ -185,3 +185,60 @@ class TestStageRegistry:
         assert 0 < n < len(df)
         with pytest.raises(KeyError, match="unknown stage"):
             apply(ds, "nope")
+
+
+class TestMediaDecode:
+    """REAL native-format decode (PPM/PGM/WAV) vs the numpy reference."""
+
+    def test_ppm_roundtrip_and_features(self):
+        from geomesa_ray.stages.codecs import decode_ppm, encode_ppm, image_features
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        back = decode_ppm(encode_ppm(img))
+        assert np.array_equal(back, img)
+        gray = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+        f = image_features(img, grid=8)
+        assert f.shape == (64,) and f.dtype == np.float32
+        assert 0.0 <= f.min() and f.max() <= 1.0
+
+    def test_wav_roundtrip_and_features(self):
+        from geomesa_ray.stages.codecs import audio_features, decode_wav, encode_wav
+
+        rng = np.random.default_rng(5)
+        samples = (rng.normal(0, 3000, (8000, 2))).astype(np.int16)
+        back, rate = decode_wav(encode_wav(samples, rate=16000))
+        assert rate == 16000 and np.array_equal(back, samples)
+        f = audio_features(samples, dim=32)
+        assert f.shape == (32,) and (f >= 0).all()
+
+    def test_decode_media_stage(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.codecs import (
+            audio_features,
+            encode_ppm,
+            encode_wav,
+            image_features,
+        )
+        from geomesa_ray.stages.media import decode_media
+
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        wav = (rng.normal(0, 1000, 4000)).astype(np.int16)
+        rows = [
+            {"media_ref": "img://a", "payload": encode_ppm(img)},
+            {"media_ref": "aud://b", "payload": encode_wav(wav)},
+            {"media_ref": "vid://c", "payload": b"\x00\x01compressed"},
+        ]
+        out = decode_media(rd.from_items(rows), dim=64).to_pandas().set_index("media_ref")
+        assert out.loc["img://a", "media_kind"] == "image" and out.loc["img://a", "decoded"]
+        assert out.loc["aud://b", "media_kind"] == "audio" and out.loc["aud://b", "decoded"]
+        assert out.loc["vid://c", "media_kind"] == "unknown" and not out.loc["vid://c", "decoded"]
+        np.testing.assert_allclose(
+            np.asarray(out.loc["img://a", "features"])[:64],
+            image_features(img, grid=8), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.loc["aud://b", "features"]),
+            audio_features(wav, dim=64), rtol=1e-6)
