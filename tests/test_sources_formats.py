@@ -89,3 +89,30 @@ class TestFixedWidth:
         ds = read_fixed_width(str(f), self.FIELDS)
         df = ds.to_pandas().sort_values("station").reset_index(drop=True)
         assert df["lat"].tolist() == [40.7, 48.85]
+
+
+class TestXml:
+    DOC = """<?xml version="1.0"?>
+    <obs_set>
+      <obs id="1"><name>alpha</name><pos><lon>2.35</lon><lat>48.85</lat></pos></obs>
+      <obs id="2"><name>beta</name><pos><lon>-74.0</lon><lat>40.7</lat></pos></obs>
+      <obs id="3"><name/><pos><lon>0.0</lon><lat>0.0</lat></pos></obs>
+    </obs_set>"""
+    FIELDS = {"id": ("@id", "long"), "name": ("name", "string"),
+              "lon": ("pos/lon", "double"), "lat": ("pos/lat", "double")}
+
+    def test_parse_records(self):
+        from geomesa_ray.sources.xmlsrc import parse_xml_records
+
+        t = parse_xml_records(self.DOC, "obs", self.FIELDS)
+        assert t.column("id").to_pylist() == [1, 2, 3]
+        assert t.column("name").to_pylist() == ["alpha", "beta", None]
+        assert t.column("lon").to_pylist() == [2.35, -74.0, 0.0]
+
+    def test_ray_dataset(self, tmp_path, ray_session):
+        from geomesa_ray.sources.xmlsrc import read_xml
+
+        for i in range(2):
+            (tmp_path / f"f{i}.xml").write_text(self.DOC)
+        ds = read_xml(str(tmp_path), "obs", self.FIELDS)
+        assert ds.count() == 6
