@@ -123,11 +123,14 @@ class _AssignPartition:
     groups were the bottleneck at fine partition levels)."""
 
     def __init__(self, partition_level: int, n_salts: int, n_buckets: int, hot_cells_ref,
-                 lon_col, lat_col, id_col):
+                 lon_col, lat_col, id_col, poly_cells_ref=None):
         self.grid = ZCellGrid(partition_level)
         self.n_salts = n_salts
         self.n_buckets = n_buckets
         self.hot = ray.get(hot_cells_ref) if isinstance(hot_cells_ref, ray.ObjectRef) else hot_cells_ref
+        pc = (ray.get(poly_cells_ref) if isinstance(poly_cells_ref, ray.ObjectRef)
+              else poly_cells_ref)
+        self.poly_cells = np.sort(pc) if pc is not None and len(pc) else None
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.id_col = id_col
@@ -138,6 +141,15 @@ class _AssignPartition:
         lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
         lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
         pcell = self.grid.cell_of_points(lon, lat, lenient=True)
+        if self.poly_cells is not None:
+            # shuffle ONLY candidate points: a match requires the point's
+            # cell to be in some polygon's covering (the reference scans
+            # covering ranges only — BatchScanPlan semantics)
+            pos = np.searchsorted(self.poly_cells, pcell)
+            pos = np.minimum(pos, len(self.poly_cells) - 1)
+            keep = self.poly_cells[pos] == pcell
+            batch = batch.filter(pa.array(keep))
+            lon, lat, pcell = lon[keep], lat[keep], pcell[keep]
         bucket = (fnv1a_u64(pcell) % np.uint64(self.n_buckets)).astype(np.int32)
         if self.n_salts > 1 and len(self.hot):
             ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
@@ -191,13 +203,16 @@ def detect_hot_cells(
     WEIGHTED/RTREE sample partitioning, RelationUtils.scala:107-158): a cell
     is hot if its sampled count exceeds hot_multiple x the mean.
 
-    Uses ``limit(sample_rows)`` so the streaming executor stops the upstream
-    pipeline after the first blocks instead of a full-scan random sample —
-    hot spots (cities, coastlines) are global phenomena present in any
-    prefix of the data; a biased-but-cheap sample is the right trade at
-    100 TB. Callers with better knowledge pass ``hot_cells`` explicitly."""
-    sample = points_ds.select_columns([lon_col, lat_col]).limit(sample_rows)
-    df = sample.to_pandas()
+    Samples STRATIFIED across the whole dataset (``random_sample`` touches
+    every block) so a hot region that only appears late in time-ordered
+    input is still seen — the round-1 prefix-sample trade missed it; the
+    two-column sample scan is cheap next to the join itself. Falls back to
+    a prefix when the sampled set is tiny. Callers with better knowledge
+    pass ``hot_cells`` explicitly."""
+    two_cols = points_ds.select_columns([lon_col, lat_col])
+    df = two_cols.random_sample(0.05).limit(sample_rows).to_pandas()
+    if len(df) < 5000:
+        df = two_cols.limit(sample_rows).to_pandas()
     if df.empty:
         return np.empty(0, dtype=np.int64)
     grid = ZCellGrid(partition_level)
@@ -232,6 +247,17 @@ def partitioned_pip_join(
         hot_cells = detect_hot_cells(points_ds, partition_level, lon_col, lat_col)
     hot_ref = ray.put(hot_cells)
 
+    # union of all polygons' covering cells (driver-side, small): points
+    # outside it cannot match and are dropped BEFORE the shuffle
+    _wkts, _ = _as_wkt_list(polygons)
+    _grid = ZCellGrid(partition_level)
+    _cells = [np.asarray([], dtype=np.int64)]
+    for _w in _wkts:
+        _p = Polygon.from_wkt(_w) if isinstance(_w, str) else _w
+        _cells.append(_grid.cover_bbox(*_p.bbox()))
+    poly_cells = np.unique(np.concatenate(_cells))
+    poly_cells_ref = ray.put(poly_cells)
+
     if keep_cols is not None:
         cols = list(dict.fromkeys([id_col, lon_col, lat_col] + keep_cols))
         points_ds = points_ds.select_columns(cols)
@@ -246,6 +272,7 @@ def partitioned_pip_join(
             "lon_col": lon_col,
             "lat_col": lat_col,
             "id_col": id_col,
+            "poly_cells_ref": poly_cells_ref,
         },
         batch_format="pyarrow",
         concurrency=default_concurrency(),
