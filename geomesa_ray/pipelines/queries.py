@@ -263,6 +263,44 @@ def oracle_knn() -> str:
     """
 
 
+def q_knn_indexed(sf_dir: str):
+    """Cell-pruned expanding-window kNN over an indexed layout
+    (KNearestNeighborSearchProcess.scala:278-301 parity) — EXACT by the
+    covered-radius guarantee, so it shares the brute-force kNN oracle."""
+    import os
+
+    from geomesa_ray.stages.knn import knn_indexed
+
+    idx_dir = f"/tmp/graft_knn_idx/{os.path.basename(os.path.normpath(sf_dir))}"
+    marker = os.path.join(idx_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(idx_dir, exist_ok=True)
+        from geomesa_ray.cells.zcell import ZCellGrid
+
+        ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+        v = ev.column("value").to_numpy()
+        lon = np.fmod(v * _LON_MUL, 360.0) - 180.0
+        lat = np.fmod(v * _LAT_MUL, 180.0) - 90.0
+        cells = ZCellGrid(12).cell_of_points(lon, lat)
+        t = pa.table({"event_id": ev.column("event_id"), "lon": pa.array(lon),
+                      "lat": pa.array(lat), "cell_id": pa.array(cells)})
+        half = t.num_rows // 2
+        pq.write_table(t.slice(0, half), os.path.join(idx_dir, "part-0.parquet"))
+        pq.write_table(t.slice(half), os.path.join(idx_dir, "part-1.parquet"))
+        open(marker, "w").close()
+
+    q = pd.DataFrame(
+        {"query_id": [k[0] for k in KNN_QUERIES],
+         "lon": [k[1] for k in KNN_QUERIES],
+         "lat": [k[2] for k in KNN_QUERIES]}
+    )
+    out = knn_indexed(idx_dir, q, k=10, level=12, r0_m=500_000, id_col="event_id")
+    return pd.DataFrame({
+        "query_id": out["query_id"].astype(str),
+        "neighbor_id": out["neighbor_id"].astype(np.int64),
+    })
+
+
 def q_time_bins(sf_dir: str):
     """Z3-style day binning + grouped counts (BinnedTime / Z3 keyspace)."""
     from geomesa_ray.curves.binnedtime import BinnedTime
@@ -1952,6 +1990,7 @@ QUERIES = {
     "pip_join": q_pip_join,
     "density": q_density,
     "knn": q_knn,
+    "knn_indexed": q_knn_indexed,
     "time_bins": q_time_bins,
     "agg_lineitem": q_agg_lineitem,
     "topk_customers": q_topk_customers,
@@ -2006,6 +2045,7 @@ ORACLES = {
     "pip_join": oracle_pip_join(),
     "density": oracle_density(),
     "knn": oracle_knn(),
+    "knn_indexed": oracle_knn(),
     "time_bins": oracle_time_bins(),
     "agg_lineitem": oracle_agg_lineitem(),
     "topk_customers": oracle_topk_customers(),
