@@ -736,6 +736,25 @@ def f_st_antimeridian_safe_bbox(xmin, ymin, xmax, ymax):
     return split_bbox(float(xmin), float(ymin), float(xmax), float(ymax))
 
 
+def f_z3_uuid(lon, lat, epoch_ms, content):
+    """Z3FeatureIdGenerator parity (reference geomesa-index-api/.../
+    Z3FeatureIdGenerator.scala): ids carry a [time-bin][z3] prefix so
+    feature ids cluster spatio-temporally, suffixed with a deterministic
+    content uuid. Output: '<bin:4hex><z3:16hex>-<uuid5>'."""
+    from geomesa_ray.curves.z3 import Z3SFC
+
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ms = np.asarray(epoch_ms, dtype=np.int64)
+    sfc = Z3SFC("week")
+    bins, z3 = sfc.index_millis(lon, lat, ms, lenient=True)
+    suffix = f_uuid_from(content)
+    out = np.empty(len(lon), dtype=object)
+    for i in range(len(out)):  # id strings; few per batch relative to math
+        out[i] = f"{int(bins[i]) & 0xFFFF:04x}{int(z3[i]) & 0xFFFFFFFFFFFFFFFF:016x}-{suffix[i]}"
+    return out
+
+
 FUNCTIONS = {
     # strings
     "trim": f_trim, "stripQuotes": f_strip_quotes, "stripPrefix": f_strip_prefix,
@@ -776,7 +795,7 @@ FUNCTIONS = {
     "st_pointFromText": f_st_point_from_text,
     "antimeridianSafeBBox": f_st_antimeridian_safe_bbox,
     # id / hash
-    "md5": f_md5, "hash64": f_hash64, "uuid": f_uuid_from,
+    "md5": f_md5, "hash64": f_hash64, "uuid": f_uuid_from, "uuidZ3": f_z3_uuid,
 }
 
 

@@ -104,3 +104,23 @@ def test_point_from_text_and_antimeridian():
     assert out[0] == "POINT (1.0 2.0)" and out[1] is None
     boxes = call("antimeridianSafeBBox", 170, -10, 190, 10)
     assert len(boxes) == 2 and boxes[0][2] == 180.0
+
+
+def test_uuid_z3_prefix_clusters_spatially():
+    from geomesa_ray.curves.z3 import Z3SFC
+
+    ms = np.array([1704067200000, 1704067200000, 1704067200000])
+    lon = np.array([2.35, 2.3501, 139.69])
+    lat = np.array([48.85, 48.8501, 35.68])
+    ids = call("uuidZ3", lon, lat, ms, np.array(["a", "b", "c"], dtype=object))
+    bins, z3 = Z3SFC("week").index_millis(lon, lat, ms, lenient=True)
+    for i in range(3):
+        assert ids[i].startswith(f"{int(bins[i]) & 0xFFFF:04x}")
+        assert ids[i][4:20] == f"{int(z3[i]) & 0xFFFFFFFFFFFFFFFF:016x}"
+    # nearby points share a long prefix; the far one does not
+    shared = len(os_common_prefix := [a == b for a, b in zip(ids[0][:20], ids[1][:20])])
+    assert sum(os_common_prefix) > 14
+    assert ids[0][:8] != ids[2][:8]
+    # deterministic
+    again = call("uuidZ3", lon, lat, ms, np.array(["a", "b", "c"], dtype=object))
+    assert list(ids) == list(again)
