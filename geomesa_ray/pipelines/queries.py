@@ -1420,9 +1420,69 @@ def q_minhash_dedup_docs(sf_dir: str):
 
 
 def q_simhash_pairs_docs(sf_dir: str):
+    """SimHash near-dup pairs, verified against a full simhash-in-SQL
+    oracle (per-token FNV + splitmix64 + bit votes + banded self-joins)."""
     from geomesa_ray.stages.dedup import simhash_pairs
 
     return simhash_pairs(_read(sf_dir, "documents"), max_hamming=8)
+
+
+def oracle_simhash_pairs() -> str:
+    """Full simhash-in-SQL oracle (stages/dedup.py simhash64 + banded
+    pairs): per-token FNV-1a over chained CTEs, splitmix64 finalizer with
+    the 64-bit multiply decomposed into 32-bit halves (INT128 would
+    overflow), per-bit majority vote, 4x16-bit band self-joins, Hamming via
+    bit_count(xor). Exact for bucket sizes under the engine's hot-bucket
+    cap (documents at gate scale are far below it)."""
+    MAXLEN = 24
+    prime, mod = 1099511628211, 1 << 64
+
+    def mulmod(h, c):
+        return (f"((({h} % 4294967296) * {c} "
+                f"+ ((({h} >> 32) * {c % (1 << 32)}) % 4294967296) * 4294967296) % {mod})")
+
+    lvls = ["t0 AS (SELECT doc_id, tok, CAST(14695981039346656037 AS HUGEINT) AS h FROM tf)"]
+    for k in range(MAXLEN):
+        b = f"ascii(substr(tok, {k + 1}, 1))"
+        lvls.append(
+            f"t{k + 1} AS (SELECT doc_id, tok, CASE WHEN length(tok) > {k} "
+            f"THEN (((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), {b})) * {prime}) % {mod}) "
+            f"ELSE h END AS h FROM t{k})")
+    C1, C2 = 13787848793156543929, 10723151780598845931
+    bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (hm >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS HUGEINT) ELSE 0 END)"
+        for b in range(64))
+    band_pairs = "\n    UNION ALL\n".join(
+        f"""    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh2 a JOIN sh2 b
+      ON ((a.shu >> {16 * band}) & 65535) = ((b.shu >> {16 * band}) & 65535)
+     AND a.doc_id < b.doc_id"""
+        for band in range(4))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    {','.join(lvls)},
+    m1 AS (SELECT doc_id, {mulmod('(xor(h, h >> 30))', C1)} AS z FROM t{MAXLEN}),
+    m2 AS (SELECT doc_id, {mulmod('(xor(z, z >> 27))', C2)} AS z FROM m1),
+    m3 AS (SELECT doc_id, xor(z, z >> 31) AS hm FROM m2),
+    shx AS (SELECT doc_id, {bits} AS shu FROM m3 GROUP BY doc_id),
+    sh2 AS (
+      SELECT d.doc_id, coalesce(s.shu, 0) AS shu,
+             CAST(CASE WHEN coalesce(s.shu, 0) >= 9223372036854775808
+                       THEN coalesce(s.shu, 0) - 18446744073709551616
+                       ELSE coalesce(s.shu, 0) END AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN shx s ON s.doc_id = d.doc_id
+    ),
+    allpairs AS (
+{band_pairs}
+    )
+    SELECT DISTINCT left_id, right_id, hamming FROM allpairs WHERE hamming <= 8
+    """
 
 
 def q_lang_quality(sf_dir: str):
@@ -1871,7 +1931,9 @@ def q_media_decode(sf_dir: str):
 
 
 def q_bin_export(sf_dir: str):
-    """Packed 16-byte BIN records over events (rows-only: binary payload)."""
+    """Packed 16-byte BIN records over events, verified against a SQL
+    oracle that rebuilds the FNV track hash and IEEE-754 float32 bit
+    patterns arithmetically."""
     from geomesa_ray.stages.bin_export import bin_export
 
     out = bin_export(_geo_events(sf_dir), "user_id", "ts")
@@ -1879,6 +1941,63 @@ def q_bin_export(sf_dir: str):
         lambda t: pa.table({"bin_hex": pa.array([b.hex() for b in t.column("bin").to_pylist()])}),
         batch_format="pyarrow",
     )
+
+
+def _sql_f32_bits(var: str, out: str) -> list[str]:
+    """Chained CTE columns computing the IEEE-754 float32 bit pattern of a
+    DOUBLE (bin_export.py packs lat/lon as f32): CAST to FLOAT first (exact
+    round), then sign/exponent/mantissa arithmetically. log2 at exact
+    powers of two is corrected explicitly; zero handled; subnormals don't
+    occur for |coords| >= 1e-38."""
+    a = f"__{out}_a"
+    e = f"__{out}_e"
+    return [
+        f"CAST(abs(CAST({var} AS FLOAT)) AS DOUBLE) AS {a}",
+        (f"CASE WHEN {a} = 0 THEN 0 ELSE "
+         f"CAST(floor(log2({a})) AS BIGINT) "
+         f"+ (CASE WHEN {a} >= power(2.0, CAST(floor(log2({a})) AS BIGINT) + 1) THEN 1 "
+         f"WHEN {a} < power(2.0, CAST(floor(log2({a})) AS BIGINT)) THEN -1 ELSE 0 END) "
+         f"END AS {e}"),
+        (f"CASE WHEN {a} = 0 THEN (CASE WHEN CAST({var} AS FLOAT) = 0 THEN 0 ELSE 2147483648 END) ELSE "
+         f"(CASE WHEN {var} < 0 THEN 2147483648 ELSE 0 END) "
+         f"+ (({e} + 127) * 8388608) "
+         f"+ CAST(round({a} / power(2.0, {e}) * 8388608.0) AS BIGINT) - 8388608 "
+         f"END AS {out}"),
+    ]
+
+
+def _sql_le_hex(var: str) -> str:
+    """32-bit int -> little-endian byte hex (the numpy .view(uint8) order)."""
+    return (f"printf('%02x%02x%02x%02x', {var} & 255, ({var} >> 8) & 255, "
+            f"({var} >> 16) & 255, ({var} >> 24) & 255)")
+
+
+def oracle_bin_export() -> str:
+    """Rebuilds the 16-byte BIN records in SQL: FNV-1a track hash (low 32
+    bits), dtg seconds, and IEEE-754 float32 lat/lon bit patterns, all in
+    little-endian byte hex (stages/bin_export.py layout)."""
+    fnv = ",\n             ".join(_sql_fnv_shard("user_id", 1 << 62)[:-1])  # keep __h8
+    lat_bits = ",\n             ".join(_sql_f32_bits("lat", "latb"))
+    lon_bits = ",\n             ".join(_sql_f32_bits("lon", "lonb"))
+    return f"""
+    WITH pts AS ({_DERIVE_SQL}),
+    h AS (
+      SELECT event_id, ts, lat, lon,
+             {fnv}
+      FROM pts
+    ),
+    b AS (
+      SELECT event_id,
+             CAST(__h8 % 4294967296 AS BIGINT) AS track32,
+             CAST(epoch_ms(ts) // 1000 AS BIGINT) AS secs,
+             {lat_bits},
+             {lon_bits}
+      FROM h
+    )
+    SELECT {_sql_le_hex('track32')} || {_sql_le_hex('secs')}
+           || {_sql_le_hex('latb')} || {_sql_le_hex('lonb')} AS bin_hex
+    FROM b
+    """
 
 
 def q_corpus_pip_join(sf_dir: str):
@@ -2077,10 +2196,12 @@ ORACLES = {
     "track_lines": oracle_track_lines(),
     "grouped_stats": oracle_grouped_stats(),
     "lang_quality": oracle_lang_quality(),
+    "simhash_pairs_docs": oracle_simhash_pairs(),
     "poly_join": oracle_poly_join(),
     "tube_select": oracle_tube_select(),
     "route_search": oracle_route_search(),
     "cosine_dedup": oracle_cosine_dedup(),
     "corpus_density": oracle_corpus_density(),
     "corpus_pip_join": oracle_corpus_pip_join(),
+    "bin_export": oracle_bin_export(),
 }
