@@ -33,6 +33,22 @@ from geomesa_ray.geo.wkt import parse_wkt
 
 RANGE_TARGET = 2000  # geomesa.scan.ranges.target (QueryProperties.scala:22)
 
+# QueryInterceptor parity (reference geomesa-index-api/.../planning/
+# QueryInterceptor.scala): registered callables rewrite the QuerySpec before
+# planning — security filters, default time windows, query hints. Applied
+# in registration order by query_indexed.
+_QUERY_INTERCEPTORS: list = []
+
+
+def register_query_interceptor(fn):
+    """fn(spec: QuerySpec) -> QuerySpec. Returns fn (decorator-friendly)."""
+    _QUERY_INTERCEPTORS.append(fn)
+    return fn
+
+
+def clear_query_interceptors():
+    _QUERY_INTERCEPTORS.clear()
+
 
 @dataclass
 class QuerySpec:
@@ -111,6 +127,9 @@ def query_indexed(
     import ray.data as rd
 
     # expand directories -> parquet files (skip _manifest etc.)
+    for interceptor in _QUERY_INTERCEPTORS:
+        spec = interceptor(spec)
+
     dirs = [indexed_dir] if isinstance(indexed_dir, str) else list(indexed_dir)
     paths: list[str] = []
     for d in dirs:

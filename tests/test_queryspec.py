@@ -96,3 +96,43 @@ class TestQuerySpec:
         small = QuerySpec(geometries=[BBOX])
         cells = plan_cells(small, level=8)
         assert cells is not None and 0 < len(cells) <= 2000
+
+
+class TestQueryInterceptor:
+    """QueryInterceptor parity: registered rewrites apply before planning."""
+
+    def test_interceptor_rewrites_spec(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from geomesa_ray.cells.zcell import ZCellGrid
+        from geomesa_ray.pipelines.query import (
+            QuerySpec,
+            clear_query_interceptors,
+            query_indexed,
+            register_query_interceptor,
+        )
+
+        rng = np.random.default_rng(8)
+        lon = rng.uniform(-180, 180, 500)
+        lat = rng.uniform(-90, 90, 500)
+        t = pa.table({"fid": pa.array(np.arange(500)), "lon": pa.array(lon),
+                      "lat": pa.array(lat),
+                      "cell_id": pa.array(ZCellGrid(12).cell_of_points(lon, lat))})
+        pq_.write_table(t, tmp_path / "p.parquet")
+
+        @register_query_interceptor
+        def clamp_to_east(spec):
+            # security-filter style rewrite: force an eastern-hemisphere box
+            return QuerySpec(geometries=["POLYGON ((0 -90, 180 -90, 180 90, 0 90, 0 -90))"],
+                             intervals=spec.intervals, columns=spec.columns,
+                             limit=spec.limit, sort_by=spec.sort_by)
+
+        try:
+            got = query_indexed(str(tmp_path), QuerySpec(columns=["fid", "lon"]),
+                                level=12).to_pandas()
+            assert (got["lon"] >= 0).all()
+            assert len(got) == int((lon >= 0).sum())
+        finally:
+            clear_query_interceptors()
