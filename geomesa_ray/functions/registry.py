@@ -755,6 +755,54 @@ def f_z3_uuid(lon, lat, epoch_ms, content):
     return out
 
 
+def f_st_buffer(wkt_values, dist):
+    """st_buffer for points (16-gon circles, degrees) and CONVEX polygons
+    (exact planar offset with miter joins — each edge moves outward by
+    ``dist`` along its normal, adjacent offset edges intersect). JTS rounds
+    corners with quadrant segments; the miter variant is the documented
+    difference (no geometry library in this container)."""
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    dist = float(dist)
+    vals = np.asarray(wkt_values, dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    ang = np.linspace(0, 2 * np.pi, 17)
+    for i, w in enumerate(vals):
+        g = parse_wkt(str(w))
+        if g["type"] == "Point":
+            x, y = g["coords"]
+            xs = x + dist * np.cos(ang)
+            ys = y + dist * np.sin(ang)
+            out[i] = "POLYGON ((" + ", ".join(f"{a} {b}" for a, b in zip(xs, ys)) + "))"
+            continue
+        if g["type"] != "Polygon":
+            raise ValueError("st_buffer: Point and convex Polygon only")
+        ring = _open_ring(np.asarray(g["coords"][0], dtype=np.float64))
+        # ensure CCW orientation (positive shoelace) so normals point outward
+        x, y = ring[:, 0], ring[:, 1]
+        area2 = (x * np.roll(y, -1) - np.roll(x, -1) * y).sum()
+        if area2 < 0:
+            ring = ring[::-1]
+        e = np.roll(ring, -1, axis=0) - ring
+        nrm = np.stack([e[:, 1], -e[:, 0]], axis=1)
+        nrm = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
+        # offset edge k passes through p_k + d*n_k with direction e_k;
+        # vertex k of the buffered ring = intersection of edges k-1 and k
+        p = ring + dist * nrm
+        pprev = np.roll(p, 1, axis=0)
+        eprev = np.roll(e, 1, axis=0)
+        # solve pprev + t*eprev = p + s*e  (2x2 per vertex)
+        d = pprev - p
+        det = eprev[:, 0] * (-e[:, 1]) - eprev[:, 1] * (-e[:, 0])
+        t = (d[:, 1] * (-e[:, 0]) - d[:, 0] * (-e[:, 1])) / np.where(det == 0, 1e-300, det)
+        vx = pprev[:, 0] + t * eprev[:, 0]
+        vy = pprev[:, 1] + t * eprev[:, 1]
+        pts = np.stack([vx, vy], axis=1)
+        closed = np.vstack([pts, pts[:1]])
+        out[i] = "POLYGON ((" + ", ".join(f"{a} {b}" for a, b in closed) + "))"
+    return out
+
+
 FUNCTIONS = {
     # strings
     "trim": f_trim, "stripQuotes": f_strip_quotes, "stripPrefix": f_strip_prefix,
@@ -780,7 +828,7 @@ FUNCTIONS = {
     "st_dwithin": f_st_dwithin, "st_geoHash": f_st_geohash,
     "st_envelope": f_st_envelope, "st_centroid": f_st_centroid,
     "st_numPoints": f_st_num_points, "st_asGeoJSON": f_st_as_geojson,
-    "st_bufferPoint": f_st_buffer_point,
+    "st_bufferPoint": f_st_buffer_point, "st_buffer": f_st_buffer,
     # geometry accessors / constructors / relations (round-2 widening)
     "st_translate": f_st_translate, "st_area": f_st_area,
     "st_length": f_st_length, "st_perimeter": f_st_perimeter,

@@ -124,3 +124,19 @@ def test_uuid_z3_prefix_clusters_spatially():
     # deterministic
     again = call("uuidZ3", lon, lat, ms, np.array(["a", "b", "c"], dtype=object))
     assert list(ids) == list(again)
+
+
+def test_st_buffer_convex_polygon_and_point():
+    from geomesa_ray.geo.predicates import Polygon as _P
+
+    buf = call("st_buffer", np.array([SQ], dtype=object), 1.0)[0]
+    p = _P.from_wkt(buf)
+    # buffered square must contain the original corners and the offset edges
+    assert p.contains(np.array([-0.9, 4.9, 2.0]), np.array([-0.9, 4.9, -0.9])).all()
+    # but not points beyond the buffer
+    assert not p.contains(np.array([-1.5]), np.array([-1.5]))[0]
+    x0, y0, x1, y1 = p.bbox()
+    assert x0 == pytest.approx(-1.0) and x1 == pytest.approx(5.0)
+    pt = call("st_buffer", np.array(["POINT (0 0)"], dtype=object), 2.0)[0]
+    q = _P.from_wkt(pt)
+    assert q.contains(np.array([1.8]), np.array([0.0]))[0]
