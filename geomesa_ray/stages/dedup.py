@@ -27,6 +27,7 @@ import pyarrow as pa
 
 from geomesa_ray.cells.shard import fnv1a_str, fnv1a_u64
 from geomesa_ray.stages.stats import _mix64
+from geomesa_ray.util import default_concurrency
 
 _MERSENNE = (1 << 61) - 1
 
@@ -218,7 +219,7 @@ def minhash_clusters(
             num_perm=num_perm, bands=bands, text_col=text_col, id_col=id_col, shingle_k=shingle_k
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=default_concurrency(),
     )
 
     def add_keys(t: pa.Table) -> pa.Table:
