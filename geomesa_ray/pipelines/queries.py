@@ -400,7 +400,7 @@ def q_topk_customers(sf_dir: str):
             })
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        AttachSegment, batch_format="pyarrow", concurrency=(1, 4)
+        AttachSegment, batch_format="pyarrow", concurrency=(1, 8)
     )
     agg = ds.groupby("c_custkey").aggregate(
         Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders")
@@ -504,7 +504,7 @@ def q_equijoin_parts(sf_dir: str):
             return out.filter(pa.array(found))
 
     ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
-        Lookup, batch_format="pyarrow", concurrency=(1, 4)
+        Lookup, batch_format="pyarrow", concurrency=(1, 8)
     )
     return ds.groupby("p_brand").aggregate(
         Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items")

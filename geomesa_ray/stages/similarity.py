@@ -125,7 +125,7 @@ def lsh_bucketed(ds, dim: int, n_bits: int = 12, vec_col: str = "embedding", see
             m = _matrix(batch.column(vec_col))
             return batch.append_column("bucket", pa.array(self.lsh.signature(m)))
 
-    return ds.map_batches(AddBucket, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(AddBucket, batch_format="pyarrow", concurrency=default_concurrency())
 
 
 class IVFIndex:

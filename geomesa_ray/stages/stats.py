@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from geomesa_ray.util import default_concurrency
+
 from geomesa_ray.cells.shard import fnv1a_str, fnv1a_u64
 
 
@@ -487,7 +489,7 @@ def stats_scan(ds, spec: str, batch_size: int = 65536):
     the QueryPlanner.reducer analog (QueryPlanner.scala:61-66)."""
     partials = ds.map_batches(
         _StatsPartial, fn_constructor_kwargs={"spec": spec},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=default_concurrency(),
     )
     merged: list[Stat] | None = None
     for batch in partials.iter_batches(batch_size=256, batch_format="pyarrow"):
