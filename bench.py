@@ -111,7 +111,7 @@ def run_bench(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
 
     timings: dict[str, float] = {}
 
-    reps = 2 if headline_only else 1
+    reps = 2  # min-of-2 in every mode: the shared box varies +-20-30%
     best = None
     for _ in range(reps):
         t0 = time.time()
