@@ -472,15 +472,39 @@ def grouped_stats_scan(ds, key_col: str, spec: str, batch_size: int = 65536):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        merged = None
-        for blob in g["sketch"]:
-            stats = pickle.loads(blob)
-            merged = stats if merged is None else [a.merge(b) for a, b in zip(merged, stats)]
-        return pd.DataFrame({"__key": [g["__key"].iloc[0]], "sketch": [pickle.dumps(merged)]})
+    # coarse-bucket the merge shuffle (CLAUDE.md rule: never map_groups on
+    # fine-grained natural keys — at 10^6 group keys per-group pandas
+    # overhead dominates); all keys in a bucket merge in ONE pass
+    B = max(16, 2 * _cluster_cpus())
 
-    out = partials.groupby("__key").map_groups(merge_group, batch_format="pandas").to_pandas()
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column("__key").to_numpy(zero_copy_only=False)
+        h = fnv1a_u64(keys) if keys.dtype.kind in "iu" else fnv1a_str(keys.astype(object))
+        return t.append_column("__kb", pa.array((h % np.uint64(B)).astype(np.int32)))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        merged: dict = {}
+        for key, blob in zip(g["__key"], g["sketch"]):
+            stats = pickle.loads(blob)
+            if key in merged:
+                merged[key] = [a.merge(b) for a, b in zip(merged[key], stats)]
+            else:
+                merged[key] = stats
+        return pd.DataFrame({"__key": list(merged),
+                             "sketch": [pickle.dumps(v) for v in merged.values()]})
+
+    out = (partials.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__kb").map_groups(merge_bucket, batch_format="pandas").to_pandas())
     return {row["__key"]: pickle.loads(row["sketch"]) for _, row in out.iterrows()}
+
+
+def _cluster_cpus() -> int:
+    try:
+        import ray
+
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
 
 
 def stats_scan(ds, spec: str, batch_size: int = 65536):
