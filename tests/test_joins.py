@@ -8,7 +8,7 @@ import pytest
 
 from geomesa_ray.sources.synth import synthesize_corpus
 from geomesa_ray.stages.extract import extract_geometry
-from geomesa_ray.stages.joins import attach, reattach_spans
+from geomesa_ray.stages.joins import SortedLookup, attach, reattach_spans, semi_join
 from geomesa_ray.stages.pip_join import partitioned_pip_join
 
 
@@ -52,3 +52,67 @@ class TestReattach:
         out = attach(left, right, on="k").to_pandas().sort_values("k").reset_index(drop=True)
         assert out["k"].tolist() == [2, 3]
         assert out["b"].tolist() == [20, 30]
+
+
+class TestSemiJoin:
+    """Regression for the round-2 driver crash: a filter-derived right side
+    with empty / schema-degraded blocks fed to acero `Dataset.join` raised
+    "No match or multiple matches for FieldRef.Name(doc_id)". `semi_join`
+    must survive exactly that block layout."""
+
+    def _sides(self, n_blocks=8):
+        import pandas as pd
+        import ray.data as rd
+
+        left = rd.from_pandas(
+            [pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(b * 10, b * 10 + 10)],
+                           "v": list(range(b * 10, b * 10 + 10))})
+             for b in range(n_blocks)]
+        )
+        # right side mimics the minhash keep-filter: most blocks filter to EMPTY
+        right = left.map_batches(
+            lambda t: t.filter(pc.less(t.column("v"), 7)).select(["doc_id"]),
+            batch_format="pyarrow",
+        )
+        return left, right
+
+    def test_empty_filtered_blocks(self, ray_session):
+        left, right = self._sides()
+        out = semi_join(left, right, on="doc_id").to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == [f"d{i:03d}" for i in range(7)]
+        assert out["v"].tolist() == list(range(7))
+
+    def test_anti(self, ray_session):
+        left, right = self._sides()
+        out = semi_join(left, right, on="doc_id", anti=True).to_pandas()
+        assert len(out) == 80 - 7
+        assert out["v"].min() == 7
+
+    def test_all_empty_right(self, ray_session):
+        left, right = self._sides()
+        empty = right.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+        assert semi_join(left, empty, on="doc_id").count() == 0
+        assert semi_join(left, empty, on="doc_id", anti=True).count() == 80
+
+    def test_nested_left_payload(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "doc_id": ["a", "b", "c"],
+            "spans": [[{"kind": "t", "off": 0}], [{"kind": "u", "off": 1}], []],
+        })
+        left = rd.from_arrow(t)
+        right = rd.from_pandas(pd.DataFrame({"doc_id": ["b", "c"]}))
+        out = semi_join(left, right, on="doc_id").to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == ["b", "c"]
+        assert out["spans"].iloc[0][0]["kind"] == "u"
+
+
+class TestSortedLookupEmpty:
+    def test_empty_build_side_all_miss(self):
+        lk = SortedLookup(np.array([], dtype=np.int64), val=np.array([], dtype=np.float64))
+        found, vals = lk.probe(np.array([1, 2, 3]))
+        assert not found.any()
+        assert len(vals["val"]) == 3
