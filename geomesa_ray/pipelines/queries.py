@@ -1552,22 +1552,106 @@ def oracle_lang_quality() -> str:
 
 
 def q_stats_sketches(sf_dir: str):
-    """SeqStat multi-sketch pass -> one summary row (StatsProcess)."""
+    """SeqStat multi-sketch pass -> one summary row (StatsProcess).
+
+    Every emitted field is EXACT (FIXTURES.md FP-safety): the HLL sketch is
+    verified through its integer register digest (sum + zero count — fully
+    determined by the splitmix64(fnv1a) hash, which the SQL oracle replays
+    bit-for-bit in HUGEINT), price via integer-cents moments with the ONE
+    mirrored mean formula, and TopK exactly (3 flags << capacity)."""
     from geomesa_ray.stages.stats import stats_scan
 
+    def prep(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_quantity": t.column("l_quantity"),
+            "l_returnflag": t.column("l_returnflag"),
+            "price_cents": pa.array(np.round(price * 100).astype(np.int64)),
+        })
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    ).map_batches(prep, batch_format="pyarrow")
     stats = stats_scan(
-        _read(sf_dir, "lineitem"),
-        "count;minmax(l_quantity);hll(l_orderkey);descriptive(l_extendedprice);topk(l_returnflag,k=3)",
+        ds, "count;minmax(l_quantity);hll(l_orderkey);moments(price_cents);topk(l_returnflag,k=3)"
     )
-    top = stats[4].result()
+    hll, mom, top = stats[2], stats[3].result(), stats[4].result()
     return pd.DataFrame({
-        "count": [stats[0].result()],
+        "n_rows": [int(stats[0].result())],
         "min_qty": [float(stats[1].result()[0])],
         "max_qty": [float(stats[1].result()[1])],
-        "hll_orders": [round(stats[2].result())],
-        "mean_price": [stats[3].result()["mean"]],
+        "hll_reg_sum": [int(hll.registers.astype(np.int64).sum())],
+        "hll_reg_zeros": [int((hll.registers == 0).sum())],
+        "price_sum_cents": [int(mom["sum"])],
+        "mean_price": [(float(mom["sum"]) / mom["n"]) / 100.0],
         "top_flag": [str(top[0][0])],
+        "top_flag_n": [int(top[0][1])],
     })
+
+
+def _sql_xor64(a: str, b: str) -> str:
+    """xor of two mod-2^64 HUGEINT expressions (DuckDB's xor is BIGINT-only:
+    split into 32-bit halves, xor as BIGINT, reassemble)."""
+    return (f"(CAST(xor(CAST(({a}) // 4294967296 AS BIGINT), CAST(({b}) // 4294967296 AS BIGINT)) AS HUGEINT)"
+            f" * 4294967296 + "
+            f"CAST(xor(CAST(({a}) % 4294967296 AS BIGINT), CAST(({b}) % 4294967296 AS BIGINT)) AS HUGEINT))")
+
+
+def _sql_mul64(a: str, c: int) -> str:
+    """(a * c) mod 2^64 with a 64-bit constant: a full 64x64 product
+    overflows INT128, so split the constant into 32-bit halves."""
+    c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+    return (f"(((({a}) % 4294967296) * {c_lo} + "
+            f"(((({a}) % 4294967296) * {c_hi} + ((({a}) // 4294967296) * {c_lo}) % 4294967296) % 4294967296)"
+            f" * 4294967296) % 18446744073709551616)")
+
+
+def oracle_stats_sketches() -> str:
+    """Replays the full sketch pass bit-for-bit: splitmix64(fnv1a_u64) hash
+    (cells/shard.py mix64), HLL p=12 register assignment incl. the sentinel
+    low bits + 6-step leading-zero count (stats.py HyperLogLog.update), and
+    the MomentsStat mirrored mean formula. All compared fields are integers
+    or single-formula doubles — per-level CTEs, never lateral alias chains."""
+    prime = 1099511628211
+    fnv = ["CAST(14695981039346656037 AS HUGEINT) AS h0"]
+    for k in range(8):
+        b = f"((l_orderkey >> {8 * k}) & 255)"
+        fnv.append(f"(((h{k} - (h{k} % 256) + xor(CAST(h{k} % 256 AS BIGINT), {b})) * {prime})"
+                   f" % 18446744073709551616) AS h{k + 1}")
+    lz = ["lz0 AS (SELECT (CAST(h // 4503599627370496 AS BIGINT)) AS idx, CAST(0 AS BIGINT) AS lz, "
+          "((h % 4503599627370496) * 4096 + 4095) AS r FROM m5)"]
+    for i, s in enumerate((32, 16, 8, 4, 2, 1)):
+        thr = 1 << (64 - s)
+        lz.append(f"lz{i + 1} AS (SELECT idx, lz + CASE WHEN r < {thr} THEN {s} ELSE 0 END AS lz, "
+                  f"CASE WHEN r < {thr} THEN (r * {1 << s}) % 18446744073709551616 ELSE r END AS r "
+                  f"FROM lz{i})")
+    return f"""
+    WITH fnv AS (SELECT l_orderkey, {', '.join(fnv)} FROM lineitem),
+    m1 AS (SELECT {_sql_xor64('h8', 'h8 // 1073741824')} AS x1 FROM fnv),
+    m2 AS (SELECT {_sql_mul64('x1', 0xBF58476D1CE4E5B9)} AS z1 FROM m1),
+    m3 AS (SELECT {_sql_xor64('z1', 'z1 // 134217728')} AS x2 FROM m2),
+    m4 AS (SELECT {_sql_mul64('x2', 0x94D049BB133111EB)} AS z2 FROM m3),
+    m5 AS (SELECT {_sql_xor64('z2', 'z2 // 2147483648')} AS h FROM m4),
+    {', '.join(lz)},
+    regs AS (SELECT idx, MAX(lz + 1) AS rnk FROM lz6 GROUP BY idx),
+    hll AS (SELECT CAST(SUM(rnk) AS BIGINT) AS hll_reg_sum,
+                   CAST(4096 - COUNT(*) AS BIGINT) AS hll_reg_zeros FROM regs),
+    agg AS (
+      SELECT COUNT(*) AS n_rows,
+             MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_sum_cents
+      FROM lineitem
+    ),
+    flags AS (
+      SELECT l_returnflag AS top_flag, COUNT(*) AS top_flag_n
+      FROM lineitem GROUP BY l_returnflag ORDER BY top_flag_n DESC, top_flag LIMIT 1
+    )
+    SELECT n_rows, min_qty, max_qty, hll_reg_sum, hll_reg_zeros, price_sum_cents,
+           (CAST(price_sum_cents AS DOUBLE) / n_rows) / 100.0 AS mean_price,
+           top_flag, top_flag_n
+    FROM agg, hll, flags
+    """
 
 
 def q_cosine_dedup(sf_dir: str):
@@ -1891,9 +1975,28 @@ def q_ivf_neighbors(sf_dir: str):
     )
 
 
+def _sql_mix64_steps(src: str, in_col: str, out_col: str, carry: list[str], prefix: str) -> list[str]:
+    """Three per-level CTEs computing ``out_col = splitmix64(in_col)``
+    (cells/shard.py mix64) over mod-2^64 HUGEINT state, carrying ``carry``
+    columns through. Verified bit-exact vs numpy (oracle_stats_sketches).
+    MATERIALIZED: each level references the previous one many times, and
+    DuckDB's default CTE inlining grows the bound expression exponentially
+    over long chains (the 48-level media_features chain hangs the binder)."""
+    c = ", ".join(carry) + (", " if carry else "")
+    a, b = f"{prefix}_a", f"{prefix}_b"
+    return [
+        f"{prefix}_1 AS MATERIALIZED (SELECT {c}{_sql_mul64(_sql_xor64(in_col, f'({in_col}) // 1073741824'), 0xBF58476D1CE4E5B9)} AS {a} FROM {src})",
+        f"{prefix}_2 AS MATERIALIZED (SELECT {c}{_sql_mul64(_sql_xor64(a, f'{a} // 134217728'), 0x94D049BB133111EB)} AS {b} FROM {prefix}_1)",
+        f"{prefix}_3 AS MATERIALIZED (SELECT {c}{_sql_xor64(b, f'{b} // 2147483648')} AS {out_col} FROM {prefix}_2)",
+    ]
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: media spans -> deterministic feature vectors
-    (decode kernel stubbed; rows-only)."""
+    (hash-chain stand-in for a decoded embedding). The first and last
+    feature values are emitted as float32 columns — both are EXACT dyadic
+    floats derived from the integer hash-chain state ((x >> 11) / 2^53 -
+    0.5), so the SQL oracle reproduces them bit-for-bit."""
     import ray.data as rd
 
     from geomesa_ray.sources.synth import synthesize_corpus
@@ -1901,33 +2004,122 @@ def q_media_features(sf_dir: str):
 
     corpus = synthesize_corpus(5000, seed=42, n_shards=4)
     out = media_features(rd.read_parquet(corpus), dim=16)
-    return out.select_columns(["doc_id", "media_ref", "feature_dim"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        feats = t.column("features")
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        f0 = pc.list_element(feats, 0)
+        f_last = pc.list_element(feats, 15)
+        return pa.table({
+            "doc_id": t.column("doc_id"), "media_ref": t.column("media_ref"),
+            "feature_dim": t.column("feature_dim"), "f0": f0, "f_last": f_last,
+        })
+
+    return out.map_batches(pick, batch_format="pyarrow")
+
+
+def oracle_media_features() -> str:
+    """Replays MediaFeatureExtract._features: x0 = mix64(fnv1a_str(ref));
+    x_d = mix64(x_{d-1} + d); feature_d = float32((x_d >> 11) / 2^53 - 0.5).
+    All refs are 22 ASCII chars, so the string FNV unrolls exactly. Both the
+    FNV chain and the mix chains are per-level MATERIALIZED CTEs — lateral
+    alias chains (4 self-refs per FNV step) hang DuckDB's inlining binder."""
+    prime = 1099511628211
+    ctes = []
+    for k in range(22):
+        src = "media" if k == 0 else f"fs{k}"
+        s_in = "CAST(14695981039346656037 AS HUGEINT)" if k == 0 else "__s"
+        b = f"ascii(substr(media_ref, {k + 1}, 1))"
+        nh = (f"((({s_in} - ({s_in} % 256) + xor(CAST({s_in} % 256 AS BIGINT), {b})) * {prime})"
+              f" % 18446744073709551616)")
+        ctes.append(f"fs{k + 1} AS MATERIALIZED (SELECT doc_id, media_ref, "
+                    f"CASE WHEN length(media_ref) > {k} THEN {nh} ELSE {s_in} END AS __s FROM {src})")
+    # seed hash h = mix64(fnv1a_str(ref)) — the initial mixer, then the chain
+    ctes += _sql_mix64_steps("fs22", "__s", "x0", ["doc_id", "media_ref"], "mx0")
+    ctes.append("seed AS (SELECT doc_id, media_ref, x0 FROM mx0_3)")
+    for d in range(1, 17):
+        src = "seed" if d == 1 else f"mx{d - 1}_3"
+        # carry x1 through every later level — the final SELECT needs f0 (from
+        # x1) alongside f_last (from x16)
+        carry = ["doc_id", "media_ref"] + (["x1"] if d >= 3 else []) + [f"x{d - 1}"]
+        ctes += _sql_mix64_steps(
+            src, f"(x{d - 1} + {d}) % 18446744073709551616", f"x{d}", carry, f"mx{d}"
+        )
+    feat = "CAST(({x} // 2048) / 9007199254740992.0 - 0.5 AS FLOAT)"
+    return f"""
+    WITH media AS (
+      SELECT doc_id, s.media_ref AS media_ref
+      FROM read_parquet('/tmp/graft_corpus/n5000_s42_p4/shard-*.parquet'),
+           unnest(list_filter(spans, x -> x.kind = 'media')) AS t(s)
+    ),
+    {',    '.join(ctes)}
+    SELECT doc_id, media_ref, CAST(16 AS INTEGER) AS feature_dim,
+           {feat.format(x='x1')} AS f0, {feat.format(x='x16')} AS f_last
+    FROM mx16_3
+    """
 
 
 def q_media_decode(sf_dir: str):
     """REAL native-format media decode (PPM images + PCM16 WAV audio, pure
-    numpy codecs) over deterministic synthesized payloads; compressed
-    formats fall back with decoded=False (rows-only: decode math isn't
-    SQL)."""
+    numpy codecs) over deterministic payloads; compressed formats fall back
+    with decoded=False. Payload content is generated from a splitmix64
+    counter chain (NOT an opaque RNG), so the SQL oracle regenerates the
+    expected decoded-content checksums independently — if the decoder
+    misreads a header offset or endianness, px_sum/sample_sum mismatch."""
     import ray.data as rd
 
+    from geomesa_ray.cells.shard import mix64
     from geomesa_ray.stages.codecs import encode_ppm, encode_wav
     from geomesa_ray.stages.media import decode_media
 
-    rng = np.random.default_rng(7)
+    P = 1000003
     rows = []
     for i in range(300):
         kind = i % 3
         if kind == 0:
-            img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
-            rows.append({"media_ref": f"img://{i:04d}", "payload": encode_ppm(img)})
+            x = mix64(np.uint64(i * P + 1) + np.arange(768, dtype=np.uint64))
+            px = (x % np.uint64(256)).astype(np.uint8).reshape(16, 16, 3)
+            rows.append({"media_ref": f"img://{i:04d}", "payload": encode_ppm(px)})
         elif kind == 1:
-            wav = rng.normal(0, 1000, 2000).astype(np.int16)
-            rows.append({"media_ref": f"aud://{i:04d}", "payload": encode_wav(wav)})
+            x = mix64(np.uint64(i * P + 1) + np.arange(2000, dtype=np.uint64))
+            s = ((x % np.uint64(65536)).astype(np.int64) - 32768).astype(np.int16)
+            rows.append({"media_ref": f"aud://{i:04d}", "payload": encode_wav(s)})
         else:
             rows.append({"media_ref": f"vid://{i:04d}", "payload": b"\x00compressed"})
     out = decode_media(rd.from_items(rows), dim=16)
-    return out.select_columns(["media_ref", "media_kind", "feature_dim", "decoded"])
+    return out.select_columns([
+        "media_ref", "media_kind", "decoded", "feature_dim",
+        "width", "height", "px_sum", "n_samples", "sample_rate", "sample_sum",
+    ])
+
+
+def oracle_media_decode() -> str:
+    """Regenerates the payload content (pixel/sample values = splitmix64 of
+    a counter) and aggregates the same checksums the decoder computes from
+    the DECODED arrays."""
+    px = _sql_mix64_steps("img_src", "CAST(i * 1000003 + p + 1 AS HUGEINT)", "xo", ["i"], "px")
+    au = _sql_mix64_steps("aud_src", "CAST(i * 1000003 + p + 1 AS HUGEINT)", "xo", ["i"], "au")
+    return f"""
+    WITH ids AS (SELECT unnest(range(0, 300)) AS i),
+    img_src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 768)) AS p) WHERE i % 3 = 0),
+    aud_src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 2000)) AS p) WHERE i % 3 = 1),
+    {',    '.join(px)},
+    {',    '.join(au)},
+    imgs AS (SELECT i, CAST(SUM(xo % 256) AS BIGINT) AS px_sum FROM px_3 GROUP BY i),
+    auds AS (SELECT i, CAST(SUM(xo % 65536 - 32768) AS BIGINT) AS sample_sum FROM au_3 GROUP BY i)
+    SELECT printf(CASE i % 3 WHEN 0 THEN 'img://%04d' WHEN 1 THEN 'aud://%04d' ELSE 'vid://%04d' END, CAST(i AS INTEGER)) AS media_ref,
+           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'unknown' END AS media_kind,
+           (i % 3) < 2 AS decoded,
+           CAST(16 AS INTEGER) AS feature_dim,
+           CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS INTEGER) AS width,
+           CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS INTEGER) AS height,
+           COALESCE(imgs.px_sum, 0) AS px_sum,
+           CAST(CASE WHEN i % 3 = 1 THEN 2000 ELSE 0 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN i % 3 = 1 THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
+           COALESCE(auds.sample_sum, 0) AS sample_sum
+    FROM ids LEFT JOIN imgs USING (i) LEFT JOIN auds USING (i)
+    """
 
 
 def q_bin_export(sf_dir: str):
@@ -2195,6 +2387,9 @@ ORACLES = {
     "s3_keys": oracle_s3_keys(),
     "track_lines": oracle_track_lines(),
     "grouped_stats": oracle_grouped_stats(),
+    "stats_sketches": oracle_stats_sketches(),
+    "media_features": oracle_media_features(),
+    "media_decode": oracle_media_decode(),
     "lang_quality": oracle_lang_quality(),
     "simhash_pairs_docs": oracle_simhash_pairs(),
     "poly_join": oracle_poly_join(),

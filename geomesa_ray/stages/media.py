@@ -89,7 +89,12 @@ class MediaDecode:
     for the engine's native formats, honest fallback elsewhere.
 
     Output: media_ref, features list<float32>, feature_dim, media_kind
-    ('image' | 'audio' | 'unknown'), decoded (bool)."""
+    ('image' | 'audio' | 'unknown'), decoded (bool), plus integer decode
+    metadata — width/height (image), n_samples/sample_rate (audio) — and
+    exact content checksums px_sum / sample_sum (sum of decoded uint8
+    pixels / int16 samples). The checksums are computed from the DECODED
+    arrays, so a header-offset or endianness bug changes them; they double
+    as the SQL-oracle surface (FIXTURES.md FP-safety: all integers)."""
 
     def __init__(self, dim: int = 64, payload_col: str = "payload",
                  ref_col: str = "media_ref"):
@@ -128,18 +133,29 @@ class MediaDecode:
         feats = np.zeros((n, self.dim), dtype=np.float32)
         kinds = np.empty(n, dtype=object)
         decoded = np.zeros(n, dtype=bool)
+        width = np.zeros(n, dtype=np.int32)
+        height = np.zeros(n, dtype=np.int32)
+        n_samples = np.zeros(n, dtype=np.int64)
+        sample_rate = np.zeros(n, dtype=np.int32)
+        px_sum = np.zeros(n, dtype=np.int64)
+        sample_sum = np.zeros(n, dtype=np.int64)
         fb = None
         for i, blob in enumerate(payloads):
             blob = bytes(blob) if blob is not None else b""
             try:
                 if blob.startswith((b"P6", b"P5")):
-                    f = self._image_features(self._decode_ppm(blob), grid=self.grid)
+                    img = self._decode_ppm(blob)
+                    f = self._image_features(img, grid=self.grid)
                     feats[i, : len(f)] = f[: self.dim]
                     kinds[i], decoded[i] = "image", True
+                    height[i], width[i] = img.shape[0], img.shape[1]
+                    px_sum[i] = int(img.astype(np.int64).sum())
                 elif blob.startswith(b"RIFF"):
-                    samples, _ = self._decode_wav(blob)
+                    samples, rate = self._decode_wav(blob)
                     feats[i] = self._audio_features(samples, dim=self.dim)
                     kinds[i], decoded[i] = "audio", True
+                    n_samples[i], sample_rate[i] = samples.shape[0], rate
+                    sample_sum[i] = int(samples.astype(np.int64).sum())
                 else:
                     raise ValueError("unknown container")
             except Exception:
@@ -155,6 +171,12 @@ class MediaDecode:
             "feature_dim": pa.array(np.full(n, self.dim, dtype=np.int32)),
             "media_kind": pa.array(kinds, type=pa.string()),
             "decoded": pa.array(decoded),
+            "width": pa.array(width),
+            "height": pa.array(height),
+            "px_sum": pa.array(px_sum),
+            "n_samples": pa.array(n_samples),
+            "sample_rate": pa.array(sample_rate),
+            "sample_sum": pa.array(sample_sum),
         })
 
 
