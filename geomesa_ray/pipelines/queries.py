@@ -1958,14 +1958,15 @@ def q_s3_keys(sf_dir: str):
 
 
 def q_ivf_neighbors(sf_dir: str):
-    """IVF-Flat approximate ANN (the scale path past brute force; rows-only
-    — approximate by design, recall asserted in tests vs brute force)."""
-    from geomesa_ray.stages.similarity import ivf_topk
+    """IVF-Flat ANN in exact-guarantee mode: triangle-inequality pruning
+    re-probes lists until the result provably equals brute-force top-k, so
+    the brute-force SQL oracle applies (the knn_indexed gating pattern)."""
+    from geomesa_ray.stages.similarity import ivf_topk_exact
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     head = next(pf.iter_batches(batch_size=2, columns=["embedding"]))
     q = np.stack([np.asarray(v, dtype=np.float32) for v in head.column("embedding").to_pylist()])
-    out = ivf_topk(_read(sf_dir, "embeddings"), q, ["e0", "e1"], k=5, n_lists=16, nprobe=4)
+    out = ivf_topk_exact(_read(sf_dir, "embeddings"), q, ["e0", "e1"], k=5, n_lists=16, nprobe=4)
     return out.map_batches(
         lambda t: pa.table({
             "query_id": t.column("query_id"),
@@ -2373,6 +2374,7 @@ ORACLES = {
     "norm_dedup_docs": oracle_norm_dedup_docs(),
     "token_counts": oracle_token_counts(),
     "ann_neighbors": oracle_ann_neighbors(),
+    "ivf_neighbors": oracle_ann_neighbors(),
     "tumbling_hour": oracle_tumbling_hour(),
     "session_windows": oracle_session_windows(),
     "latest_event": oracle_latest_event(),

@@ -200,6 +200,36 @@ class TestIVF:
             recalls.append(len(a & b) / len(b))
         assert np.mean(recalls) >= 0.5
 
+    def test_exact_mode_equals_bruteforce_on_clustered_sorted_corpus(self, ray_session):
+        """ivf_topk_exact must return EXACTLY the brute-force top-k even when
+        nprobe=1 misses the right lists (forcing triangle-inequality
+        re-probe rounds), on a corpus that is clustered AND sorted by
+        cluster (the adversarial layout for a prefix training sample)."""
+        import ray.data as rd
+
+        from geomesa_ray.stages.similarity import _normalize, ann_topk, ivf_topk_exact
+
+        rng = np.random.default_rng(3)
+        centers = _normalize(rng.standard_normal((8, 16)).astype(np.float32))
+        vecs = np.concatenate([
+            _normalize(c + 0.15 * rng.standard_normal((60, 16)).astype(np.float32))
+            for c in centers
+        ])  # sorted by cluster: rows 0..59 cluster 0, etc.
+        df = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                           "embedding": [v for v in vecs]})
+        ds = rd.from_pandas(df)
+        queries = vecs[[5, 130, 300]]
+        qids = ["q0", "q1", "q2"]
+        exact = ivf_topk_exact(ds, queries, qids, k=7, n_lists=8, nprobe=1,
+                               sample_rows=200).to_pandas()
+        brute = ann_topk(ds, queries, qids, k=7).to_pandas()
+        for qid in qids:
+            e = exact[exact["query_id"] == qid].sort_values(
+                ["cosine", "neighbor_id"], ascending=[False, True])
+            b = brute[brute["query_id"] == qid].sort_values(
+                ["cosine", "neighbor_id"], ascending=[False, True])
+            assert e["neighbor_id"].astype(int).tolist() == b["neighbor_id"].astype(int).tolist()
+
 
 class TestIVFBuildSearch:
     """Ingest-partitioned IVF: search reads ONLY probed list partitions and
