@@ -39,4 +39,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from geomesa_ray.pipelines.queries import ORACLES
 
+    # The corpus_* and media_features oracles read the deterministic synth
+    # corpus from /tmp; synthesize it NOW (pure pyarrow, idempotent, ~1 s)
+    # so the SQL binds even if the driver parses/validates oracles before
+    # running the paired query callables.
+    try:
+        from geomesa_ray.sources.synth import synthesize_corpus
+
+        synthesize_corpus(5000, seed=42, n_shards=4)
+    except Exception:
+        pass  # queries synthesize on demand; binding just loses the head start
+
     return dict(ORACLES)

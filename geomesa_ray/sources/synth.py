@@ -168,7 +168,8 @@ def synthesize_corpus(
                 return ""
             table = synthesize_shard(n, seed, shard, n_shards, start=shard * per_shard)
             path = os.path.join(out, f"shard-{shard:04d}.parquet")
-            pq.write_table(table, path)
+            pq.write_table(table, path + f".tmp{os.getpid()}")
+            os.replace(path + f".tmp{os.getpid()}", path)  # atomic: no partial reads
             return path
 
         ray.get([_gen.remote(s) for s in range(n_shards)])
@@ -178,7 +179,9 @@ def synthesize_corpus(
             if n == 0:
                 continue
             table = synthesize_shard(n, seed, shard, n_shards, start=shard * per_shard)
-            pq.write_table(table, os.path.join(out, f"shard-{shard:04d}.parquet"))
+            path = os.path.join(out, f"shard-{shard:04d}.parquet")
+            pq.write_table(table, path + f".tmp{os.getpid()}")
+            os.replace(path + f".tmp{os.getpid()}", path)  # atomic: no partial reads
     with open(marker, "w") as f:
         f.write(f"{n_shards}\n")
     return out
