@@ -200,6 +200,29 @@ class TestIVF:
             recalls.append(len(a & b) / len(b))
         assert np.mean(recalls) >= 0.5
 
+    def test_cosine_hot_bucket_subsplit_bounded(self, ray_session):
+        """Degenerate corpus: every vector lands in ONE LSH bucket (all near
+        one direction), bucket size >> max_bucket. The sub-split must keep
+        per-chunk all-pairs bounded while still finding planted duplicates."""
+        import ray.data as rd
+
+        from geomesa_ray.stages.similarity import _normalize, cosine_dedup_pairs
+
+        rng = np.random.default_rng(11)
+        base = _normalize(rng.standard_normal((1, 8)).astype(np.float32))
+        vecs = _normalize(base + 0.01 * rng.standard_normal((600, 8)).astype(np.float32))
+        dup = vecs[:40].copy()
+        all_v = np.concatenate([vecs, dup])
+        ids = np.concatenate([np.arange(600), np.arange(600, 640)])
+        df = pd.DataFrame({"vec_id": ids, "embedding": [v for v in all_v]})
+        pairs = cosine_dedup_pairs(
+            rd.from_pandas(df), dim=8, threshold=0.9999999, n_bits=4, max_bucket=64
+        ).to_pandas()
+        got = set(zip(pairs["left_id"].astype(int), pairs["right_id"].astype(int)))
+        # exact duplicates share every hyperplane sign -> survive the split
+        found = sum((i, 600 + i) in got for i in range(40))
+        assert found == 40
+
     def test_exact_mode_equals_bruteforce_on_clustered_sorted_corpus(self, ray_session):
         """ivf_topk_exact must return EXACTLY the brute-force top-k even when
         nprobe=1 misses the right lists (forcing triangle-inequality
