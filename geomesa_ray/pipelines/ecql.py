@@ -160,7 +160,11 @@ class Like(Filter):
         # re.escape leaves % and _ unescaped (not regex-special), so the
         # wildcard substitution is safe after escaping everything else
         rx = "^" + re.escape(self.pattern).replace("%", ".*").replace("_", ".") + "$"
-        return pd.Series(_col(t, self.attr)).astype(str).str.match(rx).fillna(False).to_numpy()
+        # match on the ORIGINAL series with na=False: .astype(str) would turn
+        # nulls into the literal 'None', spuriously matching e.g. '%one%'
+        # (SQL/ECQL LIKE on null is false)
+        s = pd.Series(_col(t, self.attr))
+        return s.astype("string").str.match(rx, na=False).astype(bool).to_numpy()
 
 
 @dataclass
@@ -250,7 +254,7 @@ class DWithin(Filter):
 @dataclass
 class Temporal(Filter):
     attr: str
-    op: str  # DURING | AFTER | BEFORE
+    op: str  # DURING | AFTER | BEFORE | AFTER_EQ | BEFORE_EQ
     t0: int | None
     t1: int | None
 
@@ -260,6 +264,10 @@ class Temporal(Filter):
             return (ms >= self.t0) & (ms < self.t1)
         if self.op == "AFTER":
             return ms > self.t0
+        if self.op == "AFTER_EQ":  # attr >= <datetime> — inclusive, like GeoTools
+            return ms >= self.t0
+        if self.op == "BEFORE_EQ":  # attr <= <datetime>
+            return ms <= self.t0
         return ms < self.t0  # BEFORE
 
     def extract_intervals(self):
@@ -443,7 +451,9 @@ class _Parser:
                 raise ValueError(f"bad literal {nk} {nv}")
             if nk == "datetime":
                 ms = _parse_iso_ms(nv)
-                op_map = {">": "AFTER", ">=": "AFTER", "<": "BEFORE", "<=": "BEFORE"}
+                # GeoTools ECQL comparison operators are INCLUSIVE for >=/<=
+                # — strict AFTER/BEFORE would drop rows exactly at the bound
+                op_map = {">": "AFTER", ">=": "AFTER_EQ", "<": "BEFORE", "<=": "BEFORE_EQ"}
                 if v in op_map:
                     return Temporal(attr, op_map[v], ms, None)
                 raise ValueError("datetime supports </>/<=/>= only")

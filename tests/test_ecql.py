@@ -67,6 +67,20 @@ class TestSpatialTemporal:
         assert m("ts AFTER 2024-01-20T00:00:00Z") == [False, False, False, True, True]
         assert m("ts BEFORE 2024-01-05T00:00:00Z") == [True, False, False, False, False]
 
+    def test_ge_le_datetime_inclusive_at_boundary(self):
+        # row 1's ts is exactly 2024-01-08T00:00:00Z: GeoTools ECQL >=/<= are
+        # INCLUSIVE, so the boundary instant must be kept on both sides
+        assert m("ts >= 2024-01-08T00:00:00Z") == [False, True, True, True, True]
+        assert m("ts <= 2024-01-08T00:00:00Z") == [True, True, False, False, False]
+        # strict operators still exclude the boundary
+        assert m("ts > 2024-01-08T00:00:00Z") == [False, False, True, True, True]
+        assert m("ts < 2024-01-08T00:00:00Z") == [True, False, False, False, False]
+
+    def test_like_null_is_false(self):
+        # null must never match (astype(str) would stringify it to 'None')
+        assert m("event_type LIKE '%o%'") == [False, False, True, False, False]
+        assert m("event_type LIKE '%None%'") == [False, False, False, False, False]
+
 
 class TestPushdownExtraction:
     def test_conjunct_bbox_and_interval_extracted(self):
