@@ -622,12 +622,17 @@ def f_st_touches(wkt_a, wkt_b):
         a3, b3 = a[None], b[None]
         if not convex_intersect(a3, b3)[0]:
             continue
-        # interiors disjoint <=> some axis separates with touching allowed
+        # interiors disjoint <=> some axis separates with touching allowed.
+        # Degenerate zero axes (points, repeated vertices) project everything
+        # to 0 and would claim separation — mask them like f_st_crosses does,
+        # else a point strictly inside a polygon reports touches=True.
         sep_touch = False
         for axes in (_axes(a3), _axes(b3)):
             pa_ = np.einsum("nav,nkv->nak", axes, a3)
             pb_ = np.einsum("nav,nkv->nak", axes, b3)
-            if ((pa_.max(2) <= pb_.min(2)) | (pb_.max(2) <= pa_.min(2))).any():
+            nz = (axes != 0).any(axis=2)
+            s_ax = ((pa_.max(2) <= pb_.min(2)) | (pb_.max(2) <= pa_.min(2))) & nz
+            if s_ax.any():
                 sep_touch = True
                 break
         out[i] = sep_touch

@@ -47,3 +47,29 @@ def meters_to_degrees_at(lat_deg, meters) -> tuple[np.ndarray, np.ndarray]:
     dlat = 1.01 * np.asarray(meters) / 111_194.9
     dlon = 1.01 * np.asarray(meters) / (111_194.9 * np.maximum(np.cos(lat), 1e-6))
     return dlon, dlat
+
+
+def geodesic_halfwidths(lat_deg, meters) -> tuple[np.ndarray, np.ndarray]:
+    """EXACT spherical (dlon, dlat) degree half-widths of the geodesic
+    radius-r disk at a latitude — a guaranteed bbox superset, unlike the
+    1%-padded planar `meters_to_degrees_at`, whose lon estimate falls short
+    of the true asin(sin(r/R)/cos(lat)) once r*tan(lat)/R grows (doubled kNN
+    radii at mid/high latitudes). Use this wherever a bbox must CONTAIN the
+    full disk for a correctness guarantee; keep the planar form where an
+    oracle mirrors it (tube).
+
+    dlat = r/R exactly (meridian arc). dlon = asin(sin(r/R)/cos(lat)); when
+    the disk encloses a pole (sin(r/R) >= cos(lat)) or spans a hemisphere
+    (r >= pi*R/2) every longitude is inside -> 180."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    c = np.asarray(meters, dtype=np.float64) / EARTH_RADIUS_M
+    dlat = np.degrees(c)
+    coslat = np.maximum(np.abs(np.cos(lat)), 1e-12)
+    s = np.sin(np.minimum(c, np.pi / 2)) / coslat
+    dlon = np.where(
+        (s >= 1.0) | (c >= np.pi / 2),
+        180.0,
+        np.degrees(np.arcsin(np.minimum(s, 1.0))),
+    )
+    # 1e-9 deg (~0.1 mm) guard for float rounding at the disk's extreme points
+    return dlon + 1e-9, dlat + 1e-9

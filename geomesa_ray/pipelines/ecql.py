@@ -242,12 +242,14 @@ class DWithin(Filter):
         return haversine_m(_col(t, self.lon_col), _col(t, self.lat_col), qx, qy) <= self.dist_m
 
     def extract_geometries(self):
-        from geomesa_ray.geo.distance import meters_to_degrees_at
+        from geomesa_ray.geo.distance import geodesic_halfwidths
         from geomesa_ray.geo.wkt import parse_wkt
 
         g = parse_wkt(self.wkt)
         qx, qy = g["coords"]
-        dlon, dlat = meters_to_degrees_at(qy, self.dist_m)
+        # exact superset bbox: this is only a pushdown pre-filter (mask() is
+        # the exact haversine), so it must never UNDERcover the disk
+        dlon, dlat = geodesic_halfwidths(qy, self.dist_m)
         return [(qx - float(dlon), qy - float(dlat), qx + float(dlon), qy + float(dlat))]
 
 

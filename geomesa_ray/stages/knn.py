@@ -140,7 +140,7 @@ def knn_indexed(
     1%-padded bbox contains the full radius-r disk, so any unseen point is
     farther than r >= kth). Unsatisfied queries double their radius.
     Returns one pandas DataFrame (query_id, neighbor_id, distance_m)."""
-    from geomesa_ray.geo.distance import meters_to_degrees_at
+    from geomesa_ray.geo.distance import geodesic_halfwidths
     from geomesa_ray.pipelines.query import QuerySpec, query_indexed
 
     if isinstance(query_points, pd.DataFrame):
@@ -158,7 +158,10 @@ def knn_indexed(
         geoms = []
         for i in pending:
             r = radii[str(qids[i])]
-            dlon, dlat = meters_to_degrees_at(q["lat"][i], r)
+            # exact spherical half-widths: the planar 1%-pad estimate falls
+            # short of the true lon extent for doubled radii at mid/high
+            # latitudes, which would break the kth<=r termination guarantee
+            dlon, dlat = geodesic_halfwidths(q["lat"][i], r)
             x0, x1 = q["lon"][i] - float(dlon), q["lon"][i] + float(dlon)
             y0, y1 = q["lat"][i] - float(dlat), q["lat"][i] + float(dlat)
             geoms.append(f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))")

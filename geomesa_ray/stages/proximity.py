@@ -16,7 +16,7 @@ import pyarrow as pa
 
 import ray
 
-from geomesa_ray.geo.distance import haversine_matrix_m, meters_to_degrees_at
+from geomesa_ray.geo.distance import geodesic_halfwidths, haversine_matrix_m
 from geomesa_ray.util import default_concurrency
 
 
@@ -30,8 +30,10 @@ class ProximityProbe:
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.emit_nearest = emit_nearest
-        # bbox pre-filter envelope around all query points
-        dlon, dlat = meters_to_degrees_at(self.qlat, self.radius_m)
+        # bbox pre-filter envelope around all query points; exact spherical
+        # half-widths so the envelope always CONTAINS the radius disk (the
+        # residual haversine keep below is the exact filter)
+        dlon, dlat = geodesic_halfwidths(self.qlat, self.radius_m)
         self.xmin = self.qlon - dlon
         self.xmax = self.qlon + dlon
         self.ymin = self.qlat - dlat

@@ -140,3 +140,41 @@ def test_st_buffer_convex_polygon_and_point():
     pt = call("st_buffer", np.array(["POINT (0 0)"], dtype=object), 2.0)[0]
     q = _P.from_wkt(pt)
     assert q.contains(np.array([1.8]), np.array([0.0]))[0]
+
+
+def test_st_touches_degenerate_point_inside_is_false():
+    # a point geometry contributes only zero (degenerate) SAT axes; those
+    # must be masked, else a point strictly INSIDE a polygon reports
+    # touches=True (JTS: interiors intersect -> touches is false)
+    a = np.array([SQ], dtype=object)
+    assert not call("st_touches", a, np.array(["POINT (2 2)"], dtype=object))[0]
+    # a point exactly ON the boundary genuinely touches
+    assert call("st_touches", a, np.array(["POINT (4 2)"], dtype=object))[0]
+    # and a point outside does not
+    assert not call("st_touches", a, np.array(["POINT (9 9)"], dtype=object))[0]
+
+
+def test_geodesic_halfwidths_contain_the_disk():
+    from geomesa_ray.geo.distance import (geodesic_halfwidths, haversine_m,
+                                          meters_to_degrees_at)
+
+    # sample the geodesic circle of radius r around (lon0, lat) by bearing
+    # (spherical direct formula) and assert the bbox contains every point
+    for lat0, r in [(0.0, 1e5), (52.0, 8e5), (68.0, 8e5), (75.0, 1.5e6)]:
+        dlon, dlat = geodesic_halfwidths(lat0, r)
+        c = r / 6_371_008.8
+        th = np.linspace(0, 2 * np.pi, 721)
+        phi1 = np.radians(lat0)
+        phi2 = np.arcsin(np.sin(phi1) * np.cos(c) + np.cos(phi1) * np.sin(c) * np.cos(th))
+        dl = np.arctan2(np.sin(th) * np.sin(c) * np.cos(phi1),
+                        np.cos(c) - np.sin(phi1) * np.sin(phi2))
+        assert (np.abs(np.degrees(phi2) - lat0) <= float(dlat) + 1e-9).all()
+        assert (np.abs(np.degrees(dl)) <= float(dlon) + 1e-9).all()
+    # the planar 1%-padded estimate UNDERcovers this large/high-lat disk
+    # (the bug the geodesic form fixes)
+    p_dlon, _ = meters_to_degrees_at(68.0, 8e5)
+    g_dlon, _ = geodesic_halfwidths(68.0, 8e5)
+    assert float(g_dlon) > float(p_dlon)
+    # polar disk: every longitude is inside
+    dlon, _ = geodesic_halfwidths(89.0, 5e5)
+    assert float(dlon) == pytest.approx(180.0)
