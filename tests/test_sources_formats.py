@@ -116,3 +116,84 @@ class TestXml:
             (tmp_path / f"f{i}.xml").write_text(self.DOC)
         ds = read_xml(str(tmp_path), "obs", self.FIELDS)
         assert ds.count() == 6
+
+
+class TestShapefile:
+    def _write_mixed(self, tmp_path):
+        from geomesa_ray.sources.shp import write_shapefile
+
+        # CW outer ring (ESRI convention) + CCW hole inside it
+        outer = [(0, 0), (0, 4), (4, 4), (4, 0), (0, 0)]
+        hole = [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]
+        p = str(tmp_path / "polys.shp")
+        write_shapefile(
+            p,
+            [("polygon", [outer, hole]),
+             ("polygon", [[(10, 10), (10, 12), (12, 12), (12, 10), (10, 10)]])],
+            attrs={"name": ["donut", "plain"], "pop": [100, 25],
+                   "score": [1.5, None], "flag": [True, False]},
+        )
+        return p
+
+    def test_polygon_roundtrip_with_dbf(self, tmp_path):
+        from geomesa_ray.sources.shp import read_shapefile_table
+
+        t = read_shapefile_table(self._write_mixed(tmp_path))
+        assert t.num_rows == 2
+        g0 = t.column("geometry")[0].as_py()
+        assert g0.startswith("POLYGON ((") and g0.count("(") == 3  # outer + hole
+        assert "MULTIPOLYGON" not in g0
+        assert t.column("name").to_pylist() == ["donut", "plain"]
+        assert t.column("pop").to_pylist() == [100, 25]
+        assert t.column("pop").type == pa.int64()
+        assert t.column("score").to_pylist() == [pytest.approx(1.5), None]
+        assert t.column("flag").to_pylist() == [True, False]
+
+    def test_points_get_lonlat(self, tmp_path):
+        from geomesa_ray.sources.shp import read_shapefile_table, write_shapefile
+
+        p = str(tmp_path / "pts.shp")
+        write_shapefile(p, [("point", (2.35, 48.85)), ("point", (-74.0, 40.7))],
+                        attrs={"city": ["paris", "nyc"]})
+        t = read_shapefile_table(p)
+        assert t.column("lon").to_pylist() == [2.35, -74.0]
+        assert t.column("lat").to_pylist() == [48.85, 40.7]
+        assert t.column("geometry")[1].as_py() == "POINT (-74 40.7)"
+
+    def test_polyline_multipoint_null(self, tmp_path):
+        from geomesa_ray.sources.shp import read_shapefile_table, write_shapefile
+
+        p = str(tmp_path / "mix.shp")
+        write_shapefile(p, [
+            ("polyline", [[(0, 0), (1, 1), (2, 0)]]),
+            ("polyline", [[(0, 0), (1, 1)], [(5, 5), (6, 6)]]),
+            ("multipoint", [[(1, 2), (3, 4)]]),
+            ("null", None),
+        ])
+        g = read_shapefile_table(p).column("geometry").to_pylist()
+        assert g[0] == "LINESTRING (0 0, 1 1, 2 0)"
+        assert g[1].startswith("MULTILINESTRING ((0 0, 1 1), (5 5, 6 6))")
+        assert g[2] == "MULTIPOINT (1 2, 3 4)"
+        assert g[3] is None
+
+    def test_ray_dataset_and_pip_feed(self, tmp_path, ray_session):
+        """Shapefile polygons feed broadcast_pip_join like any WKT dict —
+        the reference's converter -> query chain (ShapefileConverter.scala)."""
+        import ray.data as rd
+
+        from geomesa_ray.sources.shp import read_shapefile
+        from geomesa_ray.stages.pip_join import broadcast_pip_join
+
+        self._write_mixed(tmp_path)
+        ds = read_shapefile(str(tmp_path))
+        polys = {r["name"]: r["geometry"] for r in ds.take_all()}
+        assert set(polys) == {"donut", "plain"}
+        pts = rd.from_items([
+            {"id": 0, "lon": 3.0, "lat": 3.0},   # inside donut (not in hole)
+            {"id": 1, "lon": 1.5, "lat": 1.5},   # inside the hole -> no match
+            {"id": 2, "lon": 11.0, "lat": 11.0},  # inside plain
+            {"id": 3, "lon": 50.0, "lat": 50.0},  # outside everything
+        ])
+        out = broadcast_pip_join(pts, polys).to_pandas()
+        got = dict(zip(out["id"], out["poly_name"]))
+        assert got == {0: "donut", 2: "plain"}
