@@ -2193,6 +2193,54 @@ def oracle_bin_export() -> str:
     """
 
 
+# Visibility labels derived deterministically from event_id: exercises the
+# empty (public), single-token, OR, AND, parenthesized, and quoted-token
+# grammar productions of the Accumulo-style evaluator.
+_VIS_PATTERNS = [
+    "",                     # public (VisibilityNone)
+    "admin",                # hidden for auths {user, geo}
+    "user|admin",           # visible (user)
+    "user&geo",             # visible (both held)
+    "(admin|user)&geo",     # visible (user satisfies the OR, geo the AND)
+    '"ops team"&user',      # hidden (quoted token not held)
+]
+_VIS_AUTHS = ("user", "geo")
+
+
+def q_visibility_filter(sf_dir: str):
+    """Row-level visibility: Accumulo-style boolean expressions evaluated
+    against an auth set {user, geo} (geomesa-security VisibilityEvaluator
+    semantics — & over |, parens, quoted tokens, empty=public)."""
+    from geomesa_ray.stages.visibility import filter_visible
+
+    pats = np.array(_VIS_PATTERNS, dtype=object)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        return t.append_column("visibility", pa.array(pats[ids % 6], type=pa.string()))
+
+    ds = _read(sf_dir, "events", columns=["event_id"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+    return filter_visible(ds, _VIS_AUTHS)
+
+
+def oracle_visibility_filter() -> str:
+    # the truth table below is derived independently by hand from the
+    # Accumulo visibility grammar for auths {user, geo}: mods 0,2,3,4 pass
+    return """
+    SELECT event_id,
+           CASE event_id % 6
+             WHEN 0 THEN ''
+             WHEN 2 THEN 'user|admin'
+             WHEN 3 THEN 'user&geo'
+             WHEN 4 THEN '(admin|user)&geo'
+           END AS visibility
+    FROM events
+    WHERE event_id % 6 IN (0, 2, 3, 4)
+    """
+
+
 def q_corpus_pip_join(sf_dir: str):
     """Flagship: interleaved corpus -> extract -> assign -> spatial join.
     Deterministic synthetic corpus (seed 42); rows-only check."""
@@ -2345,6 +2393,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_decode": q_media_decode,
     "bin_export": q_bin_export,
+    "visibility_filter": q_visibility_filter,
     "corpus_pip_join": q_corpus_pip_join,
     "corpus_density": q_corpus_density,
 }
@@ -2401,4 +2450,5 @@ ORACLES = {
     "corpus_density": oracle_corpus_density(),
     "corpus_pip_join": oracle_corpus_pip_join(),
     "bin_export": oracle_bin_export(),
+    "visibility_filter": oracle_visibility_filter(),
 }

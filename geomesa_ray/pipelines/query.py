@@ -116,11 +116,17 @@ def query_indexed(
     lat_col: str = "lat",
     ts_col: str | None = None,
     residual_filter=None,
+    auths=None,
+    visibility_col: str = "visibility",
 ):
     """Run a QuerySpec against an indexed parquet layout (the output of the
     ingest pipeline: materialized cell_id/lon/lat columns). Returns a lazy
     Dataset. ``residual_filter`` (an ecql.Filter) re-applies the FULL
-    predicate after the coarse scan (LocalQueryRunner semantics)."""
+    predicate after the coarse scan (LocalQueryRunner semantics).
+    ``auths`` (a set of authorization strings) applies the Accumulo-style
+    row-visibility filter over ``visibility_col`` before the residual
+    (AuthorizationsProvider + VisibilityEvaluator semantics,
+    geomesa-security/.../VisibilityEvaluator.scala)."""
     import glob
     import os
 
@@ -189,6 +195,10 @@ def query_indexed(
         return t.filter(pa.array(mask))
 
     ds = ds.map_batches(refine, batch_format="pyarrow")
+    if auths is not None:
+        from geomesa_ray.stages.visibility import filter_visible
+
+        ds = filter_visible(ds, auths, column=visibility_col)
     if residual_filter is not None:
         def residual(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
