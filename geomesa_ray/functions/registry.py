@@ -693,6 +693,29 @@ def f_st_crosses(wkt_line, wkt_poly):
     return out
 
 
+def f_st_relate(wkt_a, wkt_b):
+    """st_relate: DE-9IM matrix strings for Point/convex-Polygon pairs
+    (SpatialRelationFunctions.scala:62-83 -> JTS Geometry.relate)."""
+    from geomesa_ray.geo.relate import relate
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    a = np.asarray(wkt_a, dtype=object)
+    b = np.asarray(wkt_b, dtype=object)
+    return np.array(
+        [relate(parse_wkt(str(x)), parse_wkt(str(y))) for x, y in zip(a, b)],
+        dtype=object,
+    )
+
+
+def f_st_relate_bool(wkt_a, wkt_b, pattern):
+    """st_relateBool: DE-9IM pattern match (T/F/*/0/1/2)."""
+    from geomesa_ray.geo.relate import matches
+
+    return np.array(
+        [matches(m, str(pattern)) for m in f_st_relate(wkt_a, wkt_b)], dtype=bool
+    )
+
+
 def f_st_as_wkb(wkt_values):
     """st_asBinary: point WKT -> WKB hex (little-endian, geometry type 1)."""
     import struct
@@ -844,6 +867,7 @@ FUNCTIONS = {
     "st_disjoint": f_st_disjoint, "st_equals": f_st_equals,
     "st_intersectsPoly": f_st_intersects_poly, "st_touches": f_st_touches,
     "st_overlaps": f_st_overlaps, "st_crosses": f_st_crosses,
+    "st_relate": f_st_relate, "st_relateBool": f_st_relate_bool,
     "st_asBinary": f_st_as_wkb, "st_geomFromWKB": f_st_geom_from_wkb,
     "st_pointFromText": f_st_point_from_text,
     "antimeridianSafeBBox": f_st_antimeridian_safe_bbox,

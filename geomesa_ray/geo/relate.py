@@ -1,0 +1,173 @@
+"""DE-9IM relate for points and convex polygons (pure numpy).
+
+Analog of the reference's ``st_relate`` / ``st_relateBool``
+(``geomesa-spark/geomesa-spark-jts/src/main/scala/org/locationtech/geomesa/
+spark/jts/udf/SpatialRelationFunctions.scala:62-83``, which delegates to JTS
+``Geometry.relate``). The matrix is the standard row-major 9 characters
+[II IB IE / BI BB BE / EI EB EE] with dims in {F, 0, 1, 2}.
+
+Supported pairs: Point x Point, Point x convex Polygon (either order), and
+convex Polygon x convex Polygon. Convexity lets every entry be derived from
+three exact primitives — closed containment (sign-consistent cross
+products), strict-interior separation (SAT with touching allowed), and
+pairwise edge-intersection dimension — with no constructive geometry, so
+the results are exact for float-representable inputs. Line inputs and
+concave rings raise ``ValueError`` (the named predicates ``st_crosses`` /
+``st_intersects`` cover the line cases).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geomesa_ray.geo.poly import _axes, convex_intersect, points_in_convex
+
+F = "F"
+
+
+def _closed_contains(outer: np.ndarray, inner: np.ndarray) -> bool:
+    """All of convex ``inner``'s vertices inside-or-on convex ``outer``."""
+    k = len(inner)
+    return bool(
+        points_in_convex(np.repeat(outer[None], k, 0), inner[:, 0], inner[:, 1]).all()
+    )
+
+
+def _interiors_overlap(a: np.ndarray, b: np.ndarray) -> bool:
+    """Open interiors of two convex polygons intersect: closed sets meet AND
+    no (non-degenerate) axis separates them even non-strictly."""
+    a3, b3 = a[None], b[None]
+    if not convex_intersect(a3, b3)[0]:
+        return False
+    for axes in (_axes(a3), _axes(b3)):
+        pa_ = np.einsum("nav,nkv->nak", axes, a3)
+        pb_ = np.einsum("nav,nkv->nak", axes, b3)
+        nz = (axes != 0).any(axis=2)
+        sep = ((pa_.max(2) <= pb_.min(2)) | (pb_.max(2) <= pa_.min(2))) & nz
+        if sep.any():
+            return False
+    return True
+
+
+def _seg_dim(p0, p1, q0, q1) -> int:
+    """Dimension of the intersection of two closed segments: -1/0/1."""
+    d1 = p1 - p0
+    d2 = q1 - q0
+    c = d1[0] * d2[1] - d1[1] * d2[0]
+    c_q0 = d1[0] * (q0[1] - p0[1]) - d1[1] * (q0[0] - p0[0])
+    c_q1 = d1[0] * (q1[1] - p0[1]) - d1[1] * (q1[0] - p0[0])
+    if c == 0 and c_q0 == 0 and c_q1 == 0:
+        # collinear: overlap extent along the dominant axis of d1
+        ax = 0 if abs(d1[0]) >= abs(d1[1]) else 1
+        lo1, hi1 = sorted((p0[ax], p1[ax]))
+        lo2, hi2 = sorted((q0[ax], q1[ax]))
+        lo, hi = max(lo1, lo2), min(hi1, hi2)
+        if lo > hi:
+            return -1
+        return 1 if hi > lo else 0
+    # general position: both straddle tests (endpoint contact counts, dim 0)
+    c_p0 = d2[0] * (p0[1] - q0[1]) - d2[1] * (p0[0] - q0[0])
+    c_p1 = d2[0] * (p1[1] - q0[1]) - d2[1] * (p1[0] - q0[0])
+
+    def straddle(x, y):
+        return (x <= 0 <= y) or (y <= 0 <= x)
+
+    return 0 if straddle(c_q0, c_q1) and straddle(c_p0, c_p1) else -1
+
+
+def _boundary_dim(a: np.ndarray, b: np.ndarray) -> int:
+    """max dim of intersection between the two boundary rings (-1/0/1)."""
+    ea = np.stack([a, np.roll(a, -1, axis=0)], axis=1)
+    eb = np.stack([b, np.roll(b, -1, axis=0)], axis=1)
+    best = -1
+    for p0, p1 in ea:
+        for q0, q1 in eb:
+            d = _seg_dim(p0, p1, q0, q1)
+            if d > best:
+                best = d
+                if best == 1:
+                    return 1
+    return best
+
+
+def _point_in(poly: np.ndarray, x: float, y: float) -> str:
+    """'i' interior / 'b' boundary / 'e' exterior of a convex polygon."""
+    e = np.roll(poly, -1, axis=0) - poly
+    cross = e[:, 0] * (y - poly[:, 1]) - e[:, 1] * (x - poly[:, 0])
+    if (cross > 0).all() or (cross < 0).all():
+        return "i"
+    if (cross >= 0).all() or (cross <= 0).all():
+        return "b"
+    return "e"
+
+
+def _transpose(m: str) -> str:
+    return "".join(m[j * 3 + i] for i in range(3) for j in range(3))
+
+
+def _relate_point_point(pa, pb) -> str:
+    return "0FFFFFFF2" if (pa == pb).all() else "FF0FFF0F2"
+
+
+def _relate_point_poly(p, poly) -> str:
+    where = _point_in(poly, p[0], p[1])
+    if where == "i":
+        return "0FFFFF212"
+    if where == "b":
+        return "F0FFFF212"
+    return "FF0FFF212"
+
+
+def _relate_poly_poly(a: np.ndarray, b: np.ndarray) -> str:
+    a_in_b = _closed_contains(b, a)
+    b_in_a = _closed_contains(a, b)
+    overlap = _interiors_overlap(a, b)
+    bb = _boundary_dim(a, b)
+    ii = "2" if overlap else F
+    ib = "1" if overlap and not a_in_b else F
+    ie = F if a_in_b else "2"
+    bi = "1" if overlap and not b_in_a else F
+    be = F if a_in_b else "1"
+    ei = F if b_in_a else "2"
+    eb = F if b_in_a else "1"
+    return ii + ib + ie + bi + (str(bb) if bb >= 0 else F) + be + ei + eb + "2"
+
+
+def relate(ga: dict, gb: dict) -> str:
+    """DE-9IM matrix for two parse_wkt geometries (Point / convex Polygon)."""
+
+    def classify(g):
+        if g["type"] == "Point":
+            return "pt", np.asarray(g["coords"], dtype=np.float64)
+        if g["type"] == "Polygon":
+            ring = np.asarray(g["coords"][0], dtype=np.float64)
+            if (ring[0] == ring[-1]).all():
+                ring = ring[:-1]
+            return "poly", ring
+        raise ValueError(f"st_relate supports Point/Polygon, got {g['type']}")
+
+    ka, va = classify(ga)
+    kb, vb = classify(gb)
+    if ka == "pt" and kb == "pt":
+        return _relate_point_point(va, vb)
+    if ka == "pt":
+        return _relate_point_poly(va, vb)
+    if kb == "pt":
+        return _transpose(_relate_point_poly(vb, va))
+    return _relate_poly_poly(va, vb)
+
+
+def matches(matrix: str, pattern: str) -> bool:
+    """JTS IntersectionMatrix.matches: T=any dim>=0, F=empty, *=any, 0/1/2
+    exact."""
+    if len(pattern) != 9:
+        raise ValueError("DE-9IM pattern must be 9 characters")
+    for m, p in zip(matrix, pattern.upper()):
+        if p == "*":
+            continue
+        if p == "T":
+            if m == "F":
+                return False
+        elif p != m:
+            return False
+    return True

@@ -136,12 +136,45 @@ def session_windows(ds, key_col: str, ts_col: str, gap_ms: int):
     return pre.groupby("__kb").map_groups(sessions, batch_format="pandas")
 
 
-def latest_per_key(ds, key_col: str, ts_col: str, tiebreak_col: str | None = None):
-    """TrackLabel: the most recent row per key. Exact-timestamp ties resolve
-    by ``tiebreak_col`` (max wins) when given — without it the winner among
-    ties is block-order-dependent."""
+def latest_per_key(
+    ds,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    ttl_ms: int | None = None,
+    now_ms: int | None = None,
+    order_col: str | None = None,
+):
+    """TrackLabel / live-cache view: the winning row per key. Exact-rank ties
+    resolve by ``tiebreak_col`` (max wins) when given — without it the winner
+    among ties is block-order-dependent.
 
-    sort_cols = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    Streaming-cache semantics (KafkaFeatureCache, geomesa-kafka/.../index/
+    {KafkaFeatureCache,FeatureStateFactory}.scala):
+
+    - ``ttl_ms`` + ``now_ms``: age-off — rows with ``ts + ttl_ms <= now_ms``
+      are expired (EventTimeExpiry: already-stale messages never enter the
+      cache). Applied as a vectorized pre-filter BEFORE the shuffle, so
+      expired data is dropped at the read.
+    - ``order_col``: message-time ordering — the winner per key is the row
+      with the max ``order_col`` (arrival sequence), even if its event time
+      is older (the non-ordering ``put``). Default is event-time ordering:
+      max ``ts_col`` wins and stale updates are dropped
+      (NonIndexingEventTimeFeatureCache.put keeps the newer event time).
+    """
+
+    if ttl_ms is not None:
+        if now_ms is None:
+            raise ValueError("ttl_ms requires now_ms (the age-off reference instant)")
+
+        def age_off(t: pa.Table) -> pa.Table:
+            ms = _ts_millis(t.column(ts_col))
+            return t.filter(pa.array(ms + ttl_ms > now_ms))
+
+        ds = ds.map_batches(age_off, batch_format="pyarrow")
+
+    rank_col = order_col if order_col is not None else ts_col
+    sort_cols = [key_col, rank_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(sort_cols, kind="mergesort")

@@ -116,6 +116,49 @@ class TestWindows:
         for uid, ts in exp.set_index("user_id")["ts"].items():
             assert got[uid] == ts
 
+    def test_latest_per_key_ttl_ageoff(self, ray_session):
+        # KafkaFeatureCache expiry: rows with ts + ttl <= now never enter
+        import ray.data as rd
+
+        from geomesa_ray.stages.windows import latest_per_key
+
+        rows = [
+            {"k": 1, "ts": 1_000, "v": "stale"},    # expired (1000+500 <= 2000)
+            {"k": 1, "ts": 1_600, "v": "live"},     # alive  (1600+500 > 2000)
+            {"k": 2, "ts": 100, "v": "gone"},       # whole key expired
+        ]
+        out = latest_per_key(
+            rd.from_items(rows), "k", "ts", ttl_ms=500, now_ms=2_000
+        ).to_pandas()
+        assert out["k"].tolist() == [1]
+        assert out["v"].tolist() == ["live"]
+
+    def test_latest_per_key_ttl_requires_now(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from geomesa_ray.stages.windows import latest_per_key
+
+        with pytest.raises(ValueError):
+            latest_per_key(rd.from_items([{"k": 1, "ts": 1}]), "k", "ts", ttl_ms=10)
+
+    def test_latest_per_key_message_time_ordering(self, ray_session):
+        # ordering=False analog: last ARRIVAL wins even with older event time;
+        # default (event-time ordering) drops the stale update instead
+        import ray.data as rd
+
+        from geomesa_ray.stages.windows import latest_per_key
+
+        rows = [
+            {"k": 1, "ts": 5_000, "seq": 1, "v": "newer-event"},
+            {"k": 1, "ts": 3_000, "seq": 2, "v": "later-arrival"},
+        ]
+        ds = rd.from_items(rows)
+        by_msg = latest_per_key(ds, "k", "ts", order_col="seq").to_pandas()
+        assert by_msg["v"].tolist() == ["later-arrival"]
+        by_event = latest_per_key(ds, "k", "ts").to_pandas()
+        assert by_event["v"].tolist() == ["newer-event"]
+
     def test_track_lines(self, ray_session):
         import ray.data as rd
 

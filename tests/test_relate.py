@@ -1,0 +1,102 @@
+"""DE-9IM st_relate for point/convex-polygon pairs — matrices checked
+against the canonical JTS values for each configuration."""
+
+import numpy as np
+import pytest
+
+from geomesa_ray.functions.registry import call
+from geomesa_ray.geo.relate import matches
+
+SQ = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"          # unit-ish square
+SQ_SHIFT = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"    # overlaps SQ
+SQ_INNER = "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))"        # strictly inside SQ
+SQ_EDGE = "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"  # shares the x=10 edge
+SQ_CORNER = "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))"  # corner touch
+SQ_FAR = "POLYGON ((30 30, 40 30, 40 40, 30 40, 30 30))"
+
+
+def rel(a, b) -> str:
+    return call("st_relate", [a], [b])[0]
+
+
+class TestPolygonPolygon:
+    def test_equal(self):
+        assert rel(SQ, SQ) == "2FFF1FFF2"
+
+    def test_disjoint(self):
+        assert rel(SQ, SQ_FAR) == "FF2FF1212"
+
+    def test_overlap(self):
+        assert rel(SQ, SQ_SHIFT) == "212101212"
+
+    def test_contains_properly(self):
+        # A contains B with no boundary contact
+        assert rel(SQ, SQ_INNER) == "212FF1FF2"
+        assert rel(SQ_INNER, SQ) == "2FF1FF212"  # within, transposed
+
+    def test_touch_edge(self):
+        assert rel(SQ, SQ_EDGE) == "FF2F11212"
+
+    def test_touch_corner(self):
+        assert rel(SQ, SQ_CORNER) == "FF2F01212"
+
+    def test_contains_with_shared_edge(self):
+        # B inside A but sharing part of A's boundary (covers, not contains-properly)
+        b = "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"
+        m = rel(SQ, b)
+        assert m == "212F11FF2"
+        assert matches(m, "T*****FF*")   # contains
+        assert not matches(m, "T**FF*FF*")  # but not within-style interior-only
+
+
+class TestPointCases:
+    def test_point_point(self):
+        assert rel("POINT (1 2)", "POINT (1 2)") == "0FFFFFFF2"
+        assert rel("POINT (1 2)", "POINT (3 4)") == "FF0FFF0F2"
+
+    def test_point_in_polygon(self):
+        assert rel("POINT (5 5)", SQ) == "0FFFFF212"
+        assert rel("POINT (10 5)", SQ) == "F0FFFF212"   # on boundary
+        assert rel("POINT (20 20)", SQ) == "FF0FFF212"  # outside
+
+    def test_polygon_point_transposed(self):
+        assert rel(SQ, "POINT (5 5)") == "0F2FF1FF2"
+        assert rel(SQ, "POINT (10 5)") == "FF20F1FF2"
+        assert rel(SQ, "POINT (20 20)") == "FF2FF10F2"
+
+
+class TestPatternMatch:
+    def test_named_predicates_as_patterns(self):
+        # the classic JTS pattern definitions, evaluated through relate
+        assert call("st_relateBool", [SQ], [SQ_SHIFT], "T*T***T**")[0]  # overlaps
+        assert call("st_relateBool", [SQ], [SQ_EDGE], "F***T****")[0]  # touches (edge)
+        assert call("st_relateBool", [SQ], ["POINT (10 5)"], "F**T*****")[0]  # touches (boundary point)
+        assert call("st_relateBool", [SQ], [SQ_INNER], "T*****FF*")[0]  # contains
+        assert call("st_relateBool", [SQ_INNER], [SQ], "T*F**F***")[0]  # within
+        assert call("st_relateBool", [SQ], [SQ_FAR], "FF*FF****")[0]  # disjoint
+        assert not call("st_relateBool", [SQ], [SQ_SHIFT], "FF*FF****")[0]
+
+    def test_pattern_validation(self):
+        with pytest.raises(ValueError):
+            matches("2FFF1FFF2", "T*")
+
+    def test_consistency_with_named_functions(self):
+        pairs = [(SQ, SQ_SHIFT), (SQ, SQ_EDGE), (SQ, SQ_INNER), (SQ, SQ_FAR),
+                 (SQ, SQ_CORNER), (SQ, SQ)]
+        a = [p[0] for p in pairs]
+        b = [p[1] for p in pairs]
+        m = call("st_relate", a, b)
+        touches = call("st_touches", a, b)
+        disjoint = call("st_disjoint", a, b)
+        for i in range(len(pairs)):
+            touch_via_matrix = (
+                matches(m[i], "FT*******")
+                or matches(m[i], "F**T*****")
+                or matches(m[i], "F***T****")
+            )
+            assert touch_via_matrix == bool(touches[i])
+            assert bool(disjoint[i]) == matches(m[i], "FF*FF****")
+
+    def test_line_raises(self):
+        with pytest.raises(ValueError):
+            rel("LINESTRING (0 0, 1 1)", SQ)
