@@ -1419,6 +1419,86 @@ def q_minhash_dedup_docs(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def oracle_minhash_dedup() -> str:
+    """Full minhash-LSH-in-SQL oracle replaying stages/dedup.py bit-for-bit:
+    5-char shingle FNV-1a+splitmix64 chains, the 64 universal hashes with
+    numpy's uint64 WRAPAROUND mirrored (``((sh*a) wrap64 + b) wrap64 % M``
+    — the product fits HUGEINT at < 2^125), 16 banded FNV+mix64 band
+    hashes, then the engine's exact 2-round min-label propagation as plain
+    per-round CTEs (l_{r+1}(d) = min over d's buckets of the bucket-min of
+    l_r; a doc's own bucket carries its label, so no explicit self-min).
+    Docs shorter than the 5-char shingle window would diverge (the engine
+    hashes the whole text, the SQL drops them) — none exist in the corpus
+    (min length 48). Heavy CTEs are MATERIALIZED per CLAUDE.md's binder
+    rule."""
+    num_perm, bands, k, rounds = 64, 16, 5, 2
+    rng = np.random.default_rng(42)  # MinHasher(seed=42) constants
+    M = (1 << 61) - 1
+    pa_ = rng.integers(1, M, num_perm, dtype=np.uint64)
+    pb_ = rng.integers(0, M, num_perm, dtype=np.uint64)
+    perms = ", ".join(
+        f"({j}, CAST({int(pa_[j])} AS HUGEINT), CAST({int(pb_[j])} AS HUGEINT))"
+        for j in range(num_perm)
+    )
+    prime, mod = 1099511628211, 1 << 64
+    rpb = num_perm // bands
+
+    ctes = [
+        "lowered AS (SELECT doc_id, lower(text) AS t FROM documents)",
+        f"pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - {k - 1})) AS i FROM lowered)",
+        f"win AS MATERIALIZED (SELECT DISTINCT doc_id, substr(t, i, {k}) AS w FROM pos)",
+    ]
+    for c in range(k):  # FNV-1a over the window bytes (ASCII corpus)
+        src = "win" if c == 0 else f"f{c}"
+        s_in = "CAST(14695981039346656037 AS HUGEINT)" if c == 0 else "__s"
+        byte = f"ascii(substr(w, {c + 1}, 1))"
+        ctes.append(
+            f"f{c + 1} AS MATERIALIZED (SELECT doc_id, w, "
+            f"((({s_in} - ({s_in} % 256) + xor(CAST({s_in} % 256 AS BIGINT), {byte})) * {prime}) % {mod}) AS __s "
+            f"FROM {src})"
+        )
+    ctes += _sql_mix64_steps(f"f{k}", "__s", "sh", ["doc_id"], "shx")
+    ctes += [
+        f"perms(j, a, b) AS (VALUES {perms})",
+        (f"sig AS MATERIALIZED (SELECT s.doc_id, p.j, "
+         f"MIN((((s.sh * p.a) % {mod} + p.b) % {mod}) % {M}) AS v "
+         f"FROM shx_3 s CROSS JOIN perms p GROUP BY s.doc_id, p.j)"),
+    ]
+    vcols = ", ".join(f"MAX(CASE WHEN j % {rpb} = {c} THEN v END) AS v{c}" for c in range(rpb))
+    ctes.append(
+        f"bnd AS MATERIALIZED (SELECT doc_id, j // {rpb} AS band, {vcols} FROM sig GROUP BY doc_id, j // {rpb})"
+    )
+    for c in range(rpb):  # band FNV: full-64-bit xor then wrap64 multiply
+        src = "bnd" if c == 0 else f"bh{c}"
+        s_in = "CAST(14695981039346656037 AS HUGEINT)" if c == 0 else "__h"
+        ctes.append(
+            f"bh{c + 1} AS MATERIALIZED (SELECT doc_id, band, "
+            f"{_sql_mul64(_sql_xor64(s_in, f'v{c}'), prime)} AS __h"
+            + "".join(f", v{d}" for d in range(c + 1, rpb))
+            + f" FROM {src})"
+        )
+    ctes += _sql_mix64_steps(f"bh{rpb}", "__h", "band_hash", ["doc_id", "band"], "bmx")
+    ctes.append("bands AS MATERIALIZED (SELECT doc_id, band, band_hash FROM bmx_3)")
+    prev = None
+    for r in range(rounds):
+        bm = f"bm{r}"
+        if r == 0:
+            ctes.append(f"{bm} AS (SELECT band, band_hash, MIN(doc_id) AS bmin FROM bands GROUP BY band, band_hash)")
+        else:
+            ctes.append(
+                f"{bm} AS (SELECT b.band, b.band_hash, MIN(l.cluster) AS bmin "
+                f"FROM bands b JOIN {prev} l ON l.doc_id = b.doc_id GROUP BY b.band, b.band_hash)"
+            )
+        lab = f"l{r + 1}"
+        ctes.append(
+            f"{lab} AS (SELECT b.doc_id, MIN(m.bmin) AS cluster "
+            f"FROM bands b JOIN {bm} m ON m.band = b.band AND m.band_hash = b.band_hash "
+            f"GROUP BY b.doc_id)"
+        )
+        prev = lab
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id FROM {prev} WHERE cluster = doc_id"
+
+
 def q_simhash_pairs_docs(sf_dir: str):
     """SimHash near-dup pairs, verified against a full simhash-in-SQL
     oracle (per-token FNV + splitmix64 + bit votes + banded self-joins)."""
@@ -2451,4 +2531,5 @@ ORACLES = {
     "corpus_pip_join": oracle_corpus_pip_join(),
     "bin_export": oracle_bin_export(),
     "visibility_filter": oracle_visibility_filter(),
+    "minhash_dedup_docs": oracle_minhash_dedup(),
 }
