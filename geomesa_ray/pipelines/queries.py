@@ -1015,6 +1015,110 @@ def oracle_latest_event() -> str:
     """
 
 
+# relate_rects: the query rectangle every per-event rect is related against
+_REL_B = (0.0, 0.0, 10.0, 10.0)
+
+
+def q_relate_rects(sf_dir: str):
+    """DE-9IM st_relate end-to-end: integer-coordinate rects derived from
+    event_id (so touch/containment/equality cases occur exactly) related
+    against a fixed query rect through the WKT + SAT/edge-pair geometry
+    path. The oracle derives the same matrices INDEPENDENTLY from interval
+    algebra on the rect bounds."""
+    from geomesa_ray.functions.registry import call
+
+    bx0, by0, bx1, by1 = _REL_B
+    b_wkt = f"POLYGON (({bx0} {by0}, {bx1} {by0}, {bx1} {by1}, {bx0} {by1}, {bx0} {by0}))"
+
+    def rel(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        ax0 = (ids % 29 - 7).astype(np.float64)
+        ay0 = (ids % 23 - 6).astype(np.float64)
+        aw = (ids % 13 + 1).astype(np.float64)
+        ah = (ids % 11 + 1).astype(np.float64)
+        wkts = call("st_makeBBOX", ax0, ay0, ax0 + aw, ay0 + ah)
+        m = call("st_relate", wkts, np.full(len(ids), b_wkt, dtype=object))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "matrix": pa.array(m, type=pa.string()),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(rel, batch_format="pyarrow")
+    )
+
+
+def oracle_relate_rects() -> str:
+    """Rect x rect DE-9IM from interval algebra (independent of the
+    engine's SAT/edge-pair derivation): interiors overlap iff both axes
+    strictly overlap; boundary dim is 1 on a collinear positive-length
+    edge overlap, 0 on any other boundary contact, F otherwise."""
+    bx0, by0, bx1, by1 = _REL_B
+    ov = f"(ax0 < {bx1} AND {bx0} < ax1 AND ay0 < {by1} AND {by0} < ay1)"
+    a_in_b = f"(ax0 >= {bx0} AND ax1 <= {bx1} AND ay0 >= {by0} AND ay1 <= {by1})"
+    b_in_a = f"({bx0} >= ax0 AND {bx1} <= ax1 AND {by0} >= ay0 AND {by1} <= ay1)"
+    closed = f"(ax0 <= {bx1} AND {bx0} <= ax1 AND ay0 <= {by1} AND {by0} <= ay1)"
+    a_strict = f"(ax0 > {bx0} AND ax1 < {bx1} AND ay0 > {by0} AND ay1 < {by1})"
+    b_strict = f"({bx0} > ax0 AND {bx1} < ax1 AND {by0} > ay0 AND {by1} < ay1)"
+    vshare = (f"((ax0 IN ({bx0}, {bx1}) OR ax1 IN ({bx0}, {bx1})) "
+              f"AND LEAST(ay1, {by1}) > GREATEST(ay0, {by0}))")
+    hshare = (f"((ay0 IN ({by0}, {by1}) OR ay1 IN ({by0}, {by1})) "
+              f"AND LEAST(ax1, {bx1}) > GREATEST(ax0, {bx0}))")
+    bb = (f"CASE WHEN {vshare} OR {hshare} THEN '1' "
+          f"WHEN {closed} AND NOT {a_strict} AND NOT {b_strict} THEN '0' ELSE 'F' END")
+    return f"""
+    WITH r AS (
+      SELECT event_id,
+             CAST(event_id % 29 - 7 AS DOUBLE) AS ax0,
+             CAST(event_id % 23 - 6 AS DOUBLE) AS ay0,
+             CAST(event_id % 29 - 7 + event_id % 13 + 1 AS DOUBLE) AS ax1,
+             CAST(event_id % 23 - 6 + event_id % 11 + 1 AS DOUBLE) AS ay1
+      FROM events
+    )
+    SELECT event_id,
+           (CASE WHEN {ov} THEN '2' ELSE 'F' END)
+        || (CASE WHEN {ov} AND NOT {a_in_b} THEN '1' ELSE 'F' END)
+        || (CASE WHEN {a_in_b} THEN 'F' ELSE '2' END)
+        || (CASE WHEN {ov} AND NOT {b_in_a} THEN '1' ELSE 'F' END)
+        || ({bb})
+        || (CASE WHEN {a_in_b} THEN 'F' ELSE '1' END)
+        || (CASE WHEN {b_in_a} THEN 'F' ELSE '2' END)
+        || (CASE WHEN {b_in_a} THEN 'F' ELSE '1' END)
+        || '2' AS matrix
+    FROM r
+    """
+
+
+_TTL_NOW_MS = 1_706_659_032_194  # max event ts in the corpus (fixed reference instant)
+_TTL_MS = 86_400_000  # 1-day age-off: 17 of 150 users fully expire at sf0.01
+
+
+def q_ttl_latest(sf_dir: str):
+    """Live-cache view with age-off: most recent event per user among rows
+    younger than the TTL; users whose entire history expired disappear
+    (KafkaFeatureCache event-time expiry, FeatureStateFactory.scala)."""
+    from geomesa_ray.stages.windows import latest_per_key
+
+    out = latest_per_key(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]),
+        "user_id", "ts", tiebreak_col="event_id",
+        ttl_ms=_TTL_MS, now_ms=_TTL_NOW_MS,
+    )
+    return out.select_columns(["user_id", "event_id"])
+
+
+def oracle_ttl_latest() -> str:
+    return f"""
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE epoch_ms(ts) + {_TTL_MS} > {_TTL_NOW_MS}
+    ) WHERE rn = 1
+    """
+
+
 def q_track_lines(sf_dir: str):
     """Point2Point: per-user time-ordered LineString WKT. Coordinates are
     printf %.6f (matching SQL printf) and point order tie-breaks on event_id
@@ -2474,6 +2578,8 @@ QUERIES = {
     "media_decode": q_media_decode,
     "bin_export": q_bin_export,
     "visibility_filter": q_visibility_filter,
+    "relate_rects": q_relate_rects,
+    "ttl_latest": q_ttl_latest,
     "corpus_pip_join": q_corpus_pip_join,
     "corpus_density": q_corpus_density,
 }
@@ -2532,4 +2638,6 @@ ORACLES = {
     "bin_export": oracle_bin_export(),
     "visibility_filter": oracle_visibility_filter(),
     "minhash_dedup_docs": oracle_minhash_dedup(),
+    "relate_rects": oracle_relate_rects(),
+    "ttl_latest": oracle_ttl_latest(),
 }
