@@ -1015,6 +1015,34 @@ def oracle_latest_event() -> str:
     """
 
 
+_EXPR_SCORE = (
+    "value * 0.25 + user_id % 7 "
+    "if value > 100.0 and event_type == 'purchase' "
+    "else 0.0 - value / 8.0"
+)
+
+
+def q_expr_score(sf_dir: str):
+    """Scripting-UDF analog end-to-end: a sandboxed vectorized expression
+    (ScriptingFunctionFactory semantics, restricted to a numpy whitelist)
+    computes a score column. Only IEEE-deterministic ops (+,-,*,/,%) so the
+    doubles hash-compare against the SQL mirror."""
+    from geomesa_ray.functions.exprs import add_expr_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    return add_expr_column(ds, "score", _EXPR_SCORE).select_columns(["event_id", "score"])
+
+
+def oracle_expr_score() -> str:
+    return """
+    SELECT event_id,
+           CASE WHEN value > 100.0 AND event_type = 'purchase'
+                THEN value * 0.25 + user_id % 7
+                ELSE 0.0 - value / 8.0 END AS score
+    FROM events
+    """
+
+
 # relate_rects: the query rectangle every per-event rect is related against
 _REL_B = (0.0, 0.0, 10.0, 10.0)
 
@@ -2580,6 +2608,7 @@ QUERIES = {
     "visibility_filter": q_visibility_filter,
     "relate_rects": q_relate_rects,
     "ttl_latest": q_ttl_latest,
+    "expr_score": q_expr_score,
     "corpus_pip_join": q_corpus_pip_join,
     "corpus_density": q_corpus_density,
 }
@@ -2640,4 +2669,5 @@ ORACLES = {
     "minhash_dedup_docs": oracle_minhash_dedup(),
     "relate_rects": oracle_relate_rects(),
     "ttl_latest": oracle_ttl_latest(),
+    "expr_score": oracle_expr_score(),
 }

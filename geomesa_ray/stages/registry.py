@@ -86,6 +86,20 @@ def _fingerprint(ds, **kw):
     return fingerprint(ds, **kw)
 
 
+@register("expr_column")
+def _expr_column(ds, col=None, expr=None):
+    from geomesa_ray.functions.exprs import add_expr_column
+
+    return add_expr_column(ds, col, expr)
+
+
+@register("expr_filter")
+def _expr_filter(ds, expr=None):
+    from geomesa_ray.functions.exprs import filter_expr
+
+    return filter_expr(ds, expr)
+
+
 CELL_SCHEMES = ("zcell", "s2")
 
 
