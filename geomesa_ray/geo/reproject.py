@@ -153,3 +153,147 @@ def utm_to_lonlat(easting, northing, zone, south=False):
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
     lon0 = np.radians(zone * 6.0 - 183.0)
     return np.degrees(lam + lon0), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Conic projections — Lambert Conformal Conic (2SP) and Albers Equal Area
+# (2SP), ellipsoidal forms from Snyder, "Map Projections — A Working
+# Manual" (USGS PP 1395, public domain): LCC eqs. 14-15/15-1..15-5, Albers
+# eqs. 14-12..14-21. These are the families behind most regional grids
+# (US State Plane LCC zones, EPSG:5070 CONUS Albers, Canada LCC), closing
+# more of the reference's arbitrary-CRS surface (Reprojection.scala).
+# ---------------------------------------------------------------------------
+
+
+def _m(phi, e):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e * e * s * s)
+
+
+def _t(phi, e):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+
+
+def _q(phi, e):
+    s = np.sin(phi)
+    return (1.0 - e * e) * (
+        s / (1.0 - e * e * s * s) - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+class LambertConformalConic:
+    """Ellipsoidal LCC 2SP (Snyder 15-1..15-5), vectorized forward/inverse."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = _WGS84_A, f: float = _WGS84_F):
+        self.a, self.e = a, np.sqrt(f * (2.0 - f))
+        p1, p2, p0 = np.radians([lat1, lat2, lat0])
+        m1, m2 = _m(p1, self.e), _m(p2, self.e)
+        t1, t2, t0 = _t(p1, self.e), _t(p2, self.e), _t(p0, self.e)
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)) if lat1 != lat2 else np.sin(p1)
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = a * self.F * t0 ** self.n
+        self.lon0 = np.radians(lon0)
+        self.fe, self.fn = false_e, false_n
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        rho = self.a * self.F * _t(phi, self.e) ** self.n
+        th = self.n * (lam - self.lon0)
+        return rho * np.sin(th) + self.fe, self.rho0 - rho * np.cos(th) + self.fn
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        rho = np.sign(self.n) * np.hypot(x, y)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        th = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * y)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):  # Snyder 7-9 fixed point
+            s = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(t * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0))
+        return np.degrees(th / self.n + self.lon0), np.degrees(phi)
+
+
+class AlbersEqualArea:
+    """Ellipsoidal Albers 2SP (Snyder 14-12..14-21), vectorized."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = _WGS84_A, f: float = _WGS84_F):
+        self.a, self.e = a, np.sqrt(f * (2.0 - f))
+        p1, p2, p0 = np.radians([lat1, lat2, lat0])
+        m1, m2 = _m(p1, self.e), _m(p2, self.e)
+        q1, q2, q0 = _q(p1, self.e), _q(p2, self.e), _q(p0, self.e)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1) if lat1 != lat2 else np.sin(p1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = a * np.sqrt(self.C - self.n * q0) / self.n
+        self.lon0 = np.radians(lon0)
+        self.fe, self.fn = false_e, false_n
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        rho = self.a * np.sqrt(self.C - self.n * _q(phi, self.e)) / self.n
+        th = self.n * (lam - self.lon0)
+        return rho * np.sin(th) + self.fe, self.rho0 - rho * np.cos(th) + self.fn
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        rho = np.hypot(x, y)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        th = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * y)
+        e2 = self.e * self.e
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(10):  # Snyder 3-16 fixed point
+            s = np.sin(phi)
+            es = self.e * s
+            phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / (1.0 - e2 * s * s)
+                + (1.0 / (2.0 * self.e)) * np.log((1.0 - es) / (1.0 + es))
+            )
+        return np.degrees(th / self.n + self.lon0), np.degrees(phi)
+
+
+#: Named projected CRS built from the two conic families (parameters are the
+#: published EPSG definitions; all on WGS84/GRS80-equivalent flattening).
+PROJECTED_CRS = {
+    # CONUS Albers (EPSG:5070 — NAD83/GRS80; GRS80 f matches WGS84 to 1e-9)
+    "EPSG:5070": lambda: AlbersEqualArea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    # Canada Atlas Lambert (EPSG:3978)
+    "EPSG:3978": lambda: LambertConformalConic(49.0, 77.0, 49.0, -95.0, 0.0, 0.0),
+    # Europe conformal (EPSG:3034, ETRS89 LCC)
+    "EPSG:3034": lambda: LambertConformalConic(35.0, 65.0, 52.0, 10.0, 4_000_000.0, 2_800_000.0),
+    # US National Atlas Equal Area-ish CONUS check grid
+    "EPSG:102003": lambda: AlbersEqualArea(29.5, 45.5, 37.5, -96.0, 0.0, 0.0),
+}
+
+
+def get_projection(code: str):
+    """Projected-CRS factory: 'EPSG:xxxx' -> projection object with
+    vectorized forward/inverse. UTM codes (326xx/327xx) route to the
+    Krüger implementation via a tiny adapter."""
+    code = code.upper()
+    if code in PROJECTED_CRS:
+        return PROJECTED_CRS[code]()
+    if code.startswith("EPSG:326") or code.startswith("EPSG:327"):
+        zone = int(code[8:])
+        south = code.startswith("EPSG:327")
+
+        class _UTM:
+            def forward(self, lon, lat):
+                e, n, _, _ = lonlat_to_utm(lon, lat, zone=zone)
+                if south:
+                    n = np.asarray(n) + _UTM_FN_S * (np.asarray(lat) >= 0)
+                return e, n
+
+            def inverse(self, x, y):
+                return utm_to_lonlat(x, y, np.full(np.shape(x), zone), south=south)
+
+        return _UTM()
+    raise KeyError(f"unknown projected CRS {code!r}; known: {sorted(PROJECTED_CRS)} + UTM 326xx/327xx")

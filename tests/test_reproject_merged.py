@@ -38,6 +38,71 @@ class TestReproject:
         assert (tx[0], ty[0]) == (1, 0)
 
 
+class TestConicProjections:
+    # Snyder, "Map Projections — A Working Manual" (USGS PP 1395) worked
+    # examples on Clarke 1866 (a=6378206.4, e^2=0.00676866): independent
+    # published ground truth for both conic families.
+    _CLARKE_A = 6378206.4
+    _CLARKE_F = 1 - (1 - 0.00676866) ** 0.5
+
+    def test_lcc_snyder_example(self):
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import LambertConformalConic
+
+        p = LambertConformalConic(33.0, 45.0, 23.0, -96.0,
+                                  a=self._CLARKE_A, f=self._CLARKE_F)
+        x, y = p.forward(np.array([-75.0]), np.array([35.0]))
+        assert abs(x[0] - 1_894_410.9) < 0.5
+        assert abs(y[0] - 1_564_649.5) < 0.5
+        lon, lat = p.inverse(x, y)
+        assert abs(lon[0] + 75.0) < 1e-9 and abs(lat[0] - 35.0) < 1e-9
+
+    def test_albers_snyder_example(self):
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import AlbersEqualArea
+
+        p = AlbersEqualArea(29.5, 45.5, 23.0, -96.0,
+                            a=self._CLARKE_A, f=self._CLARKE_F)
+        x, y = p.forward(np.array([-75.0]), np.array([35.0]))
+        assert abs(x[0] - 1_885_472.7) < 0.5
+        assert abs(y[0] - 1_535_925.0) < 0.5
+
+    def test_roundtrip_wgs84(self):
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import get_projection
+
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-120, -70, 500)
+        lat = rng.uniform(25, 50, 500)
+        for code in ("EPSG:5070", "EPSG:3978", "EPSG:3034", "EPSG:102003"):
+            p = get_projection(code)
+            x, y = p.forward(lon, lat)
+            lo, la = p.inverse(x, y)
+            assert np.abs(lo - lon).max() < 1e-9, code
+            assert np.abs(la - lat).max() < 1e-9, code
+
+    def test_utm_adapter(self):
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import get_projection
+
+        p = get_projection("EPSG:32631")
+        x, y = p.forward(np.array([3.0]), np.array([48.0]))
+        lo, la = p.inverse(x, y)
+        assert abs(lo[0] - 3.0) < 1e-8 and abs(la[0] - 48.0) < 1e-8
+
+    def test_unknown_code(self):
+        import pytest
+
+        from geomesa_ray.geo.reproject import get_projection
+
+        with pytest.raises(KeyError):
+            get_projection("EPSG:99999")
+
+
 class TestMergedView:
     def test_last_write_wins(self, ray_session):
         import ray.data as rd
