@@ -784,27 +784,34 @@ def f_z3_uuid(lon, lat, epoch_ms, content):
 
 
 def f_st_buffer(wkt_values, dist):
-    """st_buffer for points (16-gon circles, degrees) and CONVEX polygons
-    (exact planar offset with miter joins — each edge moves outward by
-    ``dist`` along its normal, adjacent offset edges intersect). JTS rounds
-    corners with quadrant segments; the miter variant is the documented
-    difference (no geometry library in this container)."""
+    """st_buffer for points (16-gon circles, degrees) and simple polygons,
+    CONCAVE INCLUDED: each edge offsets outward by ``dist`` along its
+    normal; at REFLEX vertices adjacent offset edges intersect (the exact
+    buffer boundary there), at CONVEX vertices a circular arc of radius
+    ``dist`` joins them (JTS round-join semantics, pi/16 max step ~
+    quadrantSegments=8). Valid while ``dist`` stays below the polygon's
+    minimum clearance (the offset curve is then simple — no global
+    self-intersection removal pass, which is the documented difference
+    from JTS for extreme radii). Negative distances raise."""
     from geomesa_ray.geo.wkt import parse_wkt
 
     dist = float(dist)
     vals = np.asarray(wkt_values, dtype=object)
     out = np.empty(len(vals), dtype=object)
     ang = np.linspace(0, 2 * np.pi, 17)
+    step = np.pi / 16.0
     for i, w in enumerate(vals):
         g = parse_wkt(str(w))
         if g["type"] == "Point":
             x, y = g["coords"]
-            xs = x + dist * np.cos(ang)
-            ys = y + dist * np.sin(ang)
+            xs = x + abs(dist) * np.cos(ang)
+            ys = y + abs(dist) * np.sin(ang)
             out[i] = "POLYGON ((" + ", ".join(f"{a} {b}" for a, b in zip(xs, ys)) + "))"
             continue
         if g["type"] != "Polygon":
-            raise ValueError("st_buffer: Point and convex Polygon only")
+            raise ValueError("st_buffer: Point and Polygon only")
+        if dist <= 0:
+            raise ValueError("st_buffer: polygon distances must be positive")
         ring = _open_ring(np.asarray(g["coords"][0], dtype=np.float64))
         # ensure CCW orientation (positive shoelace) so normals point outward
         x, y = ring[:, 0], ring[:, 1]
@@ -814,19 +821,33 @@ def f_st_buffer(wkt_values, dist):
         e = np.roll(ring, -1, axis=0) - ring
         nrm = np.stack([e[:, 1], -e[:, 0]], axis=1)
         nrm = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
-        # offset edge k passes through p_k + d*n_k with direction e_k;
-        # vertex k of the buffered ring = intersection of edges k-1 and k
-        p = ring + dist * nrm
-        pprev = np.roll(p, 1, axis=0)
+        nprev = np.roll(nrm, 1, axis=0)
         eprev = np.roll(e, 1, axis=0)
-        # solve pprev + t*eprev = p + s*e  (2x2 per vertex)
-        d = pprev - p
-        det = eprev[:, 0] * (-e[:, 1]) - eprev[:, 1] * (-e[:, 0])
-        t = (d[:, 1] * (-e[:, 0]) - d[:, 0] * (-e[:, 1])) / np.where(det == 0, 1e-300, det)
-        vx = pprev[:, 0] + t * eprev[:, 0]
-        vy = pprev[:, 1] + t * eprev[:, 1]
-        pts = np.stack([vx, vy], axis=1)
-        closed = np.vstack([pts, pts[:1]])
+        # turn direction at vertex k between edge k-1 and edge k
+        cross = eprev[:, 0] * e[:, 1] - eprev[:, 1] * e[:, 0]
+        pts: list[tuple[float, float]] = []
+        for k in range(len(ring)):
+            vx, vy = ring[k]
+            if cross[k] > 1e-12:  # convex (left turn, CCW): round join
+                a0 = np.arctan2(nprev[k, 1], nprev[k, 0])
+                a1 = np.arctan2(nrm[k, 1], nrm[k, 0])
+                sweep = (a1 - a0) % (2.0 * np.pi)
+                n_seg = max(1, int(np.ceil(sweep / step)))
+                for a in np.linspace(a0, a0 + sweep, n_seg + 1):
+                    pts.append((vx + dist * np.cos(a), vy + dist * np.sin(a)))
+            elif cross[k] < -1e-12:  # reflex: offset-edge intersection (exact)
+                p_prev = ring[k] + dist * nprev[k]
+                p_cur = ring[k] + dist * nrm[k]
+                d = p_prev - p_cur
+                det = eprev[k, 0] * (-e[k, 1]) - eprev[k, 1] * (-e[k, 0])
+                if abs(det) < 1e-300:
+                    pts.append((p_cur[0], p_cur[1]))
+                else:
+                    t = (d[1] * (-e[k, 0]) - d[0] * (-e[k, 1])) / det
+                    pts.append((p_prev[0] + t * eprev[k, 0], p_prev[1] + t * eprev[k, 1]))
+            else:  # collinear: pass through the offset point
+                pts.append((vx + dist * nrm[k, 0], vy + dist * nrm[k, 1]))
+        closed = pts + pts[:1]
         out[i] = "POLYGON ((" + ", ".join(f"{a} {b}" for a, b in closed) + "))"
     return out
 

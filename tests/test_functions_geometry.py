@@ -126,20 +126,67 @@ def test_uuid_z3_prefix_clusters_spatially():
     assert list(ids) == list(again)
 
 
+def _dist_to_ring(ring, px, py):
+    """Min distance from points to a closed ring's segments (numpy)."""
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    ab = b - a
+    ap = np.stack([px[:, None] - a[None, :, 0], py[:, None] - a[None, :, 1]], axis=2)
+    denom = (ab * ab).sum(axis=1)
+    t = np.clip((ap * ab[None]).sum(axis=2) / np.where(denom == 0, 1.0, denom), 0, 1)
+    cx = a[None, :, 0] + t * ab[None, :, 0]
+    cy = a[None, :, 1] + t * ab[None, :, 1]
+    return np.sqrt((px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2).min(axis=1)
+
+
 def test_st_buffer_convex_polygon_and_point():
     from geomesa_ray.geo.predicates import Polygon as _P
 
     buf = call("st_buffer", np.array([SQ], dtype=object), 1.0)[0]
     p = _P.from_wkt(buf)
-    # buffered square must contain the original corners and the offset edges
-    assert p.contains(np.array([-0.9, 4.9, 2.0]), np.array([-0.9, 4.9, -0.9])).all()
-    # but not points beyond the buffer
+    # offset edges contained; round (JTS-style) corners EXCLUDE the miter
+    # overshoot: (-0.9,-0.9) is 1.27 from the corner -> outside, (-0.7,-0.7)
+    # is 0.99 -> inside
+    assert p.contains(np.array([-0.7, 2.0]), np.array([-0.7, -0.9])).all()
+    assert not p.contains(np.array([-0.9]), np.array([-0.9]))[0]
     assert not p.contains(np.array([-1.5]), np.array([-1.5]))[0]
     x0, y0, x1, y1 = p.bbox()
     assert x0 == pytest.approx(-1.0) and x1 == pytest.approx(5.0)
     pt = call("st_buffer", np.array(["POINT (0 0)"], dtype=object), 2.0)[0]
     q = _P.from_wkt(pt)
     assert q.contains(np.array([1.8]), np.array([0.0]))[0]
+
+
+def test_st_buffer_concave_polygon_distance_field():
+    from geomesa_ray.geo.predicates import Polygon as _P
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    # L-shape with a reflex vertex at (2, 2)
+    lshape = "POLYGON ((0 0, 5 0, 5 2, 2 2, 2 5, 0 5, 0 0))"
+    r = 0.5
+    buf = call("st_buffer", np.array([lshape], dtype=object), r)[0]
+    p = _P.from_wkt(buf)
+    orig = _P.from_wkt(lshape)
+    ring = np.asarray(parse_wkt(lshape)["coords"][0], dtype=np.float64)[:-1]
+
+    rng = np.random.default_rng(11)
+    px = rng.uniform(-1.5, 6.5, 4000)
+    py = rng.uniform(-1.5, 6.5, 4000)
+    d = _dist_to_ring(ring, px, py)
+    inside_orig = orig.contains(px, py)
+    dist = np.where(inside_orig, 0.0, d)
+    got = p.contains(px, py)
+    # arc discretization tolerance band: pi/16 step -> sagitta ~0.5%
+    band = 0.02
+    definitely_in = dist <= r - band
+    definitely_out = dist >= r + band
+    assert got[definitely_in].all()
+    assert not got[definitely_out].any()
+
+
+def test_st_buffer_negative_polygon_raises():
+    with pytest.raises(ValueError):
+        call("st_buffer", np.array([SQ], dtype=object), -1.0)
 
 
 def test_st_touches_degenerate_point_inside_is_false():
