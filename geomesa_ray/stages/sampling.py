@@ -32,11 +32,19 @@ def sample_one_in_n(ds, n: int, id_col: str = "doc_id"):
 def sample_by_key(ds, n: int, key_col: str, sort_col: str | None = None):
     """1-in-n per key (SAMPLE_BY hint, QueryHints.scala:41-42): each key
     keeps ceil(count/n) rows — rows ranked within the key (by sort_col when
-    given) and every n-th kept, so small keys keep >= 1 row."""
+    given) and every n-th kept, so small keys keep >= 1 row.
+
+    Shuffles on hashed coarse buckets (~2x CPUs), never the natural key —
+    inside each bucket one stable sort + vectorized per-key cumcount ranks
+    every key at once (the repo's standard high-cardinality pattern)."""
+    from geomesa_ray.stages.windows import _add_key_bucket, _n_buckets
+
+    sort_cols = [key_col] + ([sort_col] if sort_col else [])
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        if sort_col:
-            g = g.sort_values(sort_col)
-        return g.iloc[::n]
+        g = g.sort_values(sort_cols, kind="mergesort")
+        rank = g.groupby(key_col, sort=False).cumcount()
+        return g[(rank % n == 0).to_numpy()].drop(columns=["__kb"])
 
-    return ds.groupby(key_col).map_groups(fn, batch_format="pandas")
+    pre = ds.map_batches(_add_key_bucket(key_col, _n_buckets()), batch_format="pyarrow")
+    return pre.groupby("__kb").map_groups(fn, batch_format="pandas")
