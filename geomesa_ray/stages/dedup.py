@@ -335,19 +335,37 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", **kw):
 # ---------------------------------------------------------------------------
 
 
-def simhash64(texts: np.ndarray) -> np.ndarray:
-    """Charikar simhash over whitespace tokens (vectorized per text)."""
-    out = np.empty(len(texts), dtype=np.uint64)
+def simhash64(texts: np.ndarray, max_chunk_tokens: int = 131_072) -> np.ndarray:
+    """Charikar simhash over whitespace tokens, vectorized ACROSS the batch:
+    all tokens of a doc-chunk hash in one fnv+mix pass and per-doc bit votes
+    reduce with a single ``np.add.reduceat`` (the round-2 per-document loop
+    is gone). ``max_chunk_tokens`` bounds the (tokens, 64) vote matrix to
+    ~64 MB per chunk regardless of document sizes."""
+    toks_per = [str(t).lower().split() for t in texts]
+    lens = np.array([len(t) for t in toks_per], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
     bit_idx = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = str(t).lower().split()
-        if not toks:
-            out[i] = 0
-            continue
-        h = _mix64(fnv1a_str(np.array(toks, dtype=object)))
-        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        out[i] = np.bitwise_or.reduce(((v > 0).astype(np.uint64)) << bit_idx)
+    i, n = 0, len(texts)
+    while i < n:
+        j, tot = i, 0
+        while j < n and (tot == 0 or tot + lens[j] <= max_chunk_tokens):
+            tot += lens[j]
+            j += 1
+        idx = np.arange(i, j)[lens[i:j] > 0]
+        if len(idx):
+            all_toks = np.array([tok for k in idx for tok in toks_per[k]], dtype=object)
+            h = _mix64(fnv1a_str(all_toks))
+            seg_lens = lens[idx]
+            starts = np.cumsum(seg_lens) - seg_lens
+            sig = np.zeros(len(idx), dtype=np.uint64)
+            # 64 one-dim passes (a (tokens, 64) vote matrix is memory-bound
+            # — same trade the MinHasher documents): majority of bit b
+            # per doc <=> 2 * ones > len
+            for b in bit_idx:
+                ones = np.add.reduceat(((h >> b) & np.uint64(1)).astype(np.int64), starts)
+                sig |= (2 * ones > seg_lens).astype(np.uint64) << b
+            out[idx] = sig
+        i = j
     return out
 
 
