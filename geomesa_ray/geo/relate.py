@@ -133,28 +133,143 @@ def _relate_poly_poly(a: np.ndarray, b: np.ndarray) -> str:
     return ii + ib + ie + bi + (str(bb) if bb >= 0 else F) + be + ei + eb + "2"
 
 
+def _clip_param(p0: np.ndarray, d: np.ndarray, poly: np.ndarray):
+    """Liang-Barsky: parameter interval [t0, t1] of segment p0 + t*d inside
+    the CLOSED convex polygon (None when empty). Polygon must be CCW."""
+    e = np.roll(poly, -1, axis=0) - poly
+    # inward normal of CCW edge (ex, ey) is (-ey, ex)
+    nx, ny = -e[:, 1], e[:, 0]
+    num = nx * (p0[0] - poly[:, 0]) + ny * (p0[1] - poly[:, 1])
+    den = nx * d[0] + ny * d[1]
+    t0, t1 = 0.0, 1.0
+    for k in range(len(poly)):
+        if den[k] == 0.0:
+            if num[k] < 0.0:
+                return None  # parallel and outside this half-plane
+        else:
+            t = -num[k] / den[k]
+            if den[k] > 0.0:  # entering
+                t0 = max(t0, t)
+            else:  # leaving
+                t1 = min(t1, t)
+            if t0 > t1:
+                return None
+    return (t0, t1)
+
+
+def _on_boundary(poly: np.ndarray, x: float, y: float) -> bool:
+    return _point_in(poly, x, y) == "b"
+
+
+def _seg_on_edge(p0, p1, poly) -> bool:
+    """Is the (short) segment collinear with some polygon edge?"""
+    d = p1 - p0
+    e = np.roll(poly, -1, axis=0) - poly
+    cr = e[:, 0] * d[1] - e[:, 1] * d[0]
+    c0 = e[:, 0] * (p0[1] - poly[:, 1]) - e[:, 1] * (p0[0] - poly[:, 0])
+    return bool(((cr == 0) & (c0 == 0)).any())
+
+
+def _relate_line_poly(line: np.ndarray, poly: np.ndarray) -> str:
+    """LineString x convex Polygon DE-9IM.
+
+    Each line segment Liang-Barsky-clips against the closed polygon; the
+    clipped piece contributes to int(A)∩int(B) unless it runs ALONG an edge
+    (then it is interior∩boundary, dim 1); clip endpoints interior to the
+    line contribute boundary-touch points (dim 0). Line boundary = the two
+    global endpoints."""
+    # CCW orientation for the clip normals
+    x, y = poly[:, 0], poly[:, 1]
+    if (x * np.roll(y, -1) - np.roll(x, -1) * y).sum() < 0:
+        poly = poly[::-1]
+
+    ii = ib = ie = False
+    ib_dim = -1
+    eps = 1e-12
+    n_seg = len(line) - 1
+    for s in range(n_seg):
+        p0, p1 = line[s], line[s + 1]
+        d = p1 - p0
+        res = _clip_param(p0, d, poly)
+        if res is None:
+            ie = True  # entire segment outside
+            continue
+        t0, t1 = res
+        if t0 > eps or t1 < 1.0 - eps:
+            ie = True  # a piece of this segment lies outside
+        if t1 - t0 > eps:
+            mid = p0 + 0.5 * (t0 + t1) * d
+            if _seg_on_edge(p0 + t0 * d, p0 + t1 * d, poly):
+                ib_dim = 1  # runs along the boundary
+            elif _point_in(poly, mid[0], mid[1]) == "i":
+                ii = True
+            else:
+                ib_dim = 1
+        else:
+            # degenerate clip: a single touch point; interior-of-line only
+            tp = p0 + t0 * d
+            is_global_end = (s == 0 and t0 <= eps) or (s == n_seg - 1 and t1 >= 1.0 - eps)
+            if not is_global_end and _on_boundary(poly, tp[0], tp[1]):
+                ib_dim = max(ib_dim, 0)
+        # clip endpoints interior to the line that sit on the boundary
+        for t in (t0, t1):
+            pt = p0 + t * d
+            gl_end = (s == 0 and t <= eps) or (s == n_seg - 1 and t >= 1.0 - eps)
+            if not gl_end and _on_boundary(poly, pt[0], pt[1]):
+                ib_dim = max(ib_dim, 0)
+    ib = ib_dim >= 0
+
+    # line boundary: the two global endpoints
+    bi = bb = be = False
+    for pt in (line[0], line[-1]):
+        w = _point_in(poly, pt[0], pt[1])
+        bi |= w == "i"
+        bb |= w == "b"
+        be |= w == "e"
+
+    return (
+        ("1" if ii else F)
+        + (str(ib_dim) if ib else F)
+        + ("1" if ie else F)
+        + ("0" if bi else F)
+        + ("0" if bb else F)
+        + ("0" if be else F)
+        + "21"  # polygon interior/boundary always extend beyond a line
+        + "2"
+    )
+
+
 def relate(ga: dict, gb: dict) -> str:
-    """DE-9IM matrix for two parse_wkt geometries (Point / convex Polygon)."""
+    """DE-9IM matrix for two parse_wkt geometries (Point / LineString /
+    convex Polygon; line x line is not supported)."""
 
     def classify(g):
         if g["type"] == "Point":
             return "pt", np.asarray(g["coords"], dtype=np.float64)
+        if g["type"] == "LineString":
+            return "line", np.asarray(g["coords"], dtype=np.float64)
         if g["type"] == "Polygon":
             ring = np.asarray(g["coords"][0], dtype=np.float64)
             if (ring[0] == ring[-1]).all():
                 ring = ring[:-1]
             return "poly", ring
-        raise ValueError(f"st_relate supports Point/Polygon, got {g['type']}")
+        raise ValueError(f"st_relate supports Point/LineString/Polygon, got {g['type']}")
 
     ka, va = classify(ga)
     kb, vb = classify(gb)
     if ka == "pt" and kb == "pt":
         return _relate_point_point(va, vb)
-    if ka == "pt":
+    if ka == "pt" and kb == "poly":
         return _relate_point_poly(va, vb)
-    if kb == "pt":
+    if ka == "poly" and kb == "pt":
         return _transpose(_relate_point_poly(vb, va))
-    return _relate_poly_poly(va, vb)
+    if ka == "line" and kb == "poly":
+        return _relate_line_poly(va, vb)
+    if ka == "poly" and kb == "line":
+        return _transpose(_relate_line_poly(vb, va))
+    if ka == "poly" and kb == "poly":
+        return _relate_poly_poly(va, vb)
+    raise ValueError(f"st_relate does not support {ka} x {kb}")
 
 
 def matches(matrix: str, pattern: str) -> bool:

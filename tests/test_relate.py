@@ -97,6 +97,46 @@ class TestPatternMatch:
             assert touch_via_matrix == bool(touches[i])
             assert bool(disjoint[i]) == matches(m[i], "FF*FF****")
 
-    def test_line_raises(self):
+    def test_line_line_raises(self):
         with pytest.raises(ValueError):
-            rel("LINESTRING (0 0, 1 1)", SQ)
+            rel("LINESTRING (0 0, 1 1)", "LINESTRING (0 1, 1 0)")
+
+
+class TestLinePolygon:
+    def test_line_crosses_through(self):
+        # both endpoints outside, passes through: canonical JTS matrix
+        assert rel("LINESTRING (-5 5, 15 5)", SQ) == "101FF0212"
+
+    def test_line_within(self):
+        assert rel("LINESTRING (2 2, 8 8)", SQ) == "1FF0FF212"
+        assert matches(rel("LINESTRING (2 2, 8 8)", SQ), "T*F**F***")  # within
+
+    def test_line_touches_boundary_point(self):
+        # endpoint lands on the boundary from outside
+        m = rel("LINESTRING (10 5, 15 5)", SQ)
+        assert m == "FF1F00212"  # endpoint on boundary, other outside
+        assert matches(m, "F***T****")  # touches
+
+    def test_line_along_edge(self):
+        # collinear with the x=10 edge, otherwise outside
+        m = rel("LINESTRING (10 2, 10 8)", SQ)
+        assert m[0] == "F" and m[1] == "1"  # interior runs along boundary
+        assert matches(m, "FT*******")  # touches
+
+    def test_line_half_in(self):
+        # one endpoint inside, one outside: crosses
+        m = rel("LINESTRING (5 5, 15 5)", SQ)
+        assert m == "1010F0212"
+        assert matches(m, "T*T******")  # crosses(line, area)
+
+    def test_polygon_line_transposed(self):
+        assert rel(SQ, "LINESTRING (2 2, 8 8)") == _tr("1FF0FF212")
+
+    def test_interior_touch_point_is_dim0(self):
+        # segment grazes the corner (10,10) travelling outside
+        m = rel("LINESTRING (5 15, 15 5)", SQ)
+        assert m[1] == "0" and m[0] == "F"
+
+
+def _tr(m: str) -> str:
+    return "".join(m[j * 3 + i] for i in range(3) for j in range(3))
