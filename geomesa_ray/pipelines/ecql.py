@@ -13,6 +13,7 @@ practical ECQL subset as a recursive-descent parser over a regex tokenizer:
     NULL       : attr IS [NOT] NULL
     spatial    : BBOX(geom, x0, y0, x1, y1) | INTERSECTS/CONTAINS/WITHIN
                  (geom, <WKT>) | DWITHIN(geom, <WKT point>, dist, meters)
+                 | RELATE(geom, <WKT polygon>, 'DE-9IM pattern')
     temporal   : attr DURING t0/t1 | attr AFTER t | attr BEFORE t
     logic      : AND, OR, NOT, parentheses
 
@@ -47,7 +48,7 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {"AND", "OR", "NOT", "BETWEEN", "IN", "LIKE", "IS", "NULL",
-             "BBOX", "INTERSECTS", "CONTAINS", "WITHIN", "DWITHIN",
+             "BBOX", "INTERSECTS", "CONTAINS", "WITHIN", "DWITHIN", "RELATE",
              "DURING", "AFTER", "BEFORE", "TRUE", "FALSE", "INCLUDE", "EXCLUDE"}
 
 
@@ -227,6 +228,68 @@ class SpatialWkt(Filter):
 
 
 @dataclass
+class Relate(Filter):
+    """RELATE(geom, <WKT polygon>, 'DE-9IM pattern') — point rows against a
+    polygon literal. A point relates to a polygon in exactly three ways
+    (interior / boundary / exterior), so the three pattern matches are
+    evaluated ONCE and rows classify vectorized."""
+
+    wkt: str
+    pattern: str
+    lon_col: str = "lon"
+    lat_col: str = "lat"
+
+    _M_IN, _M_B, _M_OUT = "0FFFFF212", "F0FFFF212", "FF0FFF212"
+
+    def _poly(self):
+        from geomesa_ray.geo.predicates import Polygon
+
+        return Polygon.from_wkt(self.wkt)
+
+    def mask(self, t):
+        from geomesa_ray.geo.relate import matches
+        from geomesa_ray.geo.wkt import parse_wkt
+
+        lon = np.asarray(_col(t, self.lon_col), dtype=np.float64)
+        lat = np.asarray(_col(t, self.lat_col), dtype=np.float64)
+        m_in = matches(self._M_IN, self.pattern)
+        m_b = matches(self._M_B, self.pattern)
+        m_out = matches(self._M_OUT, self.pattern)
+        inside = self._poly().contains(lon, lat)  # inside-or-on (even-odd)
+        ring = np.asarray(parse_wkt(self.wkt)["coords"][0], dtype=np.float64)
+        on_b = _points_on_ring(ring, lon, lat)
+        return np.where(on_b, m_b, np.where(inside, m_in, m_out))
+
+    def extract_geometries(self):
+        from geomesa_ray.geo.antimeridian import split_bbox
+        from geomesa_ray.geo.relate import matches
+
+        # pushdown only when exterior points can never match — then every
+        # matching row lies inside-or-on the polygon, so its bbox is a
+        # valid coarse superset
+        if matches(self._M_OUT, self.pattern):
+            return []
+        return split_bbox(*self._poly().bbox())
+
+
+def _points_on_ring(ring: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Vectorized: is each point exactly on some segment of the ring?"""
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    ex = (b[:, 0] - a[:, 0])[None, :]
+    ey = (b[:, 1] - a[:, 1])[None, :]
+    # a closed ring's wrap segment (last==first) is zero-length and would
+    # classify EVERY point as collinear-within — mask degenerate segments
+    nz = (ex != 0.0) | (ey != 0.0)
+    rx = px[:, None] - a[None, :, 0]
+    ry = py[:, None] - a[None, :, 1]
+    collinear = ex * ry - ey * rx == 0.0
+    t = rx * ex + ry * ey
+    within = (t >= 0.0) & (t <= ex * ex + ey * ey)
+    return (collinear & within & nz).any(axis=1)
+
+
+@dataclass
 class DWithin(Filter):
     wkt: str
     dist_m: float
@@ -386,7 +449,7 @@ class _Parser:
             f = self.or_expr()
             self.expect("rparen")
             return f
-        if k == "kw" and v in ("BBOX", "INTERSECTS", "CONTAINS", "WITHIN", "DWITHIN"):
+        if k == "kw" and v in ("BBOX", "INTERSECTS", "CONTAINS", "WITHIN", "DWITHIN", "RELATE"):
             return self.spatial()
         return self.predicate()
 
@@ -441,6 +504,13 @@ class _Parser:
             if mult is None:
                 raise ValueError(f"DWITHIN unit {unit!r} not supported")
             return DWithin(wkt, dist * mult)
+        if fn == "RELATE":
+            self.expect("comma")
+            k, pat = self.next()  # quoted DE-9IM pattern, e.g. 'T*****FF*'
+            if k != "string":
+                raise ValueError("RELATE pattern must be a quoted string")
+            self.expect("rparen")
+            return Relate(wkt, pat)
         self.expect("rparen")
         return SpatialWkt(fn, wkt)
 

@@ -82,6 +82,40 @@ class TestSpatialTemporal:
         assert m("event_type LIKE '%None%'") == [False, False, False, False, False]
 
 
+class TestRelate:
+    # rows: (10,10) inside, (100,40) outside, (-170,5) outside, (175,-5)
+    # outside, (0,0) ON the boundary of the 0..20 square
+    SQ = "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))"
+
+    def test_within_pattern(self):
+        # T*F**F*** (within): interior only — boundary point excluded
+        assert m(f"RELATE(geom, {self.SQ}, 'T*F**F***')") == [True, False, False, False, False]
+
+    def test_touch_pattern(self):
+        # FT******* (touches: the POINT's interior meets the polygon's
+        # boundary — a point has no boundary of its own, so BI is always F)
+        assert m(f"RELATE(geom, {self.SQ}, 'FT*******')") == [False, False, False, False, True]
+
+    def test_disjoint_pattern(self):
+        assert m(f"RELATE(geom, {self.SQ}, 'FF*FF****')") == [False, True, True, True, False]
+
+    def test_intersects_star(self):
+        # 'T********' OR boundary: inside-or-on via two patterns
+        got_in = m(f"RELATE(geom, {self.SQ}, 'T********')")
+        got_b = m(f"RELATE(geom, {self.SQ}, 'FT*******')")
+        assert [a or b for a, b in zip(got_in, got_b)] == [True, False, False, False, True]
+
+    def test_pushdown_only_when_interior_bound(self):
+        f = compile_ecql(f"RELATE(geom, {self.SQ}, 'T*F**F***')")
+        assert f.extract_geometries() == [(0.0, 0.0, 20.0, 20.0)]
+        f2 = compile_ecql(f"RELATE(geom, {self.SQ}, 'FF*FF****')")
+        assert f2.extract_geometries() == []  # disjoint rows are unbounded
+
+    def test_unquoted_pattern_rejected(self):
+        with pytest.raises(ValueError):
+            compile_ecql(f"RELATE(geom, {self.SQ}, 42)")
+
+
 class TestPushdownExtraction:
     def test_conjunct_bbox_and_interval_extracted(self):
         spec, f = query_spec_from_ecql(
