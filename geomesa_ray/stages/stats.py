@@ -381,6 +381,58 @@ class Z3HistogramStat(Stat):
         return dict(self.counts)
 
 
+class Z3FrequencyStat(Stat):
+    """Per-time-bin count-min sketch over truncated z3 values — the
+    spatio-temporal frequency estimator (Z3Frequency.scala: one
+    CountMinSketch per time bin; merge unions bins and sums sketches;
+    ``estimate(bin, z3)`` is the conservative-min point query;
+    ``split_by_time`` returns the per-bin sketches)."""
+
+    def __init__(self, precision_bits: int = 25, width: int = 2048, depth: int = 4):
+        self.precision_bits = precision_bits
+        self.width = width
+        self.depth = depth
+        self.sketches: dict[int, Frequency] = {}
+
+    def _trunc(self, z3) -> np.ndarray:
+        return (np.asarray(z3).astype(np.uint64)
+                >> np.uint64(63 - self.precision_bits)).astype(np.int64)
+
+    def update(self, values):
+        tb = np.asarray(values[0]).astype(np.int64)
+        z = self._trunc(values[1])
+        order = np.argsort(tb, kind="stable")
+        tb, z = tb[order], z[order]
+        uniq, starts = np.unique(tb, return_index=True)
+        for i, b in enumerate(uniq.tolist()):
+            hi = starts[i + 1] if i + 1 < len(uniq) else len(z)
+            sk = self.sketches.get(b)
+            if sk is None:
+                sk = self.sketches[b] = Frequency(self.width, self.depth)
+            sk.update(z[starts[i]:hi])
+
+    def merge(self, other):
+        for b, sk in other.sketches.items():
+            mine = self.sketches.get(b)
+            if mine is None:
+                self.sketches[b] = sk
+            else:
+                mine.merge(sk)
+        return self
+
+    def estimate(self, time_bin: int, z3: int) -> int:
+        sk = self.sketches.get(int(time_bin))
+        if sk is None:
+            return 0
+        return sk.count(int(self._trunc(np.array([z3]))[0]))
+
+    def split_by_time(self) -> dict[int, Frequency]:
+        return dict(self.sketches)
+
+    def result(self):
+        return {b: int(sk.table[0].sum()) for b, sk in sorted(self.sketches.items())}
+
+
 # ---------------------------------------------------------------------------
 # The scan: map_batches partial -> driver-side merge
 # ---------------------------------------------------------------------------
@@ -514,6 +566,29 @@ def _cluster_cpus() -> int:
         return int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         return 8
+
+
+def z3_stats_scan(ds, time_bin_col: str, z3_col: str, kind: str = "frequency",
+                  batch_size: int = 65536, **kwargs):
+    """Distributed Z3Frequency/Z3Histogram pass (Z3Frequency.scala /
+    Z3Histogram.scala): per-batch partial sketches over the
+    ``(time_bin, z3)`` column pair, merged driver-side over O(batches)
+    pickled partials — same reduce shape as ``stats_scan``."""
+    factory = {"frequency": Z3FrequencyStat, "histogram": Z3HistogramStat}[kind]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = factory(**kwargs)
+        s.update((batch.column(time_bin_col).to_numpy(zero_copy_only=False),
+                  batch.column(z3_col).to_numpy(zero_copy_only=False)))
+        return pa.table({"sketch": pa.array([pickle.dumps(s)], type=pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    merged = None
+    for batch in partials.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for blob in batch.column("sketch").to_pylist():
+            s = pickle.loads(blob)
+            merged = s if merged is None else merged.merge(s)
+    return merged or factory(**kwargs)
 
 
 def stats_scan(ds, spec: str, batch_size: int = 65536):

@@ -111,6 +111,51 @@ class TestSketches:
         ]
 
 
+class TestZ3Frequency:
+    def test_estimate_and_merge(self):
+        import numpy as np
+
+        from geomesa_ray.stages.stats import Z3FrequencyStat
+
+        rng = np.random.default_rng(3)
+        tb = rng.integers(0, 4, 5000)
+        z3 = rng.integers(0, 1 << 62, 5000, dtype=np.uint64)
+        a = Z3FrequencyStat()
+        b = Z3FrequencyStat()
+        a.update((tb[:2500], z3[:2500]))
+        b.update((tb[2500:], z3[2500:]))
+        merged = a.merge(b)
+        # per-bin totals are exact (CMS row sums equal insert counts)
+        exp = {int(k): int(c) for k, c in zip(*np.unique(tb, return_counts=True))}
+        assert merged.result() == exp
+        # point estimates are conservative upper bounds and >= true count
+        probe_tb, probe_z = int(tb[0]), int(z3[0])
+        trunc = merged._trunc(z3)
+        true_n = int(((tb == probe_tb) & (trunc == merged._trunc(np.array([probe_z]))[0])).sum())
+        assert merged.estimate(probe_tb, probe_z) >= true_n
+        assert merged.estimate(99, probe_z) == 0  # unseen bin
+        assert set(merged.split_by_time()) == set(exp)
+
+    def test_distributed_scan(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from geomesa_ray.stages.stats import Z3FrequencyStat, z3_stats_scan
+
+        rng = np.random.default_rng(7)
+        tb = rng.integers(0, 3, 4000)
+        z3 = rng.integers(0, 1 << 62, 4000, dtype=np.uint64)
+        ds = rd.from_items(
+            [{"tb": int(t), "z3": int(z)} for t, z in zip(tb, z3)]
+        ).repartition(8)
+        scanned = z3_stats_scan(ds, "tb", "z3", kind="frequency")
+        local = Z3FrequencyStat()
+        local.update((tb, z3.astype(np.int64)))
+        assert scanned.result() == local.result()
+        probe = int(tb[0]), int(z3[0])
+        assert scanned.estimate(*probe) == local.estimate(*probe)
+
+
 class TestStatsScan:
     def test_scan_over_dataset(self, ray_session, sf_small):
         import ray.data as rd
