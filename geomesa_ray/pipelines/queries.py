@@ -1697,6 +1697,54 @@ def oracle_simhash_pairs() -> str:
     """
 
 
+def q_jaccard_pairs_docs(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (min-shingle anchor candidates,
+    exact shingle-set verify). All-integer intersection/union counts plus a
+    single double division — the SQL oracle mirrors the whole pipeline with
+    substr shingles, so values hash-compare exactly."""
+    from geomesa_ray.stages.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=5, threshold=0.5,
+    )
+
+
+def oracle_jaccard_pairs() -> str:
+    """Full shingle-in-SQL mirror of jaccard_pairs (stages/dedup.py): raw
+    5-byte substr shingles (text is ASCII so char == byte positions),
+    per-doc DISTINCT sets, candidates = equal lexicographic-min shingle,
+    exact |A∩B| / |A∪B| from integer counts. Exact for anchor groups under
+    the engine's max_bucket cap (documents at gate scale are far below)."""
+    return """
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+      FROM documents
+    ),
+    shd AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM pos),
+    anchor AS (SELECT doc_id, min(s) AS a FROM shd GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    cand AS (
+      SELECT l.doc_id AS left_id, r.doc_id AS right_id
+      FROM anchor l JOIN anchor r ON l.a = r.a AND l.doc_id < r.doc_id
+    ),
+    inter AS (
+      SELECT c.left_id, c.right_id, count(*) AS inter_n
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.left_id
+      JOIN shd b ON b.doc_id = c.right_id AND b.s = a.s
+      GROUP BY c.left_id, c.right_id
+    )
+    SELECT i.left_id, i.right_id, i.inter_n,
+           na.n + nb.n - i.inter_n AS union_n,
+           CAST(i.inter_n AS DOUBLE) / CAST(na.n + nb.n - i.inter_n AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.left_id
+    JOIN sizes nb ON nb.doc_id = i.right_id
+    WHERE CAST(i.inter_n AS DOUBLE) / CAST(na.n + nb.n - i.inter_n AS DOUBLE) >= 0.5
+    """
+
+
 def q_lang_quality(sf_dir: str):
     """Language-ID + per-language word totals. The stopword-ratio argmax is
     exactly reproducible in SQL (integer hit counts, identical double
@@ -2594,6 +2642,7 @@ QUERIES = {
     "route_search": q_route_search,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
+    "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "lang_quality": q_lang_quality,
     "stats_sketches": q_stats_sketches,
     "cosine_dedup": q_cosine_dedup,
@@ -2658,6 +2707,7 @@ ORACLES = {
     "media_decode": oracle_media_decode(),
     "lang_quality": oracle_lang_quality(),
     "simhash_pairs_docs": oracle_simhash_pairs(),
+    "jaccard_pairs_docs": oracle_jaccard_pairs(),
     "poly_join": oracle_poly_join(),
     "tube_select": oracle_tube_select(),
     "route_search": oracle_route_search(),

@@ -475,3 +475,117 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     inter = len(np.intersect1d(a, b))
     union = len(np.union1d(a, b))
     return inter / union if union else 1.0
+
+
+def _raw_shingle_sets(texts, k: int = 5):
+    """Per text: sorted-unique raw k-byte shingles as an ``S{k}`` numpy array.
+
+    Unlike ``_char_shingles`` this keeps the shingle BYTES (no hashing, no
+    lowercasing) so a plain ``substr``-based SQL oracle can mirror the set
+    exactly. Same one-concatenated-buffer vectorization: every sliding
+    window of the whole batch at once, drop straddling windows, one lexsort
+    segment-dedup. Docs shorter than k get an empty set (no shingles —
+    matches ``generate_series(1, len-k+1)`` being empty in SQL)."""
+    enc = [str(t).encode("utf-8") for t in texts]
+    empty = np.empty(0, dtype=f"S{k}")
+    out = [empty] * len(enc)
+    if not enc:
+        return out
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    long_idx = np.nonzero(lens >= k)[0]
+    if len(long_idx) == 0:
+        return out
+    buf = np.frombuffer(b"".join(enc[i] for i in long_idx), dtype=np.uint8)
+    llens = lens[long_idx]
+    ends = np.cumsum(llens)
+    starts = ends - llens
+    win = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(buf, k)
+    ).view(f"S{k}").ravel()
+    pos = np.arange(len(win), dtype=np.int64)
+    doc = np.searchsorted(starts, pos, side="right") - 1
+    valid = pos + k <= ends[doc]
+    doc, win = doc[valid], win[valid]
+    order = np.lexsort((win, doc))
+    doc, win = doc[order], win[order]
+    first = np.ones(len(win), dtype=bool)
+    if len(win) > 1:
+        first[1:] = (doc[1:] != doc[:-1]) | (win[1:] != win[:-1])
+    doc, win = doc[first], win[first]
+    bounds = np.searchsorted(doc, np.arange(len(long_idx) + 1))
+    for j, i in enumerate(long_idx):
+        out[i] = win[bounds[j]:bounds[j + 1]]
+    return out
+
+
+def jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 5, threshold: float = 0.5, max_bucket: int = 4096):
+    """Exact n-gram Jaccard near-dup pairs with min-shingle anchoring.
+
+    Candidate generation is one-permutation MinHash with the identity
+    ordering (Broder '97 bottom-1 sketch): two docs are candidates iff they
+    share their lexicographically smallest k-shingle — near-identical docs
+    almost always do, and the anchor is trivially SQL-mirrorable
+    (``min(substr(...))``). Each candidate pair is then VERIFIED with the
+    exact shingle-set Jaccard; only pairs >= ``threshold`` survive, so the
+    anchor only affects recall, never precision.
+
+    Scale shape: one vectorized map to (anchor, shingle-blob) rows, one
+    shuffle on hash(anchor) % ~4xCPU coarse buckets, all-pairs only inside
+    an anchor run and capped at ``max_bucket`` docs per anchor (hot-anchor
+    recall trade, same bound simhash_pairs uses). Shingle sets travel as a
+    single binary blob per doc (k bytes per shingle, sorted) — no
+    list<binary> payloads, so the shuffle stays zero-copy Arrow."""
+    B = 2 * _n_buckets()
+
+    def prep(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sets = _raw_shingle_sets(texts, k)
+        keep = np.array([len(s) > 0 for s in sets], dtype=bool)
+        anchors = np.array([s[0].decode("utf-8", "surrogateescape") if m else ""
+                            for s, m in zip(sets, keep)], dtype=object)
+        blobs = [s.tobytes() for s, m in zip(sets, keep) if m]
+        hb = (fnv1a_str(anchors[keep]) % np.uint64(B)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "anchor": pa.array(anchors[keep].astype(str)),
+            "blob": pa.array(blobs, type=pa.large_binary()),
+            "__hb": pa.array(hb),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        left, right, inter_n, union_n = [], [], [], []
+        for _, grp in g.groupby("anchor", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col, kind="mergesort").head(max_bucket)
+            ids = grp[id_col].to_numpy()
+            sets = [np.frombuffer(b, dtype=f"S{k}") for b in grp["blob"]]
+            sizes = np.array([len(s) for s in sets], dtype=np.int64)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    # both sorted-unique -> membership via searchsorted
+                    a, b = sets[i], sets[j]
+                    if len(a) > len(b):
+                        a, b = b, a
+                    p = np.searchsorted(b, a)
+                    p_c = np.minimum(p, len(b) - 1)
+                    n_i = int((b[p_c] == a).sum())
+                    left.append(ids[i]); right.append(ids[j])
+                    inter_n.append(n_i)
+                    union_n.append(int(sizes[i] + sizes[j] - n_i))
+        if not left:
+            idt = g[id_col].dtype  # keep id dtype stable across empty groups
+            return pd.DataFrame({"left_id": pd.Series([], dtype=idt),
+                                 "right_id": pd.Series([], dtype=idt),
+                                 "inter_n": pd.Series([], dtype="int64"),
+                                 "union_n": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        out = pd.DataFrame({"left_id": left, "right_id": right,
+                            "inter_n": inter_n, "union_n": union_n})
+        out["jaccard"] = out["inter_n"].astype("float64") / out["union_n"].astype("float64")
+        return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+    staged = ds.map_batches(prep, batch_format="pyarrow")
+    return staged.groupby("__hb").map_groups(pairs, batch_format="pandas")

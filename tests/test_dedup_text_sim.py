@@ -103,6 +103,49 @@ class TestSimHash:
         assert not any("y1" in p for p in zip(out["left_id"], out["right_id"]))
 
 
+class TestJaccardPairs:
+    def test_matches_bruteforce_anchor_oracle(self, ray_session):
+        from geomesa_ray.stages.dedup import jaccard_pairs
+
+        ds, rows = _docs_ds(ray_session)
+        out = jaccard_pairs(ds, threshold=0.5).to_pandas()
+
+        # brute-force oracle: min-shingle anchor + exact set jaccard
+        def shingles(t, k=5):
+            b = t.encode()
+            return sorted({b[i:i + k] for i in range(len(b) - k + 1)})
+
+        sets = {r["doc_id"]: shingles(r["text"]) for r in rows}
+        anchors = {d: s[0] for d, s in sets.items() if s}
+        expect = {}
+        ids = sorted(anchors)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if anchors[a] != anchors[b]:
+                    continue
+                sa, sb = set(sets[a]), set(sets[b])
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.5:
+                    expect[(a, b)] = j
+        got = {(l, r): j for l, r, j in zip(out["left_id"], out["right_id"], out["jaccard"])}
+        assert got.keys() == expect.keys()
+        for kpair, j in expect.items():
+            assert got[kpair] == pytest.approx(j, abs=0)
+        # the 50 exact dupes all share an anchor -> C(50,2) jaccard-1.0 pairs
+        ones = [p for p, j in got.items() if j == 1.0]
+        assert len(ones) >= 50 * 49 // 2
+
+    def test_short_and_empty_docs_excluded(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.dedup import jaccard_pairs
+
+        rows = [{"doc_id": "s1", "text": "ab"}, {"doc_id": "s2", "text": "ab"},
+                {"doc_id": "s3", "text": ""}]
+        out = jaccard_pairs(rd.from_items(rows)).to_pandas()
+        assert len(out) == 0  # sub-k docs have no shingles, like SQL's empty series
+
+
 class TestTextStats:
     def test_counts_and_lang(self):
         import pyarrow as pa
