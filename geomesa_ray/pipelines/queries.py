@@ -1543,6 +1543,116 @@ def oracle_z3_keys() -> str:
 # ------------------------------------------------- rows-only (non-SQL) ops
 
 
+def q_z3_frequency(sf_dir: str):
+    """Z3Frequency sketch point estimates (Z3Frequency.scala: one count-min
+    sketch per time bin). For every distinct (time_bin, truncated-z3) key,
+    emits the exact count and the sketch's conservative-min estimate; the
+    oracle replays the ENTIRE sketch in SQL (fnv1a over the key's 8 LE
+    bytes, splitmix64 finalizer, 4 multiply-shift row hashes, per-cell
+    counters, min over rows), so estimates — including any collision
+    overcounts at width 64 — hash-compare exactly."""
+    from ray.data.aggregate import Count
+
+    from geomesa_ray.stages.assign import AssignCells
+    from geomesa_ray.stages.stats import z3_stats_scan
+
+    P, W, D = 8, 64, 4
+    ds = _geo_events(sf_dir).map_batches(
+        AssignCells(level=12, n_shards=4, id_col="event_id", ts_col="ts", period="week"),
+        batch_format="pyarrow",
+    ).select_columns(["time_bin", "z3"]).materialize()  # 2 consumers, 2 cols
+    sk = z3_stats_scan(ds, "time_bin", "z3", kind="frequency",
+                       precision_bits=P, width=W, depth=D)
+
+    def add_trunc(t: pa.Table) -> pa.Table:
+        z = t.column("z3").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "time_bin": t.column("time_bin"),
+            "z3p": pa.array((z >> np.uint64(63 - P)).astype(np.int64)),
+        })
+
+    probes = ds.map_batches(add_trunc, batch_format="pyarrow").groupby(
+        ["time_bin", "z3p"]).aggregate(Count(alias_name="n")).to_pandas()
+    probes["time_bin"] = probes["time_bin"].astype("int16")
+    probes["n"] = probes["n"].astype("int64")
+    probes["est"] = np.array(
+        [sk.estimate(int(b), int(z) << (63 - P))
+         for b, z in zip(probes["time_bin"], probes["z3p"])], dtype=np.int64)
+    return probes
+
+
+def oracle_z3_frequency() -> str:
+    """CMS-in-SQL mirror of stats.py Z3FrequencyStat/Frequency: z3 as in
+    oracle_z3_keys, trunc = z3 >> 55, hash = splitmix64(fnv1a_u64(trunc)),
+    row_d = ((hash * seed_d) mod 2^64) >> 33 mod 64, counters built from
+    four UNION ALL projections, estimate = least of the four cells."""
+    P, W, D = 8, 64, 4
+    shift = 63 - P
+    prime, mod = 1099511628211, 1 << 64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    seeds = [0x9E3779B97F4A7C15 + 2 * d + 1 for d in range(D)]
+
+    def mulmod(h, c):
+        return (f"((({h} % 4294967296) * {c} "
+                f"+ ((({h} >> 32) * {c % (1 << 32)}) % 4294967296) * 4294967296) % {mod})")
+
+    nx = _sql_norm("lon", -180.0, 360.0, 21)
+    ny = _sql_norm("lat", -90.0, 180.0, 21)
+    nt = _sql_norm("__off", 0.0, 604800.0, 21)
+    z3 = _sql_interleave(["__nx", "__ny", "__nt"], 21)
+    # FNV-1a over the 8 little-endian bytes of z3p, one CTE per byte (alias
+    # chains get inlined exponentially by the binder — per-level CTEs)
+    fnv = ["f0 AS (SELECT __bin, z3p, CAST(14695981039346656037 AS HUGEINT) AS h FROM tr)"]
+    for k in range(8):
+        b = f"((z3p >> {8 * k}) & 255)"
+        fnv.append(
+            f"f{k + 1} AS (SELECT __bin, z3p, "
+            f"(((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), {b})) * {prime}) % {mod}) AS h "
+            f"FROM f{k})")
+    rows = ", ".join(
+        f"CAST(({mulmod('h', s)} >> 33) % {W} AS BIGINT) AS r{d}"
+        for d, s in enumerate(seeds))
+    cells = "\n      UNION ALL ".join(
+        f"SELECT __bin, {d} AS d, r{d} AS r FROM ev" for d in range(D))
+    joins = "\n    ".join(
+        f"JOIN cms c{d} ON c{d}.__bin = p.__bin AND c{d}.d = {d} AND c{d}.r = p.r{d}"
+        for d in range(D))
+    least = ", ".join(f"c{d}.c" for d in range(D))
+    return f"""
+    WITH pts AS ({_DERIVE_SQL}),
+    base AS (
+      SELECT epoch_ms(ts) AS __ms, CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS __bin,
+             lon, lat
+      FROM pts
+    ),
+    keys AS (
+      SELECT __bin, CAST((__ms - __bin * 604800000) // 1000 AS DOUBLE) AS __off,
+             {nx} AS __nx, {ny} AS __ny
+      FROM base
+    ),
+    k2 AS (SELECT __bin, {nt} AS __nt, __nx, __ny FROM keys),
+    tr AS (SELECT __bin, ({z3} >> {shift}) AS z3p FROM k2),
+    {','.join(fnv)},
+    m1 AS (SELECT __bin, z3p, {mulmod('(xor(h, h >> 30))', C1)} AS z FROM f8),
+    m2 AS (SELECT __bin, z3p, {mulmod('(xor(z, z >> 27))', C2)} AS z FROM m1),
+    m3 AS (SELECT __bin, z3p, xor(z, z >> 31) AS h FROM m2),
+    ev AS (SELECT __bin, z3p, {rows} FROM m3),
+    cms AS (
+      SELECT __bin, d, r, count(*) AS c FROM (
+      {cells}
+      ) GROUP BY __bin, d, r
+    ),
+    probes AS (
+      SELECT __bin, z3p, r0, r1, r2, r3, count(*) AS n
+      FROM ev GROUP BY __bin, z3p, r0, r1, r2, r3
+    )
+    SELECT CAST(p.__bin AS SMALLINT) AS time_bin, p.z3p, p.n,
+           LEAST({least}) AS est
+    FROM probes p
+    {joins}
+    """
+
+
 def q_minhash_dedup_docs(sf_dir: str):
     from geomesa_ray.stages.dedup import minhash_dedup
 
@@ -2650,6 +2760,7 @@ QUERIES = {
     "s2_cells": q_s2_cells,
     "z3_keys": q_z3_keys,
     "s3_keys": q_s3_keys,
+    "z3_frequency": q_z3_frequency,
     "ivf_neighbors": q_ivf_neighbors,
     "media_features": q_media_features,
     "media_decode": q_media_decode,
@@ -2700,6 +2811,7 @@ ORACLES = {
     "xz2_keys": oracle_xz2_keys(),
     "s2_cells": oracle_s2_cells(),
     "s3_keys": oracle_s3_keys(),
+    "z3_frequency": oracle_z3_frequency(),
     "track_lines": oracle_track_lines(),
     "grouped_stats": oracle_grouped_stats(),
     "stats_sketches": oracle_stats_sketches(),
