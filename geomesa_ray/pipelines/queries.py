@@ -1653,6 +1653,173 @@ def oracle_z3_frequency() -> str:
     """
 
 
+def q_z3_histogram(sf_dir: str):
+    """Z3Histogram sketch (Z3Histogram.scala: exact counts keyed by
+    (time_bin, coarse z3 prefix)). Runs the distributed sketch scan and
+    decodes the merged result into (time_bin, z3p, n) rows; the oracle
+    re-derives z3 with the same unrolled Morton interleave and groups."""
+    from geomesa_ray.stages.assign import AssignCells
+    from geomesa_ray.stages.stats import z3_stats_scan
+
+    P = 8
+    ds = _geo_events(sf_dir).map_batches(
+        AssignCells(level=12, n_shards=4, id_col="event_id", ts_col="ts", period="week"),
+        batch_format="pyarrow",
+    ).select_columns(["time_bin", "z3"])
+    sk = z3_stats_scan(ds, "time_bin", "z3", kind="histogram", prefix_bits=P)
+    counts = sk.result()
+    keys = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    return pd.DataFrame({
+        "time_bin": (keys >> (P + 1)).astype("int16"),
+        "z3p": keys & ((1 << (P + 1)) - 1),
+        "n": vals,
+    })
+
+
+def oracle_z3_histogram() -> str:
+    """Same z3 derivation as oracle_z3_frequency, minus the CMS: group by
+    (week bin, z3 >> 55) and count."""
+    P = 8
+    shift = 63 - P
+    nx = _sql_norm("lon", -180.0, 360.0, 21)
+    ny = _sql_norm("lat", -90.0, 180.0, 21)
+    nt = _sql_norm("__off", 0.0, 604800.0, 21)
+    z3 = _sql_interleave(["__nx", "__ny", "__nt"], 21)
+    return f"""
+    WITH pts AS ({_DERIVE_SQL}),
+    base AS (
+      SELECT epoch_ms(ts) AS __ms, CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS __bin,
+             lon, lat
+      FROM pts
+    ),
+    keys AS (
+      SELECT __bin, CAST((__ms - __bin * 604800000) // 1000 AS DOUBLE) AS __off,
+             {nx} AS __nx, {ny} AS __ny
+      FROM base
+    ),
+    k2 AS (SELECT __bin, {nt} AS __nt, __nx, __ny FROM keys),
+    tr AS (SELECT __bin, ({z3} >> {shift}) AS z3p FROM k2)
+    SELECT CAST(__bin AS SMALLINT) AS time_bin, z3p, count(*) AS n
+    FROM tr GROUP BY __bin, z3p
+    """
+
+
+# XZ2/XZ3 range-scan query window (lon/lat box + [t0, t1) epoch-ms window)
+_XZ_Q = (-30.0, -15.0, 10.0, 25.0)
+_XZ_T0, _XZ_T1 = 1704672000000, 1705881600000  # 2024-01-08 .. 2024-01-22 UTC
+
+
+def _xz_boxes(sf_dir: str):
+    """Derived extent rows: lon/lat +- 0.25 degree boxes over events."""
+    def boxes(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "xmin": pa.array(lon - 0.25), "ymin": pa.array(lat - 0.25),
+            "xmax": pa.array(lon + 0.25), "ymax": pa.array(lat + 0.25),
+            "lon": t.column("lon"), "lat": t.column("lat"),
+            "ts": t.column("ts"),
+        })
+
+    return _geo_events(sf_dir).map_batches(boxes, batch_format="pyarrow")
+
+
+def _range_bounds(ranges) -> np.ndarray:
+    """Flatten sorted [(lo, hi)] into searchsorted boundaries; membership =
+    odd insertion parity."""
+    return np.array([b for lo, hi in ranges for b in (lo, hi + 1)], dtype=np.int64)
+
+
+def q_xz2_range_scan(sf_dir: str):
+    """XZ2 covering-range scan (XZ2SFC.ranges, XZ2IndexKeySpace planning):
+    coarse-filter extent rows whose xz2 code falls in the BFS covering of a
+    query window, then apply the exact strict-overlap residual — the gate
+    proves the covering is a superset (a missed code drops a row and fails
+    the oracle). Overlap is strict (open intervals) on BOTH sides, matching
+    XZ2SFC.ranges' overlaps() predicate."""
+    from geomesa_ray.curves.xz2 import XZ2SFC
+    from geomesa_ray.stages.assign import AssignExtentCells
+
+    # max_ranges mirrors the reference planner's scan-ranges target
+    # (QueryProperties.ScanRangesTarget default 2000): the BFS stops early
+    # and bottoms out remaining quads as full intervals — still a superset.
+    bounds = _range_bounds(XZ2SFC(12).ranges([_XZ_Q], max_ranges=2000))
+    qx0, qy0, qx1, qy1 = _XZ_Q
+
+    def scan(t: pa.Table) -> pa.Table:
+        codes = t.column("xz2").to_numpy(zero_copy_only=False)
+        coarse = (np.searchsorted(bounds, codes, side="right") % 2) == 1
+        xmin = t.column("xmin").to_numpy(zero_copy_only=False)
+        ymin = t.column("ymin").to_numpy(zero_copy_only=False)
+        xmax = t.column("xmax").to_numpy(zero_copy_only=False)
+        ymax = t.column("ymax").to_numpy(zero_copy_only=False)
+        keep = coarse & (xmin < qx1) & (xmax > qx0) & (ymin < qy1) & (ymax > qy0)
+        return t.filter(pa.array(keep)).select(["event_id", "lon", "lat"])
+
+    ds = _xz_boxes(sf_dir).map_batches(
+        AssignExtentCells(g=12, id_col="event_id"), batch_format="pyarrow")
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def oracle_xz2_range_scan() -> str:
+    qx0, qy0, qx1, qy1 = _XZ_Q
+    return f"""
+    WITH pts AS ({_DERIVE_SQL})
+    SELECT event_id, lon, lat FROM pts
+    WHERE lon - 0.25 < {qx1} AND lon + 0.25 > {qx0}
+      AND lat - 0.25 < {qy1} AND lat + 0.25 > {qy0}
+    """
+
+
+def q_xz3_range_scan(sf_dir: str):
+    """XZ3 spatio-temporal covering scan (XZ3SFC.ranges,
+    XZ3IndexKeySpace.scala:57-92): per-time-bin XZ2 coverings for the query
+    window x [t0, t1), coarse (time_bin, xz2) prefilter + exact residual."""
+    from geomesa_ray.curves.xz3 import XZ3SFC
+    from geomesa_ray.stages.assign import AssignExtentCells
+    from geomesa_ray.util import ts_to_millis
+
+    per_bin = XZ3SFC(period="week", g=12).ranges([_XZ_Q], _XZ_T0, _XZ_T1,
+                                                 max_ranges=2000)
+    bin_bounds = {b: _range_bounds(r) for b, r in per_bin.items()}
+    qx0, qy0, qx1, qy1 = _XZ_Q
+
+    def scan(t: pa.Table) -> pa.Table:
+        codes = t.column("xz2").to_numpy(zero_copy_only=False)
+        bins = t.column("time_bin").to_numpy(zero_copy_only=False)
+        coarse = np.zeros(len(codes), dtype=bool)
+        for b, bounds in bin_bounds.items():
+            sel = bins == b
+            if sel.any():
+                coarse[sel] = (np.searchsorted(bounds, codes[sel], side="right") % 2) == 1
+        ms = ts_to_millis(t.column("ts"))
+        xmin = t.column("xmin").to_numpy(zero_copy_only=False)
+        ymin = t.column("ymin").to_numpy(zero_copy_only=False)
+        xmax = t.column("xmax").to_numpy(zero_copy_only=False)
+        ymax = t.column("ymax").to_numpy(zero_copy_only=False)
+        keep = (coarse & (xmin < qx1) & (xmax > qx0) & (ymin < qy1) & (ymax > qy0)
+                & (ms >= _XZ_T0) & (ms < _XZ_T1))
+        return t.filter(pa.array(keep)).select(["event_id", "lon", "lat"])
+
+    ds = _xz_boxes(sf_dir).map_batches(
+        AssignExtentCells(g=12, id_col="event_id", ts_col="ts", period="week"),
+        batch_format="pyarrow")
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def oracle_xz3_range_scan() -> str:
+    qx0, qy0, qx1, qy1 = _XZ_Q
+    return f"""
+    WITH pts AS ({_DERIVE_SQL})
+    SELECT event_id, lon, lat FROM pts
+    WHERE lon - 0.25 < {qx1} AND lon + 0.25 > {qx0}
+      AND lat - 0.25 < {qy1} AND lat + 0.25 > {qy0}
+      AND epoch_ms(ts) >= {_XZ_T0} AND epoch_ms(ts) < {_XZ_T1}
+    """
+
+
 def q_minhash_dedup_docs(sf_dir: str):
     from geomesa_ray.stages.dedup import minhash_dedup
 
@@ -2761,6 +2928,9 @@ QUERIES = {
     "z3_keys": q_z3_keys,
     "s3_keys": q_s3_keys,
     "z3_frequency": q_z3_frequency,
+    "z3_histogram": q_z3_histogram,
+    "xz2_range_scan": q_xz2_range_scan,
+    "xz3_range_scan": q_xz3_range_scan,
     "ivf_neighbors": q_ivf_neighbors,
     "media_features": q_media_features,
     "media_decode": q_media_decode,
@@ -2812,6 +2982,9 @@ ORACLES = {
     "s2_cells": oracle_s2_cells(),
     "s3_keys": oracle_s3_keys(),
     "z3_frequency": oracle_z3_frequency(),
+    "z3_histogram": oracle_z3_histogram(),
+    "xz2_range_scan": oracle_xz2_range_scan(),
+    "xz3_range_scan": oracle_xz3_range_scan(),
     "track_lines": oracle_track_lines(),
     "grouped_stats": oracle_grouped_stats(),
     "stats_sketches": oracle_stats_sketches(),
