@@ -1820,6 +1820,82 @@ def oracle_xz3_range_scan() -> str:
     """
 
 
+def q_merged_view(sf_dir: str):
+    """Lambda hot/cold merged view (LambdaDataStore.scala:52-75,
+    MergedDataStoreView): hot tier = every event_id % 3 == 0 row with its
+    value bumped +1000 at the SAME timestamp; per user the newest row wins
+    and the hot tier wins exact-ts ties — so the bumped value surfaces iff
+    the user's newest event is in the hot tier. (user_id, ts) is unique in
+    the test data, so ties only arise from the constructed hot duplicates."""
+    from geomesa_ray.stages.merged_view import merged_view
+    from geomesa_ray.util import ts_to_millis
+
+    cold = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id", "value"])
+
+    def hot_fn(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(eid % 3 == 0))
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("value"), "value",
+                            pa.array(val + 1000.0))
+
+    hot = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id", "value"]).map_batches(
+        hot_fn, batch_format="pyarrow")
+    out = merged_view(hot, cold, id_col="user_id", ts_col="ts")
+
+    def to_ms(t: pa.Table) -> pa.Table:
+        ms = ts_to_millis(t.column("ts"))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_ms": pa.array(ms, type=pa.int64()),
+            "event_id": t.column("event_id"),
+            "value": t.column("value"),
+        })
+
+    return out.map_batches(to_ms, batch_format="pyarrow")
+
+
+def oracle_merged_view() -> str:
+    return """
+    WITH cold AS (SELECT user_id, ts, event_id, value, 0 AS tier FROM events),
+    hot AS (SELECT user_id, ts, event_id, value + 1000.0 AS value, 1 AS tier
+            FROM events WHERE event_id % 3 = 0),
+    u AS (SELECT * FROM cold UNION ALL SELECT * FROM hot),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, tier DESC) AS rn FROM u)
+    SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value FROM r WHERE rn = 1
+    """
+
+
+def q_arrow_roundtrip(sf_dir: str):
+    """Arrow aggregating export round-trip (ArrowScan.scala:37-795): TopK
+    dictionary pre-scan + dictionary-encoded single-file IPC write, read
+    back and decoded — the oracle is the plain projection, so any value
+    dropped/corrupted by the dictionary encode fails the hash."""
+    import hashlib
+
+    from geomesa_ray.stages.arrow_export import arrow_export, read_arrow_export
+
+    ds = _read(sf_dir, "events").select_columns(["event_id", "event_type", "value"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/graft_arrow_rt_{tag}.arrow"
+    arrow_export(ds, path, dict_cols=["event_type"], sort_by="event_id")
+    t = read_arrow_export(path)
+    cols = {}
+    for name in t.column_names:
+        col = t.column(name)
+        if pa.types.is_dictionary(col.type):
+            col = col.cast(pa.string())
+        cols[name] = col
+    return pa.table(cols)
+
+
+def oracle_arrow_roundtrip() -> str:
+    return "SELECT event_id, event_type, value FROM events"
+
+
 def q_minhash_dedup_docs(sf_dir: str):
     from geomesa_ray.stages.dedup import minhash_dedup
 
@@ -2931,6 +3007,8 @@ QUERIES = {
     "z3_histogram": q_z3_histogram,
     "xz2_range_scan": q_xz2_range_scan,
     "xz3_range_scan": q_xz3_range_scan,
+    "merged_view": q_merged_view,
+    "arrow_roundtrip": q_arrow_roundtrip,
     "ivf_neighbors": q_ivf_neighbors,
     "media_features": q_media_features,
     "media_decode": q_media_decode,
@@ -2985,6 +3063,8 @@ ORACLES = {
     "z3_histogram": oracle_z3_histogram(),
     "xz2_range_scan": oracle_xz2_range_scan(),
     "xz3_range_scan": oracle_xz3_range_scan(),
+    "merged_view": oracle_merged_view(),
+    "arrow_roundtrip": oracle_arrow_roundtrip(),
     "track_lines": oracle_track_lines(),
     "grouped_stats": oracle_grouped_stats(),
     "stats_sketches": oracle_stats_sketches(),
