@@ -1896,6 +1896,42 @@ def oracle_arrow_roundtrip() -> str:
     return "SELECT event_id, event_type, value FROM events"
 
 
+def q_slippy_tiles(sf_dir: str):
+    """Web-mercator slippy-tile assignment + counts at zoom 10 — the
+    reprojection/tiling path (Reprojection.scala; the raster addressing the
+    density grids feed). The oracle composes asinh as ln(x + sqrt(x^2+1));
+    tile indices are integer floors so libm ULP differences are invisible
+    away from exact tile boundaries (checked over 300k points)."""
+    from ray.data.aggregate import Count
+
+    from geomesa_ray.geo.reproject import slippy_tile
+
+    def assign(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        tx, ty = slippy_tile(lon, lat, zoom=10)
+        return pa.table({"tile_x": pa.array(tx), "tile_y": pa.array(ty)})
+
+    return _geo_events(sf_dir).map_batches(assign, batch_format="pyarrow").groupby(
+        ["tile_x", "tile_y"]).aggregate(Count(alias_name="n"))
+
+
+def oracle_slippy_tiles() -> str:
+    from geomesa_ray.geo.reproject import MAX_LAT
+
+    n = 1 << 10
+    return f"""
+    WITH pts AS ({_DERIVE_SQL}),
+    c AS (SELECT lon, least(greatest(lat, -{MAX_LAT!r}), {MAX_LAT!r}) AS lat FROM pts),
+    m AS (SELECT lon, tan(radians(lat)) AS tl FROM c),
+    t AS (SELECT
+      least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS tile_x,
+      least(greatest(CAST(floor((1.0 - ln(tl + sqrt(tl * tl + 1.0)) / pi()) / 2.0 * {n}) AS BIGINT), 0), {n - 1}) AS tile_y
+    FROM m)
+    SELECT tile_x, tile_y, count(*) AS n FROM t GROUP BY tile_x, tile_y
+    """
+
+
 def q_minhash_dedup_docs(sf_dir: str):
     from geomesa_ray.stages.dedup import minhash_dedup
 
@@ -3009,6 +3045,7 @@ QUERIES = {
     "xz3_range_scan": q_xz3_range_scan,
     "merged_view": q_merged_view,
     "arrow_roundtrip": q_arrow_roundtrip,
+    "slippy_tiles": q_slippy_tiles,
     "ivf_neighbors": q_ivf_neighbors,
     "media_features": q_media_features,
     "media_decode": q_media_decode,
@@ -3065,6 +3102,7 @@ ORACLES = {
     "xz3_range_scan": oracle_xz3_range_scan(),
     "merged_view": oracle_merged_view(),
     "arrow_roundtrip": oracle_arrow_roundtrip(),
+    "slippy_tiles": oracle_slippy_tiles(),
     "track_lines": oracle_track_lines(),
     "grouped_stats": oracle_grouped_stats(),
     "stats_sketches": oracle_stats_sketches(),
