@@ -852,6 +852,543 @@ def f_st_buffer(wkt_values, dist):
     return out
 
 
+# -------------------------------------------------- jts UDF long tail
+# Remaining geomesa-spark-jts surface (reference geomesa-spark/
+# geomesa-spark-jts/.../udf/{GeometricConstructor,GeometricAccessor,
+# GeometricCast,GeometricOutput,GeometricProcessing}Functions.scala):
+# constructors/parsers, accessors, casts, geohash decode, boundary,
+# closest-point, spherical length, and convex set ops. Same conventions
+# as the rest of the file: WKT strings in object arrays; per-row loops
+# only on these few-geometry query-side paths.
+
+def _parse_or_none(w):
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    try:
+        return parse_wkt(str(w))
+    except Exception:
+        return None
+
+
+def _map_wkt(values, fn):
+    vals = np.asarray(values, dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    for i, w in enumerate(vals):
+        g = _parse_or_none(w)
+        out[i] = None if g is None else fn(g)
+    return out
+
+
+def f_st_as_text(values):
+    """st_asText / st_geomFromWKT: validate + canonicalize WKT."""
+    from geomesa_ray.geo.wkt import format_wkt
+
+    return _map_wkt(values, format_wkt)
+
+
+def _typed_from_text(kind):
+    from geomesa_ray.geo.wkt import format_wkt
+
+    def fn(values):
+        return _map_wkt(values, lambda g: format_wkt(g) if g["type"] == kind else None)
+
+    return fn
+
+
+def _cast_to(kinds):
+    from geomesa_ray.geo.wkt import format_wkt
+
+    def fn(values):
+        return _map_wkt(values, lambda g: format_wkt(g) if g["type"] in kinds else None)
+
+    return fn
+
+
+def f_st_make_box2d(xmin, ymin, xmax, ymax):
+    """st_makeBox2D: corner points -> bbox POLYGON WKT."""
+    xmin = np.atleast_1d(np.asarray(xmin, dtype=np.float64))
+    ymin = np.atleast_1d(np.asarray(ymin, dtype=np.float64))
+    xmax = np.atleast_1d(np.asarray(xmax, dtype=np.float64))
+    ymax = np.atleast_1d(np.asarray(ymax, dtype=np.float64))
+    out = np.empty(len(xmin), dtype=object)
+    for i in range(len(xmin)):
+        a, b, c, d = xmin[i], ymin[i], xmax[i], ymax[i]
+        out[i] = (f"POLYGON (({a!r} {b!r}, {c!r} {b!r}, {c!r} {d!r}, "
+                  f"{a!r} {d!r}, {a!r} {b!r}))")
+    return out
+
+
+def f_st_polygon(values):
+    """st_polygon: closed LINESTRING WKT -> POLYGON."""
+    from geomesa_ray.geo.wkt import format_wkt
+
+    def fn(g):
+        if g["type"] != "LineString":
+            return None
+        c = g["coords"]
+        if len(c) < 4 or (c[0][0], c[0][1]) != (c[-1][0], c[-1][1]):
+            return None
+        return format_wkt({"type": "Polygon", "coords": [c]})
+
+    return _map_wkt(values, fn)
+
+
+def f_st_make_point_m(x, y, m):
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    m = np.atleast_1d(np.asarray(m, dtype=np.float64))
+    out = np.empty(len(x), dtype=object)
+    for i in range(len(x)):
+        out[i] = f"POINT M ({x[i]!r} {y[i]!r} {m[i]!r})"
+    return out
+
+
+def f_st_byte_array(values):
+    """st_byteArray: utf-8 bytes of a string column."""
+    vals = np.asarray(values, dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    for i, v in enumerate(vals):
+        out[i] = None if v is None else str(v).encode("utf-8")
+    return out
+
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH32_IDX = {c: i for i, c in enumerate(_GH32)}
+
+
+def _geohash_bbox(gh: str):
+    """Standard geohash base-32 decode -> (xmin, ymin, xmax, ymax)."""
+    xmin, xmax, ymin, ymax = -180.0, 180.0, -90.0, 90.0
+    even = True
+    for ch in gh.lower():
+        d = _GH32_IDX[ch]
+        for bit in (16, 8, 4, 2, 1):
+            if even:
+                mid = (xmin + xmax) / 2
+                if d & bit:
+                    xmin = mid
+                else:
+                    xmax = mid
+            else:
+                mid = (ymin + ymax) / 2
+                if d & bit:
+                    ymin = mid
+                else:
+                    ymax = mid
+            even = not even
+    return xmin, ymin, xmax, ymax
+
+
+def f_st_geom_from_geohash(values):
+    """st_geomFromGeoHash: geohash -> covering bbox POLYGON."""
+    vals = np.asarray(values, dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    for i, gh in enumerate(vals):
+        try:
+            a, b, c, d = _geohash_bbox(str(gh))
+            out[i] = f_st_make_box2d([a], [b], [c], [d])[0]
+        except Exception:
+            out[i] = None
+    return out
+
+
+def f_st_point_from_geohash(values):
+    """st_pointFromGeoHash: geohash -> center POINT."""
+    vals = np.asarray(values, dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    for i, gh in enumerate(vals):
+        try:
+            a, b, c, d = _geohash_bbox(str(gh))
+            out[i] = f"POINT ({(a + c) / 2!r} {(b + d) / 2!r})"
+        except Exception:
+            out[i] = None
+    return out
+
+
+def _dms(value: float, pos: str, neg: str) -> str:
+    h = pos if value >= 0 else neg
+    v = abs(value)
+    d = int(v)
+    mfull = (v - d) * 60
+    m = int(mfull)
+    s = (mfull - m) * 60
+    return f"{d}°{m:02d}'{s:06.3f}\"{h}"
+
+
+def f_st_as_lat_lon_text(lon, lat):
+    """st_asLatLonText: DMS rendering 'DD°MM'SS.sss"N DDD°MM'SS.sss"E'."""
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    out = np.empty(len(lon), dtype=object)
+    for i in range(len(lon)):
+        out[i] = f"{_dms(lat[i], 'N', 'S')} {_dms(lon[i], 'E', 'W')}"
+    return out
+
+
+def f_st_boundary(values):
+    """st_boundary (JTS semantics): Point -> empty collection; LineString ->
+    MULTIPOINT of endpoints (EMPTY when closed); Polygon -> exterior ring
+    LINESTRING (MULTILINESTRING with the interior rings)."""
+    from geomesa_ray.geo.wkt import format_wkt
+
+    def fn(g):
+        t, c = g["type"], g["coords"]
+        if t == "Point" or t == "MultiPoint":
+            return "GEOMETRYCOLLECTION EMPTY"
+        if t == "LineString":
+            if (c[0][0], c[0][1]) == (c[-1][0], c[-1][1]):
+                return "MULTIPOINT EMPTY"
+            return format_wkt({"type": "MultiPoint", "coords": np.array([c[0], c[-1]])})
+        if t == "Polygon":
+            rings = [np.asarray(r) for r in c]
+            if len(rings) == 1:
+                return format_wkt({"type": "LineString", "coords": rings[0]})
+            return format_wkt({"type": "MultiLineString", "coords": rings})
+        if t == "MultiLineString":
+            ends = [ln for ln in c if (ln[0][0], ln[0][1]) != (ln[-1][0], ln[-1][1])]
+            pts = np.array([p for ln in ends for p in (ln[0], ln[-1])])
+            if len(pts) == 0:
+                return "MULTIPOINT EMPTY"
+            return format_wkt({"type": "MultiPoint", "coords": pts})
+        if t == "MultiPolygon":
+            rings = [np.asarray(r) for p in c for r in p]
+            return format_wkt({"type": "MultiLineString", "coords": rings})
+        return None
+
+    return _map_wkt(values, fn)
+
+
+_DIMENSION = {"Point": 0, "MultiPoint": 0, "LineString": 1, "MultiLineString": 1,
+              "Polygon": 2, "MultiPolygon": 2}
+
+
+def f_st_dimension(values):
+    vals = np.asarray(values, dtype=object)
+    out = np.full(len(vals), -1, dtype=np.int64)
+    for i, w in enumerate(vals):
+        g = _parse_or_none(w)
+        if g is not None:
+            out[i] = _DIMENSION[g["type"]]
+    return out
+
+
+def f_st_coord_dim(values):
+    vals = np.asarray(values, dtype=object)
+    return np.full(len(vals), 2, dtype=np.int64)
+
+
+def f_st_geometry_type(values):
+    return _map_wkt(values, lambda g: g["type"])
+
+
+def _line_closed(c) -> bool:
+    return (c[0][0], c[0][1]) == (c[-1][0], c[-1][1])
+
+
+def f_st_is_closed(values):
+    def fn(g):
+        if g["type"] == "LineString":
+            return bool(_line_closed(g["coords"]))
+        if g["type"] == "MultiLineString":
+            return all(_line_closed(ln) for ln in g["coords"])
+        return True  # JTS: non-lineal geometries report closed
+
+    out = _map_wkt(values, fn)
+    return np.array([bool(v) for v in out])
+
+
+def f_st_is_collection(values):
+    out = _map_wkt(values, lambda g: g["type"].startswith("Multi"))
+    return np.array([bool(v) for v in out])
+
+
+def _segments_simple(c: np.ndarray) -> bool:
+    """No proper self-intersection among segments (shared ring/chain
+    endpoints allowed). O(n^2) over the few query-side vertices."""
+    n = len(c) - 1
+    for i in range(n):
+        p1, p2 = c[i], c[i + 1]
+        for j in range(i + 2, n):
+            # skip the wrap adjacency for closed chains
+            if i == 0 and j == n - 1 and _line_closed(c):
+                continue
+            q1, q2 = c[j], c[j + 1]
+            d1 = np.cross(p2 - p1, q1 - p1)
+            d2 = np.cross(p2 - p1, q2 - p1)
+            d3 = np.cross(q2 - q1, p1 - q1)
+            d4 = np.cross(q2 - q1, p2 - q1)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                return False
+            # collinear overlap
+            if d1 == 0 and d2 == 0:
+                lo = max(min(p1[0], p2[0]), min(q1[0], q2[0]))
+                hi = min(max(p1[0], p2[0]), max(q1[0], q2[0]))
+                lo_y = max(min(p1[1], p2[1]), min(q1[1], q2[1]))
+                hi_y = min(max(p1[1], p2[1]), max(q1[1], q2[1]))
+                if lo < hi or lo_y < hi_y:
+                    return False
+    return True
+
+
+def f_st_is_simple(values):
+    def fn(g):
+        t, c = g["type"], g["coords"]
+        if t in ("Point", "MultiPoint"):
+            return True
+        if t == "LineString":
+            return _segments_simple(np.asarray(c, dtype=np.float64))
+        if t == "MultiLineString":
+            return all(_segments_simple(np.asarray(ln, dtype=np.float64)) for ln in c)
+        rings = c if t == "Polygon" else [r for p in c for r in p]
+        return all(_segments_simple(np.asarray(r, dtype=np.float64)) for r in rings)
+
+    out = _map_wkt(values, fn)
+    return np.array([bool(v) for v in out])
+
+
+def f_st_is_valid(values):
+    """st_isValid (polygon essentials): rings closed with >= 4 vertices,
+    non-zero exterior area, simple rings. Lines/points are valid when
+    parseable."""
+    from geomesa_ray.geo.poly import signed_area
+
+    def fn(g):
+        t, c = g["type"], g["coords"]
+        if t in ("Point", "MultiPoint", "LineString", "MultiLineString"):
+            return True
+        polys = [c] if t == "Polygon" else c
+        for rings in polys:
+            for k, r in enumerate(rings):
+                r = np.asarray(r, dtype=np.float64)
+                if len(r) < 4 or not _line_closed(r):
+                    return False
+                if not _segments_simple(r):
+                    return False
+                if k == 0 and signed_area(r) == 0.0:
+                    return False
+        return True
+
+    out = _map_wkt(values, fn)
+    return np.array([bool(v) for v in out])
+
+
+def f_st_is_ring(values):
+    closed = f_st_is_closed(values)
+    simple = f_st_is_simple(values)
+    lineal = _map_wkt(values, lambda g: g["type"] == "LineString")
+    return closed & simple & np.array([bool(v) for v in lineal])
+
+
+def f_st_point_n(values, n):
+    """st_pointN: 1-based vertex of a LineString (null out of range)."""
+    k = int(n)
+
+    def fn(g):
+        if g["type"] != "LineString":
+            return None
+        c = g["coords"]
+        if not (1 <= k <= len(c)):
+            return None
+        return f"POINT ({float(c[k - 1][0])!r} {float(c[k - 1][1])!r})"
+
+    return _map_wkt(values, fn)
+
+
+def f_st_interior_ring_n(values, n):
+    """st_interiorRingN: 1-based interior ring as LINESTRING (null OOR)."""
+    from geomesa_ray.geo.wkt import format_wkt
+
+    k = int(n)
+
+    def fn(g):
+        if g["type"] != "Polygon" or not (1 <= k <= len(g["coords"]) - 1):
+            return None
+        return format_wkt({"type": "LineString", "coords": np.asarray(g["coords"][k])})
+
+    return _map_wkt(values, fn)
+
+
+def f_st_closest_point(values, lon, lat):
+    """st_closestPoint: nearest point ON the geometry to each paired query
+    point (planar; segment projection over the geometry's edges)."""
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    vals = np.asarray(values, dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    for i, w in enumerate(vals):
+        g = _parse_or_none(w)
+        if g is None:
+            out[i] = None
+            continue
+        t, c = g["type"], g["coords"]
+        if t == "Point":
+            out[i] = f"POINT ({float(c[0])!r} {float(c[1])!r})"
+            continue
+        if t == "LineString":
+            chains = [np.asarray(c, dtype=np.float64)]
+        elif t == "MultiLineString":
+            chains = [np.asarray(ln, dtype=np.float64) for ln in c]
+        else:
+            rings = c if t == "Polygon" else [r for p in c for r in p]
+            chains = [np.asarray(r, dtype=np.float64) for r in rings]
+            # inside the polygon, the closest point is the point itself
+            from geomesa_ray.geo.predicates import Polygon as _P
+            if _P(chains).contains(np.array([lon[i]]), np.array([lat[i]]))[0]:
+                out[i] = f"POINT ({float(lon[i])!r} {float(lat[i])!r})"
+                continue
+        best, bd = None, np.inf
+        p = np.array([lon[i], lat[i]])
+        for ch in chains:
+            a, b = ch[:-1], ch[1:]
+            ab = b - a
+            denom = (ab * ab).sum(axis=1)
+            t_par = np.clip(
+                np.divide(((p - a) * ab).sum(axis=1), denom,
+                          out=np.zeros(len(a)), where=denom > 0), 0.0, 1.0)
+            proj = a + t_par[:, None] * ab
+            d2 = ((proj - p) ** 2).sum(axis=1)
+            j = int(np.argmin(d2))
+            if d2[j] < bd:
+                bd, best = d2[j], proj[j]
+        out[i] = None if best is None else f"POINT ({float(best[0])!r} {float(best[1])!r})"
+    return out
+
+
+def f_st_length_sphere(values):
+    """st_lengthSphere: haversine length of a LineString in meters."""
+    vals = np.asarray(values, dtype=object)
+    out = np.zeros(len(vals), dtype=np.float64)
+    for i, w in enumerate(vals):
+        g = _parse_or_none(w)
+        if g is None or g["type"] not in ("LineString", "MultiLineString"):
+            out[i] = 0.0
+            continue
+        chains = [g["coords"]] if g["type"] == "LineString" else g["coords"]
+        total = 0.0
+        for ch in chains:
+            ch = np.asarray(ch, dtype=np.float64)
+            total += float(haversine_m(ch[:-1, 0], ch[:-1, 1], ch[1:, 0], ch[1:, 1]).sum())
+        out[i] = total
+    return out
+
+
+def f_st_antimeridian_safe_geom(values):
+    """st_antimeridianSafeGeom (GeometryProcessing.scala:39-166): polygons
+    drawn past the +/-180 meridian are split into an in-range MULTIPOLYGON
+    (western part shifted by -360); in-range geometries pass through."""
+    from geomesa_ray.geo.poly import clip_halfplane
+    from geomesa_ray.geo.wkt import format_wkt
+
+    def fn(g):
+        if g["type"] != "Polygon":
+            return format_wkt(g)
+        ext = np.asarray(g["coords"][0], dtype=np.float64)
+        if ext[:, 0].max() <= 180.0 and ext[:, 0].min() >= -180.0:
+            return format_wkt(g)
+        east = clip_halfplane(ext, -1.0, 0.0, 180.0)   # x <= 180
+        west = clip_halfplane(ext, 1.0, 0.0, -180.0)   # x >= 180, shift -360
+        parts = []
+        if len(east) >= 3:
+            parts.append([np.vstack([east, east[:1]])])
+        if len(west) >= 3:
+            west = west - np.array([360.0, 0.0])
+            parts.append([np.vstack([west, west[:1]])])
+        if len(parts) == 1:
+            return format_wkt({"type": "Polygon", "coords": parts[0]})
+        return format_wkt({"type": "MultiPolygon", "coords": parts})
+
+    return _map_wkt(values, fn)
+
+
+def _close(r: np.ndarray) -> np.ndarray:
+    return np.vstack([r, r[:1]])
+
+
+def f_st_intersection(values_a, values_b):
+    """st_intersection for polygon x polygon where at least one side is
+    CONVEX (Sutherland-Hodgman clip; the convex side is the clipper).
+    Returns POLYGON / 'POLYGON EMPTY'; null when both sides are concave
+    (unsupported without a full boolean-ops kernel — documented)."""
+    from geomesa_ray.geo.poly import convex_clip, is_convex
+    from geomesa_ray.geo.wkt import format_wkt
+
+    va = np.asarray(values_a, dtype=object)
+    vb = np.asarray(values_b, dtype=object)
+    out = np.empty(len(va), dtype=object)
+    for i in range(len(va)):
+        ga, gb = _parse_or_none(va[i]), _parse_or_none(vb[i])
+        if ga is None or gb is None or ga["type"] != "Polygon" or gb["type"] != "Polygon":
+            out[i] = None
+            continue
+        sa = np.asarray(ga["coords"][0], dtype=np.float64)
+        sb = np.asarray(gb["coords"][0], dtype=np.float64)
+        if is_convex(sb):
+            subject, clip = sa, sb
+        elif is_convex(sa):
+            subject, clip = sb, sa
+        else:
+            out[i] = None
+            continue
+        r = convex_clip(subject, clip)
+        out[i] = ("POLYGON EMPTY" if len(r) < 3
+                  else format_wkt({"type": "Polygon", "coords": [_close(r)]}))
+    return out
+
+
+def f_st_difference(values_a, values_b):
+    """st_difference(a, b) for polygon a minus CONVEX polygon b (halfplane
+    complement decomposition). POLYGON / MULTIPOLYGON / 'POLYGON EMPTY';
+    null when b is concave."""
+    from geomesa_ray.geo.poly import convex_difference, is_convex
+    from geomesa_ray.geo.wkt import format_wkt
+
+    va = np.asarray(values_a, dtype=object)
+    vb = np.asarray(values_b, dtype=object)
+    out = np.empty(len(va), dtype=object)
+    for i in range(len(va)):
+        ga, gb = _parse_or_none(va[i]), _parse_or_none(vb[i])
+        if ga is None or gb is None or ga["type"] != "Polygon" or gb["type"] != "Polygon":
+            out[i] = None
+            continue
+        sb = np.asarray(gb["coords"][0], dtype=np.float64)
+        if not is_convex(sb):
+            out[i] = None
+            continue
+        pieces = [p for p in convex_difference(np.asarray(ga["coords"][0], dtype=np.float64), sb)
+                  if len(p) >= 3]
+        if not pieces:
+            out[i] = "POLYGON EMPTY"
+        elif len(pieces) == 1:
+            out[i] = format_wkt({"type": "Polygon", "coords": [_close(pieces[0])]})
+        else:
+            out[i] = format_wkt({"type": "MultiPolygon",
+                                 "coords": [[_close(p)] for p in pieces]})
+    return out
+
+
+def f_st_aggregate_distance_sphere(pairs):
+    """st_aggregateDistanceSphere (SpatialRelationFunctions.scala:52): each
+    row holds a 2-element point-WKT sequence (the collect_list window
+    shape); returns the sphere distance between the two points."""
+    vals = np.asarray(pairs, dtype=object)
+    out = np.full(len(vals), np.nan, dtype=np.float64)
+    for i, pair in enumerate(vals):
+        try:
+            a, b = _parse_or_none(pair[0]), _parse_or_none(pair[1])
+            out[i] = float(haversine_m(
+                np.array([a["coords"][0]]), np.array([a["coords"][1]]),
+                np.array([b["coords"][0]]), np.array([b["coords"][1]]))[0])
+        except Exception:
+            pass
+    return out
+
+
+def f_st_covers(wkt_polygon, lon, lat):
+    """st_covers: boundary-inclusive point-in-polygon (JTS covers for the
+    point case — identical to the engine's closed contains)."""
+    return f_st_contains(wkt_polygon, lon, lat)
+
+
 FUNCTIONS = {
     # strings
     "trim": f_trim, "stripQuotes": f_strip_quotes, "stripPrefix": f_strip_prefix,
@@ -892,6 +1429,35 @@ FUNCTIONS = {
     "st_asBinary": f_st_as_wkb, "st_geomFromWKB": f_st_geom_from_wkb,
     "st_pointFromText": f_st_point_from_text,
     "antimeridianSafeBBox": f_st_antimeridian_safe_bbox,
+    # jts long tail (round-3 widening)
+    "st_asText": f_st_as_text, "st_geomFromWKT": f_st_as_text,
+    "st_castToGeometry": f_st_as_text,
+    "st_lineFromText": _typed_from_text("LineString"),
+    "st_polygonFromText": _typed_from_text("Polygon"),
+    "st_mLineFromText": _typed_from_text("MultiLineString"),
+    "st_mPointFromText": _typed_from_text("MultiPoint"),
+    "st_mPolyFromText": _typed_from_text("MultiPolygon"),
+    "st_castToPoint": _cast_to(("Point",)),
+    "st_castToLineString": _cast_to(("LineString",)),
+    "st_castToPolygon": _cast_to(("Polygon",)),
+    "st_makeBox2D": f_st_make_box2d, "st_polygon": f_st_polygon,
+    "st_makePointM": f_st_make_point_m, "st_byteArray": f_st_byte_array,
+    "st_pointFromWKB": f_st_geom_from_wkb,
+    "st_geomFromGeoHash": f_st_geom_from_geohash,
+    "st_pointFromGeoHash": f_st_point_from_geohash,
+    "st_asLatLonText": f_st_as_lat_lon_text,
+    "st_boundary": f_st_boundary, "st_dimension": f_st_dimension,
+    "st_coordDim": f_st_coord_dim, "st_geometryType": f_st_geometry_type,
+    "st_isClosed": f_st_is_closed, "st_isCollection": f_st_is_collection,
+    "st_isSimple": f_st_is_simple, "st_isValid": f_st_is_valid,
+    "st_isRing": f_st_is_ring, "st_pointN": f_st_point_n,
+    "st_interiorRingN": f_st_interior_ring_n,
+    "st_closestPoint": f_st_closest_point,
+    "st_lengthSphere": f_st_length_sphere,
+    "st_antimeridianSafeGeom": f_st_antimeridian_safe_geom,
+    "st_intersection": f_st_intersection, "st_difference": f_st_difference,
+    "st_covers": f_st_covers,
+    "st_aggregateDistanceSphere": f_st_aggregate_distance_sphere,
     # id / hash
     "md5": f_md5, "hash64": f_hash64, "uuid": f_uuid_from, "uuidZ3": f_z3_uuid,
 }

@@ -59,3 +59,98 @@ def points_in_convex(P: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarra
     ry = py[:, None] - P[..., 1]
     cross = e[..., 0] * ry - e[..., 1] * rx
     return (cross >= 0).all(axis=1) | (cross <= 0).all(axis=1)
+
+
+# ------------------------------------------------------- polygon clipping
+
+def _open_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop the WKT closing vertex (last == first) if present."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) > 1 and ring[0][0] == ring[-1][0] and ring[0][1] == ring[-1][1]:
+        return ring[:-1]
+    return ring
+
+
+def signed_area(ring: np.ndarray) -> float:
+    r = _open_ring(ring)
+    x, y = r[:, 0], r[:, 1]
+    return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    """Cross-product sign consistency over edges (zero crosses ignored —
+    collinear vertices allowed)."""
+    r = _open_ring(ring)
+    if len(r) < 3:
+        return False
+    e = np.roll(r, -1, axis=0) - r
+    cr = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
+    nz = cr[np.abs(cr) > 0]
+    return len(nz) == 0 or (nz > 0).all() or (nz < 0).all()
+
+
+def clip_halfplane(ring: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    """Sutherland–Hodgman single-halfplane clip of an OPEN ring: keep the
+    region a*x + b*y + c >= 0. Returns an open ring (possibly empty).
+    Standard algorithm (Sutherland & Hodgman 1974, public)."""
+    r = _open_ring(ring)
+    n = len(r)
+    if n == 0:
+        return r
+    f = a * r[:, 0] + b * r[:, 1] + c
+    out: list[np.ndarray] = []
+    for i in range(n):
+        j = (i + 1) % n
+        p, q, fp, fq = r[i], r[j], f[i], f[j]
+        if fp >= 0:
+            out.append(p)
+            if fq < 0:
+                out.append(p + (fp / (fp - fq)) * (q - p))
+        elif fq >= 0:
+            out.append(p + (fp / (fp - fq)) * (q - p))
+    return np.array(out) if out else np.empty((0, 2))
+
+
+def _ccw(ring: np.ndarray) -> np.ndarray:
+    r = _open_ring(ring)
+    return r if signed_area(r) >= 0 else r[::-1]
+
+
+def _edge_halfplanes(clip_ring: np.ndarray):
+    """CCW convex ring -> (a, b, c) halfplanes whose intersection is the
+    polygon interior (left of each directed edge)."""
+    r = _ccw(clip_ring)
+    planes = []
+    for i in range(len(r)):
+        p, q = r[i], r[(i + 1) % len(r)]
+        a, b = -(q[1] - p[1]), q[0] - p[0]
+        planes.append((a, b, -(a * p[0] + b * p[1])))
+    return planes
+
+
+def convex_clip(subject_ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Intersection of an arbitrary simple ring with a CONVEX ring: clip by
+    each edge halfplane in turn. Returns an open ring (empty if disjoint)."""
+    out = _open_ring(subject_ring)
+    for a, b, c in _edge_halfplanes(clip_ring):
+        out = clip_halfplane(out, a, b, c)
+        if len(out) == 0:
+            break
+    return out
+
+
+def convex_difference(subject_ring: np.ndarray, clip_ring: np.ndarray) -> list[np.ndarray]:
+    """subject \\ clip for CONVEX clip: piece_i = subject clipped INSIDE the
+    first i-1 edge halfplanes and OUTSIDE edge i (the standard convex-
+    decomposition of a complement). Returns a list of open rings (the
+    difference as a multipolygon; empty list when clip covers subject)."""
+    pieces: list[np.ndarray] = []
+    current = _open_ring(subject_ring)
+    for a, b, c in _edge_halfplanes(clip_ring):
+        outside = clip_halfplane(current, -a, -b, -c)
+        if len(outside) >= 3:
+            pieces.append(outside)
+        current = clip_halfplane(current, a, b, c)
+        if len(current) == 0:
+            break
+    return pieces

@@ -89,6 +89,16 @@ def parse_wkt(wkt: str):
     if upper.startswith("LINESTRING"):
         inner = w[w.index("(") + 1 : w.rindex(")")]
         return {"type": "LineString", "coords": _parse_ring(inner)}
+    if upper.startswith("MULTIPOINT"):
+        inner = w[w.index("(") + 1 : w.rindex(")")]
+        # both forms: MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
+        pts = re.findall(r"\(([^()]*)\)", inner) or inner.split(",")
+        coords = np.array([[float(t) for t in p.strip().split()[:2]] for p in pts])
+        return {"type": "MultiPoint", "coords": coords}
+    if upper.startswith("MULTILINESTRING"):
+        inner = w[w.index("(") + 1 : w.rindex(")")]
+        lines = [_parse_ring(r) for r in re.findall(r"\(([^()]*)\)", inner)]
+        return {"type": "MultiLineString", "coords": lines}
     if upper.startswith("MULTIPOLYGON"):
         inner = w[w.index("(") + 1 : w.rindex(")")]
         polys = []
@@ -101,6 +111,37 @@ def parse_wkt(wkt: str):
         rings = [_parse_ring(r) for r in re.findall(r"\(([^()]*)\)", inner)]
         return {"type": "Polygon", "coords": rings}
     raise ValueError(f"unsupported WKT: {wkt[:60]}")
+
+
+def _fmt_xy(x, y) -> str:
+    return f"{float(x)!r} {float(y)!r}"
+
+
+def format_wkt(g) -> str:
+    """Canonical WKT writer for any parse_wkt dict (shortest-round-trip
+    float formatting)."""
+    t, c = g["type"], g["coords"]
+    if t == "Point":
+        return f"POINT ({_fmt_xy(c[0], c[1])})"
+    if t == "LineString":
+        return "LINESTRING (" + ", ".join(_fmt_xy(x, y) for x, y in c) + ")"
+    if t == "MultiPoint":
+        return "MULTIPOINT (" + ", ".join(f"({_fmt_xy(x, y)})" for x, y in c) + ")"
+    if t == "MultiLineString":
+        return ("MULTILINESTRING ("
+                + ", ".join("(" + ", ".join(_fmt_xy(x, y) for x, y in ln) + ")" for ln in c)
+                + ")")
+    if t == "Polygon":
+        return ("POLYGON ("
+                + ", ".join("(" + ", ".join(_fmt_xy(x, y) for x, y in r) + ")" for r in c)
+                + ")")
+    if t == "MultiPolygon":
+        return ("MULTIPOLYGON ("
+                + ", ".join(
+                    "(" + ", ".join("(" + ", ".join(_fmt_xy(x, y) for x, y in r) + ")" for r in p) + ")"
+                    for p in c)
+                + ")")
+    raise ValueError(f"unsupported geometry type: {t}")
 
 
 def format_polygon_wkt(rings) -> str:
