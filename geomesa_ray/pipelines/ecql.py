@@ -9,10 +9,11 @@ practical ECQL subset as a recursive-descent parser over a regex tokenizer:
     comparison : attr = | <> | < | <= | > | >= literal
     BETWEEN    : attr BETWEEN lo AND hi
     IN         : attr IN (v1, v2, ...)
-    LIKE       : attr LIKE 'pat%'  (%% and _ wildcards)
+    LIKE/ILIKE : attr LIKE 'pat%'  (%% and _ wildcards; ILIKE case-insensitive)
     NULL       : attr IS [NOT] NULL
-    spatial    : BBOX(geom, x0, y0, x1, y1) | INTERSECTS/CONTAINS/WITHIN
-                 (geom, <WKT>) | DWITHIN(geom, <WKT point>, dist, meters)
+    spatial    : BBOX(geom, x0, y0, x1, y1) | INTERSECTS/CONTAINS/WITHIN/
+                 DISJOINT/TOUCHES/CROSSES/OVERLAPS/EQUALS (geom, <WKT>)
+                 | DWITHIN/BEYOND(geom, <WKT point>, dist, meters)
                  | RELATE(geom, <WKT polygon>, 'DE-9IM pattern')
     temporal   : attr DURING t0/t1 | attr AFTER t | attr BEFORE t
     logic      : AND, OR, NOT, parentheses
@@ -47,8 +48,9 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_KEYWORDS = {"AND", "OR", "NOT", "BETWEEN", "IN", "LIKE", "IS", "NULL",
+_KEYWORDS = {"AND", "OR", "NOT", "BETWEEN", "IN", "LIKE", "ILIKE", "IS", "NULL",
              "BBOX", "INTERSECTS", "CONTAINS", "WITHIN", "DWITHIN", "RELATE",
+             "BEYOND", "DISJOINT", "TOUCHES", "CROSSES", "OVERLAPS", "EQUALS",
              "DURING", "AFTER", "BEFORE", "TRUE", "FALSE", "INCLUDE", "EXCLUDE"}
 
 
@@ -154,6 +156,7 @@ class In(Filter):
 class Like(Filter):
     attr: str
     pattern: str
+    ci: bool = False  # ILIKE
 
     def mask(self, t):
         import pandas as pd
@@ -165,7 +168,8 @@ class Like(Filter):
         # nulls into the literal 'None', spuriously matching e.g. '%one%'
         # (SQL/ECQL LIKE on null is false)
         s = pd.Series(_col(t, self.attr))
-        return s.astype("string").str.match(rx, na=False).astype(bool).to_numpy()
+        return s.astype("string").str.match(
+            rx, case=not self.ci, na=False).astype(bool).to_numpy()
 
 
 @dataclass
@@ -392,6 +396,25 @@ class Const(Filter):
         return np.full(t.num_rows, self.value, dtype=bool)
 
 
+@dataclass
+class PointEquals(Filter):
+    """EQUALS(geom, POINT (...)) — exact coordinate equality for point
+    rows; EQUALS against a higher-dimension literal is constant false."""
+
+    x: float
+    y: float
+    lon_col: str = "lon"
+    lat_col: str = "lat"
+
+    def mask(self, t):
+        lon = np.asarray(_col(t, self.lon_col), dtype=np.float64)
+        lat = np.asarray(_col(t, self.lat_col), dtype=np.float64)
+        return (lon == self.x) & (lat == self.y)
+
+    def extract_geometries(self):
+        return [(self.x, self.y, self.x, self.y)]
+
+
 # ------------------------------------------------------------------ parser
 
 
@@ -449,7 +472,9 @@ class _Parser:
             f = self.or_expr()
             self.expect("rparen")
             return f
-        if k == "kw" and v in ("BBOX", "INTERSECTS", "CONTAINS", "WITHIN", "DWITHIN", "RELATE"):
+        if k == "kw" and v in ("BBOX", "INTERSECTS", "CONTAINS", "WITHIN",
+                               "DWITHIN", "RELATE", "BEYOND", "DISJOINT",
+                               "TOUCHES", "CROSSES", "OVERLAPS", "EQUALS"):
             return self.spatial()
         return self.predicate()
 
@@ -494,7 +519,7 @@ class _Parser:
             self.expect("rparen")
             return Bbox(*vals)
         wkt = self._wkt_arg()
-        if fn == "DWITHIN":
+        if fn in ("DWITHIN", "BEYOND"):
             self.expect("comma")
             dist = float(self.next()[1])
             self.expect("comma")
@@ -502,8 +527,12 @@ class _Parser:
             self.expect("rparen")
             mult = {"meters": 1.0, "kilometers": 1000.0}.get(unit.lower())
             if mult is None:
-                raise ValueError(f"DWITHIN unit {unit!r} not supported")
-            return DWithin(wkt, dist * mult)
+                raise ValueError(f"{fn} unit {unit!r} not supported")
+            dw = DWithin(wkt, dist * mult)
+            # BEYOND = NOT DWITHIN; Not inherits the empty pushdown, so the
+            # negated distance never prunes the read (correct: its matches
+            # live OUTSIDE the window)
+            return Not(dw) if fn == "BEYOND" else dw
         if fn == "RELATE":
             self.expect("comma")
             k, pat = self.next()  # quoted DE-9IM pattern, e.g. 'T*****FF*'
@@ -512,6 +541,25 @@ class _Parser:
             self.expect("rparen")
             return Relate(wkt, pat)
         self.expect("rparen")
+        if fn == "DISJOINT":
+            # NOT intersects; negation never pushes a bbox down
+            return Not(SpatialWkt("INTERSECTS", wkt))
+        if fn == "TOUCHES":
+            # point rows touch an areal literal iff they lie ON its
+            # boundary: II empty, IB non-empty ('FT*******')
+            return Relate(wkt, "FT*******")
+        if fn in ("CROSSES", "OVERLAPS"):
+            # point rows can never cross (needs a lower-dim intersection
+            # WITH exterior reach) or overlap (needs equal dimensions) an
+            # areal literal — constant false, matching JTS
+            return Const(False)
+        if fn == "EQUALS":
+            from geomesa_ray.geo.wkt import parse_wkt
+
+            g = parse_wkt(wkt)
+            if g["type"] == "Point":
+                return PointEquals(float(g["coords"][0]), float(g["coords"][1]))
+            return Const(False)  # point row vs higher-dim literal
         return SpatialWkt(fn, wkt)
 
     def predicate(self) -> Filter:
@@ -549,6 +597,8 @@ class _Parser:
             return In(attr, tuple(vals))
         if (k, v) == ("kw", "LIKE"):
             return Like(attr, self.expect("string"))
+        if (k, v) == ("kw", "ILIKE"):
+            return Like(attr, self.expect("string"), ci=True)
         if (k, v) == ("kw", "IS"):
             negate = False
             if self.peek() == ("kw", "NOT"):

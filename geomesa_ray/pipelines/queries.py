@@ -194,6 +194,42 @@ def oracle_ecql_filter() -> str:
     """
 
 
+def q_ecql_filter2(sf_dir: str):
+    """Round-3 ECQL operators end-to-end: BEYOND (negated geodesic
+    distance), DISJOINT (negated polygon intersect), and ILIKE
+    (case-insensitive wildcard). The haversine mirrors the repo's 2-asin
+    formula; DISJOINT pushes no bbox down (negation), so the mask runs on
+    the full stream like GeoTools' post-filter."""
+    from geomesa_ray.pipelines.ecql import compile_ecql
+
+    f = compile_ecql(
+        "BEYOND(geom, POINT (10 20), 3000, kilometers) "
+        "AND DISJOINT(geom, POLYGON ((-60 -30, 60 -30, 60 30, -60 30, -60 -30))) "
+        "AND event_type ILIKE 'PUR%'"
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(f.mask(t))).select(["event_id"])
+
+    return _geo_events(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+
+def oracle_ecql_filter2() -> str:
+    # haversine_m's exact formula: 2 * R * asin(sqrt(sin^2(dlat/2) +
+    # cos(lat1) cos(lat2) sin^2(dlon/2))), R = 6371008.8
+    hav = ("2.0 * 6371008.8 * asin(sqrt("
+           "sin(radians(lat - 20.0) / 2.0) * sin(radians(lat - 20.0) / 2.0)"
+           " + cos(radians(lat)) * cos(radians(20.0))"
+           " * sin(radians(lon - 10.0) / 2.0) * sin(radians(lon - 10.0) / 2.0)))")
+    return f"""
+    WITH pts AS ({_DERIVE_SQL})
+    SELECT event_id FROM pts
+    WHERE NOT ({hav} <= 3000000.0)
+      AND NOT (lon >= -60.0 AND lon <= 60.0 AND lat >= -30.0 AND lat <= 30.0)
+      AND event_type ILIKE 'PUR%'
+    """
+
+
 def q_density(sf_dir: str):
     """Density / heatmap tile aggregation (DensityScan)."""
     from geomesa_ray.stages.density import density_grid
@@ -2996,6 +3032,7 @@ QUERIES = {
     "bbox_filter": q_bbox_filter,
     "antimeridian_bbox": q_antimeridian_bbox,
     "ecql_filter": q_ecql_filter,
+    "ecql_filter2": q_ecql_filter2,
     "pip_join": q_pip_join,
     "density": q_density,
     "knn": q_knn,
@@ -3063,6 +3100,7 @@ ORACLES = {
     "bbox_filter": oracle_bbox_filter(),
     "antimeridian_bbox": oracle_antimeridian_bbox(),
     "ecql_filter": oracle_ecql_filter(),
+    "ecql_filter2": oracle_ecql_filter2(),
     "pip_join": oracle_pip_join(),
     "density": oracle_density(),
     "knn": oracle_knn(),

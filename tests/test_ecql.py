@@ -167,3 +167,46 @@ class TestIndexedEcql:
         ).to_pandas()
         exp_mask = (lon >= -30) & (lon <= 30) & (lat >= -20) & (lat <= 20) & (val > 50)
         assert sorted(got["fid"].tolist()) == sorted(np.arange(2000)[exp_mask].tolist())
+
+
+class TestRound3Operators:
+    def test_ilike(self):
+        assert m("event_type ILIKE 'PUR%'") == [True, False, False, True, False]
+        assert m("event_type LIKE 'PUR%'") == [False, False, False, False, False]
+        # null stays false under ILIKE too
+        assert m("event_type ILIKE '%'") == [True, True, True, True, False]
+
+    def test_beyond_is_not_dwithin(self):
+        near = m("DWITHIN(geom, POINT (10 10), 100, kilometers)")
+        far = m("BEYOND(geom, POINT (10 10), 100, kilometers)")
+        assert all(a != b for a, b in zip(near, far))
+        assert near[0] is True  # (10, 10) itself
+
+    def test_beyond_no_pushdown(self):
+        f = compile_ecql("BEYOND(geom, POINT (10 10), 100, kilometers)")
+        assert f.extract_geometries() == []
+
+    def test_disjoint(self):
+        expr = "DISJOINT(geom, POLYGON ((-20 -20, 20 -20, 20 20, -20 20, -20 -20)))"
+        assert m(expr) == [False, True, True, True, False]
+        assert compile_ecql(expr).extract_geometries() == []
+
+    def test_touches_boundary_only(self):
+        # (10, 10): lat 10 is ON the top edge y=10 of this box
+        expr = "TOUCHES(geom, POLYGON ((-20 -20, 20 -20, 20 10, -20 10, -20 -20)))"
+        out = m(expr)
+        assert out[0] is True    # on boundary
+        assert out[4] is False   # strictly inside
+        assert out[1] is False   # outside
+
+    def test_crosses_overlaps_false(self):
+        expr = "CROSSES(geom, POLYGON ((-20 -20, 20 -20, 20 20, -20 20, -20 -20)))"
+        assert m(expr) == [False] * 5
+        expr = "OVERLAPS(geom, POLYGON ((-20 -20, 20 -20, 20 20, -20 20, -20 -20)))"
+        assert m(expr) == [False] * 5
+
+    def test_equals_point(self):
+        assert m("EQUALS(geom, POINT (10 10))") == [True, False, False, False, False]
+        assert compile_ecql("EQUALS(geom, POINT (10 10))").extract_geometries() == \
+            [(10.0, 10.0, 10.0, 10.0)]
+        assert m("EQUALS(geom, POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))") == [False] * 5
