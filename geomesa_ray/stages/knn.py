@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 
 from geomesa_ray.geo.distance import haversine_matrix_m
-from geomesa_ray.util import default_concurrency
+from geomesa_ray.util import default_concurrency, tree_topk
 
 
 class KnnPartial:
@@ -110,10 +110,9 @@ def knn(
         concurrency=concurrency or default_concurrency(),
     )
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["distance_m", "neighbor_id"]).head(k)
-
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    # tree merge of the bounded (q x k per block) partials — no all-to-all
+    # (util.tree_topk; the groupby merge's sort barrier cost ~2.5 s fixed)
+    return tree_topk(partials, ["distance_m", "neighbor_id"], [True, True], k)
 
 
 def knn_indexed(

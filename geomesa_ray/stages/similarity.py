@@ -19,7 +19,7 @@ import pyarrow as pa
 
 import ray
 
-from geomesa_ray.util import default_concurrency
+from geomesa_ray.util import default_concurrency, tree_topk
 
 
 def _matrix(col) -> np.ndarray:
@@ -91,10 +91,8 @@ def ann_topk(ds, query_vectors, query_ids, k: int = 10, id_col: str = "vec_id",
         concurrency=concurrency or default_concurrency(),
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    # tree merge (util.tree_topk): no all-to-all over the bounded partials
+    return tree_topk(partials, ["cosine", "neighbor_id"], [False, True], k)
 
 
 class HyperplaneLSH:
@@ -202,10 +200,8 @@ def ivf_topk(ds, query_vectors, query_ids, k: int = 10, n_lists: int = 64, nprob
         concurrency=concurrency or default_concurrency(),
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    # tree merge (util.tree_topk): no all-to-all over the bounded partials
+    return tree_topk(partials, ["cosine", "neighbor_id"], [False, True], k)
 
 
 def ivf_topk_exact(ds, query_vectors, query_ids, k: int = 10, n_lists: int = 64,
