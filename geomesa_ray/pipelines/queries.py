@@ -230,6 +230,48 @@ def oracle_ecql_filter2() -> str:
     """
 
 
+def q_asof_prev_view(sf_dir: str):
+    """As-of join: each 'purchase' event attaches that user's latest 'view'
+    event at-or-before it (stages/joins.asof_join — coarse-bucketed
+    co-group + one vectorized merge_asof per bucket). (user_id, ts) is
+    unique in the test data so the backward match is deterministic; the
+    oracle is DuckDB's native ASOF JOIN."""
+    from geomesa_ray.stages.joins import asof_join
+    from geomesa_ray.util import ts_to_millis
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id", "value"])
+    right = ev.filter(expr="event_type == 'view'").select_columns(
+        ["event_id", "ts", "user_id"])
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=["event_id"], suffix="_v")
+
+    def to_ms(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_ms": pa.array(ts_to_millis(t.column("ts")), type=pa.int64()),
+            "value": t.column("value"),
+            "view_event_id": t.column("event_id_v"),
+            "view_ts_ms": pa.array(ts_to_millis(t.column("ts_v")), type=pa.int64()),
+        })
+
+    return out.map_batches(to_ms, batch_format="pyarrow")
+
+
+def oracle_asof_prev_view() -> str:
+    return """
+    WITH p AS (SELECT event_id, ts, user_id, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, p.value,
+           v.event_id AS view_event_id, epoch_ms(v.ts) AS view_ts_ms
+    FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """
+
+
 def q_density(sf_dir: str):
     """Density / heatmap tile aggregation (DensityScan)."""
     from geomesa_ray.stages.density import density_grid
@@ -3033,6 +3075,7 @@ QUERIES = {
     "antimeridian_bbox": q_antimeridian_bbox,
     "ecql_filter": q_ecql_filter,
     "ecql_filter2": q_ecql_filter2,
+    "asof_prev_view": q_asof_prev_view,
     "pip_join": q_pip_join,
     "density": q_density,
     "knn": q_knn,
@@ -3101,6 +3144,7 @@ ORACLES = {
     "antimeridian_bbox": oracle_antimeridian_bbox(),
     "ecql_filter": oracle_ecql_filter(),
     "ecql_filter2": oracle_ecql_filter2(),
+    "asof_prev_view": oracle_asof_prev_view(),
     "pip_join": oracle_pip_join(),
     "density": oracle_density(),
     "knn": oracle_knn(),

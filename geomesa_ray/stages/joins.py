@@ -188,3 +188,112 @@ def reattach_spans(keys_ds, corpus_ds, id_col: str = "doc_id"):
     """Re-hydrate the spans payload after a keys-only shuffle stage
     (nested-safe bucketed join)."""
     return attach_wide(keys_ds, corpus_ds, on=id_col, right_cols=["spans"])
+
+
+def asof_join(left_ds, right_ds, on: str, ts_col: str,
+              right_cols: list[str] | None = None, suffix: str = "_r",
+              n_buckets: int | None = None):
+    """As-of join — attach to each left row the right row with the greatest
+    ``ts <= left.ts`` within the same key (DuckDB/pandas ASOF semantics,
+    ``direction='backward'``, exact matches allowed). INNER semantics:
+    left rows with no prior right row drop.
+
+    Ray shape: both sides bucket on ``hash(key) % B`` (coarse, ~2x CPUs —
+    never the natural key) and co-group through one union + groupby; inside
+    each bucket ONE vectorized ``pandas.merge_asof(by=key, on=ts)`` handles
+    every key in the bucket. Right columns (except the key) arrive with
+    ``suffix``. The training-pipeline 'latest dimension row at-or-before
+    the event' operator the reference expresses via Spark window joins."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from geomesa_ray.cells.shard import fnv1a_str, fnv1a_u64
+
+    B = n_buckets or _default_partitions() * 2
+    if right_cols is not None:
+        right_ds = right_ds.select_columns(
+            list(dict.fromkeys([on, ts_col] + right_cols)))
+
+    def add_bucket(side):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = t.column(on).to_numpy(zero_copy_only=False)
+            h = fnv1a_u64(keys) if keys.dtype.kind in "iu" else fnv1a_str(keys.astype(object))
+            return t.append_column("__b", pa.array((h % np.uint64(B)).astype(np.int32))) \
+                    .append_column("__side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+        return fn
+
+    def _arrow_fields(schema) -> dict:
+        """{name: arrow type} for an Arrow schema OR a PandasBlockSchema."""
+        if isinstance(schema, pa.Schema):
+            return {f.name: f.type for f in schema}
+        out = {}
+        for n, t in zip(schema.names, schema.types):
+            try:
+                out[n] = pa.from_numpy_dtype(np.dtype(t))
+            except Exception:
+                out[n] = pa.string()
+        return out
+
+    l_fields = _arrow_fields(left_ds.schema().base_schema)
+    r_fields = _arrow_fields(right_ds.schema().base_schema)
+    left_cols = list(l_fields)
+    right_in = [c for c in r_fields if c != on]
+    # integer columns from EITHER side float-upcast through the null-padded
+    # union (and merge_asof); record Arrow-derived targets to cast back
+    int_targets = {}
+    for name, typ in l_fields.items():
+        try:
+            np_dt = np.dtype(typ.to_pandas_dtype())
+        except Exception:
+            continue
+        if np_dt.kind in "iu":
+            int_targets[name] = np_dt
+    for name, typ in r_fields.items():
+        if name == on:
+            continue
+        try:
+            np_dt = np.dtype(typ.to_pandas_dtype())
+        except Exception:
+            continue
+        if np_dt.kind in "iu":
+            int_targets[name + suffix] = np_dt
+    l = left_ds.map_batches(add_bucket(0), batch_format="pyarrow")
+    r = right_ds.map_batches(add_bucket(1), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # the union is schema-conformed: right columns already carry suffix
+        lg = g[g["__side"] == 0][left_cols].sort_values(ts_col, kind="mergesort")
+        rg = (g[g["__side"] == 1][[on] + [c + suffix for c in right_in]]
+              .sort_values(ts_col + suffix, kind="mergesort"))
+        out = pd.merge_asof(lg, rg, left_on=ts_col, right_on=ts_col + suffix,
+                            by=on, direction="backward")
+        out = out[out[ts_col + suffix].notna()]
+        for c, np_dt in int_targets.items():
+            if out[c].dtype != np_dt:
+                out[c] = out[c].astype(np_dt)
+        return out
+
+    rename_map = {c: c + suffix for c in right_in}
+    all_fields = dict(l_fields)
+    for name, typ in r_fields.items():
+        if name == on:
+            continue
+        all_fields[rename_map.get(name, name)] = typ
+    all_fields[on] = l_fields[on]
+
+    def conform(rename):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            present = {rename.get(n, n): n for n in t.column_names} if rename else \
+                      {n: n for n in t.column_names}
+            for name, typ in list(all_fields.items()) + [("__b", pa.int32()), ("__side", pa.int8())]:
+                src = present.get(name)
+                cols[name] = t.column(src) if src is not None else pa.nulls(t.num_rows, typ)
+            return pa.table(cols)
+        return fn
+
+    both = l.map_batches(conform({}), batch_format="pyarrow").union(
+        r.map_batches(conform(rename_map), batch_format="pyarrow")
+    )
+    return both.groupby("__b").map_groups(merge, batch_format="pandas")

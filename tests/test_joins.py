@@ -2,6 +2,7 @@
 byte-identical span sequences."""
 
 import numpy as np
+import pandas as pd
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
@@ -116,3 +117,45 @@ class TestSortedLookupEmpty:
         found, vals = lk.probe(np.array([1, 2, 3]))
         assert not found.any()
         assert len(vals["val"]) == 3
+
+
+class TestAsofJoin:
+    def _mk(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        left = pd.DataFrame({
+            "lid": [1, 2, 3, 4, 5],
+            "key": [10, 10, 10, 20, 30],
+            "ts": pd.to_datetime([100, 250, 50, 500, 900], unit="ms"),
+            "payload": [1.0, 2.0, 3.0, 4.0, 5.0],
+        })
+        right = pd.DataFrame({
+            "rid": [7, 8, 9, 11],
+            "key": [10, 10, 20, 20],
+            "ts": pd.to_datetime([100, 200, 400, 600], unit="ms"),
+        })
+        return rd.from_pandas(left), rd.from_pandas(right)
+
+    def test_backward_semantics(self, ray_session):
+        from geomesa_ray.stages.joins import asof_join
+
+        l, r = self._mk(ray_session)
+        out = asof_join(l, r, on="key", ts_col="ts", right_cols=["rid"]).to_pandas()
+        got = {int(row.lid): int(row.rid_r) for row in out.itertuples()}
+        # lid=1 ts=100: exact match rid=7; lid=2 ts=250: latest <=250 is rid=8
+        # lid=3 ts=50: no prior view -> dropped; lid=4 ts=500 key=20 -> rid=9
+        # lid=5 key=30: no right rows -> dropped
+        assert got == {1: 7, 2: 8, 4: 9}
+        assert out["rid_r"].dtype == np.int64
+        assert out["lid"].dtype == np.int64
+
+    def test_right_cols_projection_and_suffix(self, ray_session):
+        from geomesa_ray.stages.joins import asof_join
+
+        l, r = self._mk(ray_session)
+        out = asof_join(l, r, on="key", ts_col="ts", suffix="_x").to_pandas()
+        assert {"lid", "key", "ts", "payload", "rid_x", "ts_x"} == set(out.columns)
+        # attached ts is the RIGHT row's timestamp
+        row = out[out.lid == 2].iloc[0]
+        assert row["ts_x"] == pd.Timestamp(200, unit="ms")
