@@ -272,6 +272,32 @@ def oracle_asof_prev_view() -> str:
     """
 
 
+def q_sliding_hour(sf_dir: str):
+    """Sliding 1-hour windows advancing every 15 min per user: count +
+    min/max(value) (stages/windows.sliding_window; each event belongs to 4
+    overlapping windows). min/max keep the float aggregate order-exact."""
+    from geomesa_ray.stages.windows import sliding_window
+
+    out = sliding_window(_read(sf_dir, "events"), key_col="user_id",
+                         ts_col="ts", window_ms=3_600_000, slide_ms=900_000,
+                         agg_col="value")
+    return out
+
+
+def oracle_sliding_hour() -> str:
+    return """
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+    x AS (
+      SELECT user_id, ((ms // 900000) - j) * 900000 AS window_start, value
+      FROM e, (VALUES (0), (1), (2), (3)) AS t(j)
+      WHERE (ms // 900000) - j >= 0
+    )
+    SELECT user_id, window_start, count(*) AS n,
+           min(value) AS min_value, max(value) AS max_value
+    FROM x GROUP BY user_id, window_start
+    """
+
+
 def q_density(sf_dir: str):
     """Density / heatmap tile aggregation (DensityScan)."""
     from geomesa_ray.stages.density import density_grid
@@ -3076,6 +3102,7 @@ QUERIES = {
     "ecql_filter": q_ecql_filter,
     "ecql_filter2": q_ecql_filter2,
     "asof_prev_view": q_asof_prev_view,
+    "sliding_hour": q_sliding_hour,
     "pip_join": q_pip_join,
     "density": q_density,
     "knn": q_knn,
@@ -3145,6 +3172,7 @@ ORACLES = {
     "ecql_filter": oracle_ecql_filter(),
     "ecql_filter2": oracle_ecql_filter2(),
     "asof_prev_view": oracle_asof_prev_view(),
+    "sliding_hour": oracle_sliding_hour(),
     "pip_join": oracle_pip_join(),
     "density": oracle_density(),
     "knn": oracle_knn(),

@@ -220,3 +220,55 @@ def track_lines(ds, key_col: str, ts_col: str, lon_col="lon", lat_col="lat", min
 
     pre = ds.map_batches(_add_key_bucket(key_col, _n_buckets()), batch_format="pyarrow")
     return pre.groupby("__kb").map_groups(lines, batch_format="pandas")
+
+
+def sliding_window(ds, key_col: str, ts_col: str, window_ms: int, slide_ms: int,
+                   agg_col: str):
+    """Sliding event-time windows: (key, window_start) -> count + min/max of
+    ``agg_col``, where each event belongs to the ``window_ms / slide_ms``
+    overlapping windows covering its timestamp (window_ms must be a
+    multiple of slide_ms). min/max (not sum) keep the aggregate
+    FP-order-independent, per the repo's oracle rules.
+
+    Same shape as tumbling_window: per-batch partial combine (each event
+    explodes into exactly nw (key, window) rows first), then one coarse
+    hash-bucket shuffle with a vectorized in-bucket merge."""
+    if window_ms % slide_ms:
+        raise ValueError("window_ms must be a multiple of slide_ms")
+    nw = window_ms // slide_ms
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ms = _ts_millis(t.column(ts_col))
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        vals = t.column(agg_col).to_numpy(zero_copy_only=False)
+        base = ms // slide_ms
+        w = (np.repeat(base, nw).reshape(-1, nw)
+             - np.arange(nw, dtype=base.dtype)).ravel()
+        keep = w >= 0
+        df = pd.DataFrame({
+            key_col: np.repeat(keys, nw)[keep],
+            "window_start": (w[keep] * slide_ms),
+            agg_col: np.repeat(vals, nw)[keep],
+        })
+        part = (df.groupby([key_col, "window_start"], sort=False)[agg_col]
+                .agg(n="count", lo="min", hi="max").reset_index())
+        return pa.table({
+            key_col: pa.array(part[key_col].to_numpy()),
+            "window_start": pa.array(part["window_start"].to_numpy()),
+            "n": pa.array(part["n"].to_numpy(dtype=np.int64)),
+            "lo": pa.array(part["lo"].to_numpy()),
+            "hi": pa.array(part["hi"].to_numpy()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([key_col, "window_start"], sort=True)
+               .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")).reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out.rename(columns={"lo": f"min_{agg_col}", "hi": f"max_{agg_col}"})
+
+    pre = ds.map_batches(bucket, batch_format="pyarrow").map_batches(
+        _add_key_bucket(key_col, _n_buckets()), batch_format="pyarrow"
+    )
+    return pre.groupby("__kb").map_groups(
+        lambda g: merge(g.drop(columns=["__kb"])), batch_format="pandas"
+    )
