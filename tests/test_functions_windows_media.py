@@ -88,6 +88,38 @@ class TestWindows:
         assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
         assert np.allclose(got["sum_value"], exp["sum_value"])
 
+    def test_sliding_matches_pandas(self, ray_session, events, sf_small):
+        import pyarrow.parquet as pq
+
+        from geomesa_ray.stages.windows import sliding_window
+
+        out = sliding_window(events, "user_id", "ts", 3_600_000, 900_000,
+                             "value").to_pandas()
+        df = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+        ms = df["ts"].astype("int64") // 1000
+        rows = []
+        for j in range(4):
+            w = (ms // 900_000) - j
+            sub = df[w >= 0].copy()
+            sub["window_start"] = (w[w >= 0] * 900_000)
+            rows.append(sub)
+        import pandas as pd
+        exp = (pd.concat(rows).groupby(["user_id", "window_start"])
+               .agg(n=("value", "size"), min_value=("value", "min"),
+                    max_value=("value", "max")).reset_index())
+        got = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+        exp = exp.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+        assert (got["min_value"].to_numpy() == exp["min_value"].to_numpy()).all()
+        assert (got["max_value"].to_numpy() == exp["max_value"].to_numpy()).all()
+
+    def test_sliding_rejects_non_multiple(self, ray_session, events):
+        from geomesa_ray.stages.windows import sliding_window
+
+        with pytest.raises(ValueError):
+            sliding_window(events, "user_id", "ts", 3_600_000, 700_000, "value")
+
     def test_sessions(self, ray_session, events, sf_small):
         import pyarrow.parquet as pq
 
