@@ -2036,6 +2036,56 @@ def oracle_slippy_tiles() -> str:
     """
 
 
+def q_winnow_fps(sf_dir: str):
+    """Winnowing fingerprints (Schleimer-Wilkerson-Aiken SIGMOD'03) over the
+    documents table: distinct per-doc window-min k-gram hashes. The oracle
+    replays the full chain in SQL — per-byte FNV-1a over each POSITIONED
+    5-gram, splitmix64, then MIN over a 4-hash sliding window frame."""
+    from geomesa_ray.stages.text import winnow_fingerprints
+
+    return winnow_fingerprints(_read(sf_dir, "documents"), k=5, w=4)
+
+
+def oracle_winnow_fps() -> str:
+    k, w = 5, 4
+    prime, mod = 1099511628211, 1 << 64
+    ctes = [
+        "lowered AS (SELECT doc_id, lower(text) AS t FROM documents)",
+        f"pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - {k - 1})) AS i FROM lowered)",
+        f"win AS MATERIALIZED (SELECT doc_id, i, substr(t, i, {k}) AS g FROM pos)",
+    ]
+    for c in range(k):  # FNV-1a over the positioned window bytes
+        src = "win" if c == 0 else f"wf{c}"
+        s_in = "CAST(14695981039346656037 AS HUGEINT)" if c == 0 else "__s"
+        byte = f"ascii(substr(g, {c + 1}, 1))"
+        ctes.append(
+            f"wf{c + 1} AS MATERIALIZED (SELECT doc_id, i, g, "
+            f"((({s_in} - ({s_in} % 256) + xor(CAST({s_in} % 256 AS BIGINT), {byte})) * {prime}) % {mod}) AS __s "
+            f"FROM {src})"
+        )
+    ctes += _sql_mix64_steps(f"wf{k}", "__s", "sh", ["doc_id", "i"], "wmx")
+    ctes += [
+        (f"winmin AS MATERIALIZED (SELECT doc_id, "
+         f"MIN(sh) OVER (PARTITION BY doc_id ORDER BY i "
+         f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m, "
+         f"COUNT(*) OVER (PARTITION BY doc_id ORDER BY i "
+         f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS c "
+         f"FROM wmx_3)"),
+        # docs with fewer than w hashes keep the min of what they have
+        (f"shorts AS (SELECT doc_id, MIN(sh) AS m FROM wmx_3 "
+         f"GROUP BY doc_id HAVING COUNT(*) < {w})"),
+        (f"fps AS (SELECT DISTINCT doc_id, m FROM winmin WHERE c = {w} "
+         f"UNION SELECT doc_id, m FROM shorts)"),
+    ]
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT doc_id,
+           CAST(CASE WHEN m >= 9223372036854775808
+                     THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS fp
+    FROM fps
+    """
+
+
 def q_minhash_dedup_docs(sf_dir: str):
     from geomesa_ray.stages.dedup import minhash_dedup
 
@@ -3103,6 +3153,7 @@ QUERIES = {
     "ecql_filter2": q_ecql_filter2,
     "asof_prev_view": q_asof_prev_view,
     "sliding_hour": q_sliding_hour,
+    "winnow_fps": q_winnow_fps,
     "pip_join": q_pip_join,
     "density": q_density,
     "knn": q_knn,
@@ -3173,6 +3224,7 @@ ORACLES = {
     "ecql_filter2": oracle_ecql_filter2(),
     "asof_prev_view": oracle_asof_prev_view(),
     "sliding_hour": oracle_sliding_hour(),
+    "winnow_fps": oracle_winnow_fps(),
     "pip_join": oracle_pip_join(),
     "density": oracle_density(),
     "knn": oracle_knn(),

@@ -107,3 +107,86 @@ def text_stats(ds, text_col: str = "text", concurrency=None):
         batch_format="pyarrow",
         concurrency=concurrency or default_concurrency(),
     )
+
+
+def winnow_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5, w: int = 4):
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    SIGMOD'03 — the standard local near-dup/plagiarism fingerprint):
+    position-ordered k-char rolling hashes (lowercased utf-8, FNV-1a +
+    splitmix64, same chain as the minhash shingles), the MINIMUM of every
+    sliding window of ``w`` consecutive hashes, distinct per doc. Any
+    substring shared between two docs of length >= w + k - 1 contributes at
+    least one shared fingerprint. Docs with fewer than ``w`` hashes emit
+    the min of what they have; docs shorter than ``k`` chars hash whole.
+
+    Output: Dataset[(id_col, fp int64)] — one distributed map pass, no
+    shuffle (dedup of the per-doc set happens inside the batch)."""
+    import pyarrow as pa
+
+    from geomesa_ray.cells.shard import fnv1a_str
+    from geomesa_ray.stages.dedup import _mix64
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        enc = [str(x).lower().encode("utf-8") for x in texts]
+        out_doc: list[np.ndarray] = []
+        out_fp: list[np.ndarray] = []
+        lens = np.array([len(b) for b in enc], dtype=np.int64)
+        short = np.nonzero(lens < k)[0]
+        if len(short):
+            out_doc.append(short)
+            out_fp.append(_mix64(fnv1a_str(
+                np.array([str(texts[i]) for i in short], dtype=object))))
+        long_idx = np.nonzero(lens >= k)[0]
+        if len(long_idx):
+            buf = np.frombuffer(b"".join(enc[i] for i in long_idx), dtype=np.uint8)
+            llens = lens[long_idx]
+            ends = np.cumsum(llens)
+            starts = ends - llens
+            win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+            h = np.full(len(win), np.uint64(0xCBF29CE484222325))
+            for col in range(k):
+                h = (h ^ win[:, col]) * np.uint64(0x100000001B3)
+            h = _mix64(h)
+            pos = np.arange(len(win), dtype=np.int64)
+            doc = np.searchsorted(starts, pos, side="right") - 1
+            valid = pos + k <= ends[doc]
+            doc, h = doc[valid], h[valid]  # position-ordered per doc
+            if len(h) >= w:
+                hw = np.lib.stride_tricks.sliding_window_view(h, w)
+                m = hw.min(axis=1)
+                dsame = doc[: len(doc) - w + 1] == doc[w - 1:]
+                out_doc.append(long_idx[doc[: len(doc) - w + 1][dsame]])
+                out_fp.append(m[dsame])
+            # docs with fewer than w hashes: min of their hashes
+            cnt = np.bincount(doc, minlength=len(long_idx))
+            few = np.nonzero((cnt > 0) & (cnt < w))[0]
+            if len(few):
+                order = np.argsort(doc, kind="stable")
+                ds_, hs_ = doc[order], h[order]
+                bounds = np.searchsorted(ds_, np.arange(len(long_idx) + 1))
+                mins = np.array([hs_[bounds[j]:bounds[j + 1]].min() for j in few],
+                                dtype=np.uint64)
+                out_doc.append(long_idx[few])
+                out_fp.append(mins)
+        if out_doc:
+            alldoc = np.concatenate(out_doc)
+            allfp = np.concatenate(out_fp).astype(np.uint64)
+        else:
+            alldoc = np.array([], dtype=np.int64)
+            allfp = np.array([], dtype=np.uint64)
+        # distinct (doc, fp)
+        order = np.lexsort((allfp, alldoc))
+        alldoc, allfp = alldoc[order], allfp[order]
+        first = np.ones(len(allfp), dtype=bool)
+        if len(allfp) > 1:
+            first[1:] = (alldoc[1:] != alldoc[:-1]) | (allfp[1:] != allfp[:-1])
+        alldoc, allfp = alldoc[first], allfp[first]
+        return pa.table({
+            id_col: pa.array(ids[alldoc]),
+            "fp": pa.array(allfp.astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -348,3 +348,48 @@ class TestIVFBuildSearch:
         # nprobe=1: strictly fewer partitions read than exist
         got = ivf_search(out, vecs[:1], ["q"], k=3, nprobe=1).to_pandas()
         assert len(got) == 3 and n_lists > 1
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.text import winnow_fingerprints
+
+        # winnowing guarantee: a shared substring of length >= w + k - 1 = 8
+        # chars contributes at least one shared fingerprint
+        shared = "the quick brown fox jumps"
+        docs = pd.DataFrame({
+            "doc_id": ["a", "b", "c"],
+            "text": [f"XXXX {shared} YYYY", f"zzz {shared} qqq",
+                     "completely different content here"],
+        })
+        out = winnow_fingerprints(rd.from_pandas(docs), k=5, w=4).to_pandas()
+        fa = set(out[out.doc_id == "a"]["fp"])
+        fb = set(out[out.doc_id == "b"]["fp"])
+        fc = set(out[out.doc_id == "c"]["fp"])
+        assert fa & fb
+        assert not (fa & fc) and not (fb & fc)
+
+    def test_short_doc_paths(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.text import winnow_fingerprints
+
+        docs = pd.DataFrame({
+            "doc_id": ["tiny", "few"],
+            "text": ["abc", "abcdef"],  # < k chars; k<=len so <w hashes
+        })
+        out = winnow_fingerprints(rd.from_pandas(docs), k=5, w=4).to_pandas()
+        # each short doc still emits exactly one fingerprint
+        assert out.groupby("doc_id").size().to_dict() == {"tiny": 1, "few": 1}
+
+    def test_case_insensitive(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.text import winnow_fingerprints
+
+        docs = pd.DataFrame({"doc_id": ["u", "l"],
+                             "text": ["Hello World Document", "hello world document"]})
+        out = winnow_fingerprints(rd.from_pandas(docs), k=5, w=4).to_pandas()
+        assert set(out[out.doc_id == "u"]["fp"]) == set(out[out.doc_id == "l"]["fp"])
