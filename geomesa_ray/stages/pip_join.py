@@ -262,21 +262,30 @@ def partitioned_pip_join(
         cols = list(dict.fromkeys([id_col, lon_col, lat_col] + keep_cols))
         points_ds = points_ds.select_columns(cols)
 
-    pts = points_ds.map_batches(
-        _AssignPartition,
-        fn_constructor_kwargs={
-            "partition_level": partition_level,
-            "n_salts": n_salts,
-            "n_buckets": n_buckets,
-            "hot_cells_ref": hot_ref,
-            "lon_col": lon_col,
-            "lat_col": lat_col,
-            "id_col": id_col,
-            "poly_cells_ref": poly_cells_ref,
-        },
-        batch_format="pyarrow",
-        concurrency=default_concurrency(),
-    )
+    # STATELESS tasks (holder-initialized), not an actor pool: the state is
+    # two small broadcast arrays + a grid (trivial to build per task), and
+    # an actor pool here fuses with the upstream extract into an actor op
+    # whose autoscaling lag serializes the whole read side (measured: the
+    # fused actor chain reported ~20x the per-batch UDF time of the same
+    # code as plain tasks — the density stage hit the identical trap).
+    holder: dict = {}
+    ap_kwargs = {
+        "partition_level": partition_level,
+        "n_salts": n_salts,
+        "n_buckets": n_buckets,
+        "hot_cells_ref": hot_ref,
+        "lon_col": lon_col,
+        "lat_col": lat_col,
+        "id_col": id_col,
+        "poly_cells_ref": poly_cells_ref,
+    }
+
+    def assign_partition_fn(batch):
+        if "p" not in holder:
+            holder["p"] = _AssignPartition(**ap_kwargs)
+        return holder["p"](batch)
+
+    pts = points_ds.map_batches(assign_partition_fn, batch_format="pyarrow")
 
     poly_df = _explode_polygons(polygons, partition_level, n_salts, n_buckets, hot_cells)
     # conform schemas: points get null poly cols, polys get null point cols
