@@ -27,7 +27,7 @@ import pyarrow as pa
 
 from geomesa_ray.cells.shard import fnv1a_str, fnv1a_u64
 from geomesa_ray.stages.stats import _mix64
-from geomesa_ray.util import default_concurrency
+from geomesa_ray.util import default_concurrency, holder_fn
 
 _MERSENNE = (1 << 61) - 1
 
@@ -214,12 +214,9 @@ def minhash_clusters(
     B = 2 * _n_buckets()
 
     exploded = ds.map_batches(
-        _MinHashBands,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, text_col=text_col, id_col=id_col, shingle_k=shingle_k
-        ),
+        holder_fn(_MinHashBands, num_perm=num_perm, bands=bands,
+                  text_col=text_col, id_col=id_col, shingle_k=shingle_k),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
 
     def add_keys(t: pa.Table) -> pa.Table:

@@ -25,7 +25,7 @@ import ray
 
 from geomesa_ray.cells.shard import fnv1a_u64
 from geomesa_ray.cells.zcell import ZCellGrid
-from geomesa_ray.util import default_concurrency
+from geomesa_ray.util import default_concurrency, holder_fn
 
 
 class _ExplodeExtents:
@@ -137,10 +137,8 @@ def extent_join(
         keep = [cols["id"], cols["xmin"], cols["ymin"], cols["xmax"], cols["ymax"]]
         ds = ds.select_columns(keep)
         ds = ds.map_batches(
-            _ExplodeExtents,
-            fn_constructor_kwargs=dict(level=level, n_buckets=n_buckets, side=side, cols=cols),
+            holder_fn(_ExplodeExtents, level=level, n_buckets=n_buckets, side=side, cols=cols),
             batch_format="pyarrow",
-            concurrency=default_concurrency(),
         )
         # normalize column names
         return ds.map_batches(
@@ -259,10 +257,8 @@ def polygon_join(
         ds = ds.map_batches(to_bbox, batch_format="pyarrow")
         cols = {"id": "rid", "xmin": "xmin", "ymin": "ymin", "xmax": "xmax", "ymax": "ymax"}
         ds = ds.map_batches(
-            _ExplodeExtents,
-            fn_constructor_kwargs=dict(level=level, n_buckets=n_buckets, side=side, cols=cols),
+            holder_fn(_ExplodeExtents, level=level, n_buckets=n_buckets, side=side, cols=cols),
             batch_format="pyarrow",
-            concurrency=default_concurrency(),
         )
         return ds.map_batches(
             lambda t, s=side: t.append_column(

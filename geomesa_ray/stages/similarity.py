@@ -83,13 +83,17 @@ def ann_topk(ds, query_vectors, query_ids, k: int = 10, id_col: str = "vec_id",
     """Exact cosine top-k for each query vector. query_vectors: (nq, d)."""
     qref = ray.put({"query_id": np.asarray(query_ids, dtype=object),
                     "vectors": np.asarray(query_vectors, dtype=np.float32)})
-    partials = ds.map_batches(
-        AnnPartial,
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k, id_col=id_col, vec_col=vec_col),
-        batch_format="pyarrow",
-        batch_size=65536,
-        concurrency=concurrency or default_concurrency(),
-    )
+    # stateless tasks with a per-worker holder: an actor pool fuses with
+    # heavy upstream map chains and its autoscaling lag serializes them
+    # (the knn/partition-assign stages measured ~2x wall fused)
+    holder: dict = {}
+
+    def ann_partial_fn(batch):
+        if "p" not in holder:
+            holder["p"] = AnnPartial(queries_ref=qref, k=k, id_col=id_col, vec_col=vec_col)
+        return holder["p"](batch)
+
+    partials = ds.map_batches(ann_partial_fn, batch_format="pyarrow", batch_size=65536)
 
     # tree merge (util.tree_topk): no all-to-all over the bounded partials
     return tree_topk(partials, ["cosine", "neighbor_id"], [False, True], k)
@@ -123,7 +127,14 @@ def lsh_bucketed(ds, dim: int, n_bits: int = 12, vec_col: str = "embedding", see
             m = _matrix(batch.column(vec_col))
             return batch.append_column("bucket", pa.array(self.lsh.signature(m)))
 
-    return ds.map_batches(AddBucket, batch_format="pyarrow", concurrency=default_concurrency())
+    holder: dict = {}
+
+    def add_bucket_fn(batch):
+        if "b" not in holder:
+            holder["b"] = AddBucket()
+        return holder["b"](batch)
+
+    return ds.map_batches(add_bucket_fn, batch_format="pyarrow")
 
 
 class IVFIndex:
@@ -195,10 +206,14 @@ def ivf_topk(ds, query_vectors, query_ids, k: int = 10, n_lists: int = 64, nprob
             keep = np.isin(lists, self.probed)
             return self.inner(batch.filter(pa.array(keep)))
 
-    partials = ds.map_batches(
-        IVFPartial, batch_format="pyarrow", batch_size=65536,
-        concurrency=concurrency or default_concurrency(),
-    )
+    holder: dict = {}
+
+    def ivf_partial_fn(batch):
+        if "p" not in holder:
+            holder["p"] = IVFPartial()
+        return holder["p"](batch)
+
+    partials = ds.map_batches(ivf_partial_fn, batch_format="pyarrow", batch_size=65536)
 
     # tree merge (util.tree_topk): no all-to-all over the bounded partials
     return tree_topk(partials, ["cosine", "neighbor_id"], [False, True], k)
@@ -240,8 +255,15 @@ def ivf_topk_exact(ds, query_vectors, query_ids, k: int = 10, n_lists: int = 64,
             return pa.table({"list_id": pa.array(np.arange(len(self.c), dtype=np.int32)),
                              "radius": pa.array(r)})
 
-    rad = ds.map_batches(ListRadii, batch_format="pyarrow", batch_size=65536,
-                         concurrency=concurrency or default_concurrency()).to_pandas()
+    rh: dict = {}
+
+    def list_radii_fn(batch):
+        if "p" not in rh:
+            rh["p"] = ListRadii()
+        return rh["p"](batch)
+
+    rad = ds.map_batches(list_radii_fn, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
     radius = np.zeros(nl, dtype=np.float64)
     np.maximum.at(radius, rad["list_id"].to_numpy(), rad["radius"].to_numpy())
 
@@ -274,8 +296,14 @@ def ivf_topk_exact(ds, query_vectors, query_ids, k: int = 10, n_lists: int = 64,
                 lists = (m @ self.c.T).argmax(axis=1)
                 return self.inner(batch.filter(pa.array(np.isin(lists, self.lists))))
 
-        part = ds.map_batches(ProbePass, batch_format="pyarrow", batch_size=65536,
-                              concurrency=concurrency or default_concurrency())
+        ph: dict = {}
+
+        def probe_pass_fn(batch):
+            if "p" not in ph:
+                ph["p"] = ProbePass()
+            return ph["p"](batch)
+
+        part = ds.map_batches(probe_pass_fn, batch_format="pyarrow", batch_size=65536)
         round_best = part.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
         # a vector lives in exactly one list, so rounds never duplicate rows
         best = round_best if best is None else (
@@ -381,8 +409,14 @@ def ivf_build(ds, out_dir: str, n_lists: int = 64, vec_col: str = "embedding",
             lists = (_normalize(m) @ self.centroids.T).argmax(axis=1).astype(np.int32)
             return batch.append_column("ivf_list", pa.array(lists))
 
-    assigned = ds.map_batches(Assign, batch_format="pyarrow",
-                              concurrency=concurrency or default_concurrency())
+    ah: dict = {}
+
+    def assign_fn(batch):
+        if "p" not in ah:
+            ah["p"] = Assign()
+        return ah["p"](batch)
+
+    assigned = ds.map_batches(assign_fn, batch_format="pyarrow")
     assigned.write_parquet(out_dir, partition_cols=["ivf_list"])
     return out_dir
 

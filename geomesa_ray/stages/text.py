@@ -99,13 +99,11 @@ def fingerprint(ds, text_col: str = "text", normalize: bool = True):
 
 
 def text_stats(ds, text_col: str = "text", concurrency=None):
-    from geomesa_ray.util import default_concurrency
+    from geomesa_ray.util import default_concurrency, holder_fn
 
     return ds.map_batches(
-        TextStats,
-        fn_constructor_kwargs={"text_col": text_col},
+        holder_fn(TextStats, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=concurrency or default_concurrency(),
     )
 
 

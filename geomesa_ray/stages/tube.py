@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 
 from geomesa_ray.geo.distance import haversine_m, meters_to_degrees_at
-from geomesa_ray.util import default_concurrency
+from geomesa_ray.util import default_concurrency, holder_fn
 
 
 def build_tube(track: pd.DataFrame, buffer_m: float, bin_ms: int, gap_fill: str = "nofill"):
@@ -115,11 +115,9 @@ def tube_select(ds, track: pd.DataFrame, buffer_m: float = 50_000, bin_ms: int =
     bins = build_tube(track, buffer_m, bin_ms, gap_fill)
     ref = ray.put(bins)
     return ds.map_batches(
-        _TubeProbe,
-        fn_constructor_kwargs=dict(bins_ref=ref, buffer_m=buffer_m, id_col=id_col,
-                                   lon_col=lon_col, lat_col=lat_col, ts_col=ts_col),
+        holder_fn(_TubeProbe, bins_ref=ref, buffer_m=buffer_m, id_col=id_col,
+                  lon_col=lon_col, lat_col=lat_col, ts_col=ts_col),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
 
 
@@ -186,10 +184,8 @@ def route_search(ds, route_lonlat, tolerance_m: float = 10_000, lon_col="lon", l
     heading match)."""
     ref = ray.put(np.asarray(route_lonlat, dtype=np.float64))
     return ds.map_batches(
-        _RouteProbe,
-        fn_constructor_kwargs=dict(route_ref=ref, tolerance_m=tolerance_m,
-                                   lon_col=lon_col, lat_col=lat_col,
-                                   heading_col=heading_col, heading_tol_deg=heading_tol_deg),
+        holder_fn(_RouteProbe, route_ref=ref, tolerance_m=tolerance_m,
+                  lon_col=lon_col, lat_col=lat_col,
+                  heading_col=heading_col, heading_tol_deg=heading_tol_deg),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
