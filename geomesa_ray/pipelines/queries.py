@@ -298,6 +298,28 @@ def oracle_sliding_hour() -> str:
     """
 
 
+def q_exact_quantiles(sf_dir: str):
+    """Exact distributed quantiles of events.value (stages/stats.py::
+    exact_quantiles — 2-3 streaming passes of rank selection via histogram
+    refinement, never a global sort). Oracle: row_number at rank
+    floor(q*(n-1)), the identical rank rule."""
+    from geomesa_ray.stages.stats import exact_quantiles
+
+    got = exact_quantiles(_read(sf_dir, "events"), "value",
+                          qs=(0.25, 0.5, 0.9, 0.99))
+    return pd.DataFrame({"q": list(got), "value": [got[k] for k in got]}).sort_values("q")
+
+
+def oracle_exact_quantiles() -> str:
+    return """
+    WITH c AS (SELECT count(*) AS n FROM events),
+    qs(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)),
+    s AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn FROM events)
+    SELECT qs.q, s.value
+    FROM qs CROSS JOIN c JOIN s ON s.rn = CAST(floor(qs.q * (c.n - 1)) AS BIGINT)
+    """
+
+
 def q_density(sf_dir: str):
     """Density / heatmap tile aggregation (DensityScan)."""
     from geomesa_ray.stages.density import density_grid
@@ -3154,6 +3176,7 @@ QUERIES = {
     "asof_prev_view": q_asof_prev_view,
     "sliding_hour": q_sliding_hour,
     "winnow_fps": q_winnow_fps,
+    "exact_quantiles": q_exact_quantiles,
     "pip_join": q_pip_join,
     "density": q_density,
     "knn": q_knn,
@@ -3225,6 +3248,7 @@ ORACLES = {
     "asof_prev_view": oracle_asof_prev_view(),
     "sliding_hour": oracle_sliding_hour(),
     "winnow_fps": oracle_winnow_fps(),
+    "exact_quantiles": oracle_exact_quantiles(),
     "pip_join": oracle_pip_join(),
     "density": oracle_density(),
     "knn": oracle_knn(),

@@ -608,3 +608,89 @@ def stats_scan(ds, spec: str, batch_size: int = 65536):
             else:
                 merged = [a.merge(b) for a, b in zip(merged, stats)]
     return merged or []
+
+
+def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
+                    n_bins: int = 4096, max_collect: int = 2_000_000):
+    """EXACT distributed quantiles by rank selection (2-3 streaming passes,
+    never a global sort): quantile q = the value at global sorted position
+    floor(q * (n-1)).
+
+    Pass 1: count/min/max. Pass 2: fixed-bin histogram (per-block partial
+    bincounts, driver-merged — n_bins * 8 B per block). Locate each rank's
+    bucket + within-bucket rank, then pass 3 collects ONLY the needed
+    buckets' values and selects with np.partition. A bucket larger than
+    ``max_collect`` recurses the histogram on that bucket's sub-range
+    (pathological skew), so driver memory stays bounded at any scale.
+    Returns {q: value}."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max, Min
+
+    dcol = ds.select_columns([col])
+    agg = dcol.aggregate(Count(col, alias_name="__n"), Min(col), Max(col))
+    n = int(agg["__n"])
+    lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    if n == 0:
+        return {float(q): None for q in qs}
+    ranks = {float(q): int(np.floor(np.float64(q) * (n - 1))) for q in qs}
+
+    def bucket_of(v: np.ndarray, b_lo: float, b_hi: float) -> np.ndarray:
+        if b_hi <= b_lo:
+            return np.zeros(len(v), dtype=np.int64)
+        idx = np.floor((v - b_lo) / (b_hi - b_lo) * n_bins).astype(np.int64)
+        return np.clip(idx, 0, n_bins - 1)
+
+    def histogram(b_lo: float, b_hi: float, lo_mask_lo: float | None = None) -> np.ndarray:
+        def part(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            if lo_mask_lo is not None:  # restrict to the recursed sub-range
+                v = v[(v >= b_lo) & (v <= b_hi)]
+            c = np.bincount(bucket_of(v, b_lo, b_hi), minlength=n_bins)
+            return pa.table({"h": pa.array([c.astype(np.int64).tobytes()], type=pa.binary())})
+
+        total = np.zeros(n_bins, dtype=np.int64)
+        for b in dcol.map_batches(part, batch_format="pyarrow").iter_batches(
+                batch_size=256, batch_format="pyarrow"):
+            for blob in b.column("h").to_pylist():
+                total += np.frombuffer(blob, dtype=np.int64)
+        return total
+
+    def select(rank_items: dict, b_lo: float, b_hi: float, restrict: bool) -> dict:
+        """rank_items: {q: global-or-local rank within [b_lo, b_hi]}."""
+        counts = histogram(b_lo, b_hi, b_lo if restrict else None)
+        cum = np.cumsum(counts)
+        out = {}
+        # group ranks by the bucket that contains them
+        by_bucket: dict[int, list] = {}
+        for q, r in rank_items.items():
+            bidx = int(np.searchsorted(cum, r, side="right"))
+            within = r - (int(cum[bidx - 1]) if bidx else 0)
+            by_bucket.setdefault(bidx, []).append((q, within))
+        width = (b_hi - b_lo) / n_bins if b_hi > b_lo else 0.0
+        for bidx, items in by_bucket.items():
+            if width and counts[bidx] > max_collect:
+                s_lo = b_lo + bidx * width
+                s_hi = b_lo + (bidx + 1) * width if bidx < n_bins - 1 else b_hi
+                out.update(select(dict(items), s_lo, s_hi, True))
+                continue
+
+            def collect(t: pa.Table, bidx=bidx) -> pa.Table:
+                v = t.column(col).to_numpy(zero_copy_only=False)
+                v = v[~np.isnan(v)]
+                if restrict or width:
+                    v = v[(v >= b_lo) & (v <= b_hi)]
+                v = v[bucket_of(v, b_lo, b_hi) == bidx]
+                return pa.table({col: pa.array(v)})
+
+            vals = np.concatenate([
+                b.column(col).to_numpy(zero_copy_only=False)
+                for b in dcol.map_batches(collect, batch_format="pyarrow")
+                .iter_batches(batch_size=max_collect, batch_format="pyarrow")
+            ] or [np.array([], dtype=np.float64)])
+            vals.sort(kind="stable")
+            for q, within in items:
+                out[q] = float(vals[within])
+        return out
+
+    return select(ranks, lo, hi, False)

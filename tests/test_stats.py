@@ -209,3 +209,44 @@ class TestBinExport:
         assert np.allclose(dec["lon"], [10.5, -77.25])
         assert np.allclose(dec["lat"], [48.25, 38.5])
         assert dec["track_hash"][0] != dec["track_hash"][1]
+
+
+class TestExactQuantiles:
+    def test_matches_numpy_sorted_rank(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.stats import exact_quantiles
+
+        rng = np.random.default_rng(9)
+        vals = np.concatenate([rng.normal(0, 1, 20000),
+                               np.full(5000, 3.5),  # heavy tie block
+                               rng.uniform(100, 101, 100)])  # far tail
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+        qs = (0.01, 0.25, 0.5, 0.9, 0.999)
+        got = exact_quantiles(ds, "v", qs=qs, n_bins=64)
+        sv = np.sort(vals)
+        for q in qs:
+            r = int(np.floor(np.float64(q) * (len(vals) - 1)))
+            assert got[q] == sv[r], q
+
+    def test_recursion_on_hot_bucket(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.stats import exact_quantiles
+
+        rng = np.random.default_rng(4)
+        # everything concentrated in a razor-thin range inside one bucket
+        vals = np.concatenate([rng.uniform(0.5000, 0.5001, 30000), [0.0, 1.0]])
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+        got = exact_quantiles(ds, "v", qs=(0.5,), n_bins=16, max_collect=1000)
+        sv = np.sort(vals)
+        assert got[0.5] == sv[int(np.floor(0.5 * (len(vals) - 1)))]
+
+    def test_constant_column(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.stats import exact_quantiles
+
+        ds = rd.from_pandas(pd.DataFrame({"v": np.full(100, 7.25)}))
+        got = exact_quantiles(ds, "v", qs=(0.1, 0.9))
+        assert got[0.1] == 7.25 and got[0.9] == 7.25
