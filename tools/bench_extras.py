@@ -17,6 +17,13 @@ import time
 import numpy as np
 import pyarrow as pa
 
+# runnable as `python tools/bench_extras.py` from anywhere: the repo root
+# (geomesa_ray's parent) must be importable in the DRIVER before ray.init
+# so workers inherit it on their sys.path
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def _init(num_cpus: int):
     import ray
