@@ -803,9 +803,12 @@ def f_st_buffer(wkt_values, dist):
     for i, w in enumerate(vals):
         g = parse_wkt(str(w))
         if g["type"] == "Point":
+            if dist <= 0:
+                raise ValueError("st_buffer: point distances must be positive "
+                                 "(JTS returns empty for dist <= 0)")
             x, y = g["coords"]
-            xs = x + abs(dist) * np.cos(ang)
-            ys = y + abs(dist) * np.sin(ang)
+            xs = x + dist * np.cos(ang)
+            ys = y + dist * np.sin(ang)
             out[i] = "POLYGON ((" + ", ".join(f"{a} {b}" for a, b in zip(xs, ys)) + "))"
             continue
         if g["type"] != "Polygon":
@@ -1285,14 +1288,20 @@ def f_st_antimeridian_safe_geom(values):
         ext = np.asarray(g["coords"][0], dtype=np.float64)
         if ext[:, 0].max() <= 180.0 and ext[:, 0].min() >= -180.0:
             return format_wkt(g)
-        east = clip_halfplane(ext, -1.0, 0.0, 180.0)   # x <= 180
-        west = clip_halfplane(ext, 1.0, 0.0, -180.0)   # x >= 180, shift -360
+        if ext[:, 0].max() > 180.0:
+            inside = clip_halfplane(ext, -1.0, 0.0, 180.0)   # x <= 180
+            beyond = clip_halfplane(ext, 1.0, 0.0, -180.0)   # x >= 180, shift -360
+            shift = -360.0
+        else:  # drawn past -180: mirror of the east case, shift +360
+            inside = clip_halfplane(ext, 1.0, 0.0, 180.0)    # x >= -180
+            beyond = clip_halfplane(ext, -1.0, 0.0, -180.0)  # x <= -180, shift +360
+            shift = 360.0
         parts = []
-        if len(east) >= 3:
-            parts.append([np.vstack([east, east[:1]])])
-        if len(west) >= 3:
-            west = west - np.array([360.0, 0.0])
-            parts.append([np.vstack([west, west[:1]])])
+        if len(inside) >= 3:
+            parts.append([np.vstack([inside, inside[:1]])])
+        if len(beyond) >= 3:
+            beyond = beyond + np.array([shift, 0.0])
+            parts.append([np.vstack([beyond, beyond[:1]])])
         if len(parts) == 1:
             return format_wkt({"type": "Polygon", "coords": parts[0]})
         return format_wkt({"type": "MultiPolygon", "coords": parts})

@@ -528,11 +528,14 @@ def jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     anchor only affects recall, never precision.
 
     Scale shape: one vectorized map to (anchor, shingle-blob) rows, one
-    shuffle on hash(anchor) % ~4xCPU coarse buckets, all-pairs only inside
+    shuffle on hash(anchor) % ~4xCPU coarse buckets, verify only inside
     an anchor run and capped at ``max_bucket`` docs per anchor (hot-anchor
     recall trade, same bound simhash_pairs uses). Shingle sets travel as a
     single binary blob per doc (k bytes per shingle, sorted) — no
-    list<binary> payloads, so the shuffle stays zero-copy Arrow."""
+    list<binary> payloads, so the shuffle stays zero-copy Arrow. The anchor
+    is RAW BYTES end-to-end (large_binary column, FNV over the k-byte
+    window): decoding a shingle that straddles a multibyte UTF-8 codepoint
+    produces lone surrogates that neither Arrow nor re-encode survive."""
     B = 2 * _n_buckets()
 
     def prep(t: pa.Table) -> pa.Table:
@@ -540,49 +543,59 @@ def jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         sets = _raw_shingle_sets(texts, k)
         keep = np.array([len(s) > 0 for s in sets], dtype=bool)
-        anchors = np.array([s[0].decode("utf-8", "surrogateescape") if m else ""
+        anchors = np.array([bytes(s[0]) if m else b""
                             for s, m in zip(sets, keep)], dtype=object)
         blobs = [s.tobytes() for s, m in zip(sets, keep) if m]
         hb = (fnv1a_str(anchors[keep]) % np.uint64(B)).astype(np.int32)
         return pa.table({
             id_col: pa.array(ids[keep]),
-            "anchor": pa.array(anchors[keep].astype(str)),
+            "anchor": pa.array(list(anchors[keep]), type=pa.large_binary()),
             "blob": pa.array(blobs, type=pa.large_binary()),
             "__hb": pa.array(hb),
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        left, right, inter_n, union_n = [], [], [], []
+        outs = []
         for _, grp in g.groupby("anchor", sort=False):
             if len(grp) < 2:
                 continue
             grp = grp.sort_values(id_col, kind="mergesort").head(max_bucket)
             ids = grp[id_col].to_numpy()
+            n = len(ids)
             sets = [np.frombuffer(b, dtype=f"S{k}") for b in grp["blob"]]
             sizes = np.array([len(s) for s in sets], dtype=np.int64)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    # both sorted-unique -> membership via searchsorted
-                    a, b = sets[i], sets[j]
-                    if len(a) > len(b):
-                        a, b = b, a
-                    p = np.searchsorted(b, a)
-                    p_c = np.minimum(p, len(b) - 1)
-                    n_i = int((b[p_c] == a).sum())
-                    left.append(ids[i]); right.append(ids[j])
-                    inter_n.append(n_i)
-                    union_n.append(int(sizes[i] + sizes[j] - n_i))
-        if not left:
+            cat = np.concatenate(sets)
+            ends = np.cumsum(sizes)
+            dlab = np.repeat(np.arange(n, dtype=np.int64), sizes)
+            # ONE vectorized membership pass per LEFT doc (not per pair):
+            # searchsorted of every later doc's shingles into the left doc's
+            # sorted-unique set, intersection counts via bincount on the doc
+            # label — O(n) Python iterations for n^2 pair outputs
+            for i in range(n - 1):
+                a = sets[i]
+                seg = cat[ends[i]:]
+                lab = dlab[ends[i]:] - (i + 1)
+                p = np.minimum(np.searchsorted(a, seg), len(a) - 1)
+                inter = np.bincount(lab[a[p] == seg], minlength=n - i - 1)
+                union = sizes[i] + sizes[i + 1:] - inter
+                jac = inter / union
+                ok = np.nonzero(jac >= threshold)[0]
+                if len(ok):
+                    outs.append(pd.DataFrame({
+                        "left_id": np.repeat(ids[i], len(ok)),
+                        "right_id": ids[i + 1 + ok],
+                        "inter_n": inter[ok].astype(np.int64),
+                        "union_n": union[ok].astype(np.int64),
+                        "jaccard": (inter[ok] / union[ok]).astype(np.float64),
+                    }))
+        if not outs:
             idt = g[id_col].dtype  # keep id dtype stable across empty groups
             return pd.DataFrame({"left_id": pd.Series([], dtype=idt),
                                  "right_id": pd.Series([], dtype=idt),
                                  "inter_n": pd.Series([], dtype="int64"),
                                  "union_n": pd.Series([], dtype="int64"),
                                  "jaccard": pd.Series([], dtype="float64")})
-        out = pd.DataFrame({"left_id": left, "right_id": right,
-                            "inter_n": inter_n, "union_n": union_n})
-        out["jaccard"] = out["inter_n"].astype("float64") / out["union_n"].astype("float64")
-        return out[out["jaccard"] >= threshold].reset_index(drop=True)
+        return pd.concat(outs, ignore_index=True)
 
     staged = ds.map_batches(prep, batch_format="pyarrow")
     return staged.groupby("__hb").map_groups(pairs, batch_format="pandas")

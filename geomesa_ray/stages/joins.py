@@ -261,11 +261,32 @@ def asof_join(left_ds, right_ds, on: str, ts_col: str,
     l = left_ds.map_batches(add_bucket(0), batch_format="pyarrow")
     r = right_ds.map_batches(add_bucket(1), batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    # int columns ride pandas NULLABLE Int dtypes through the null-padded
+    # union: the default Arrow->pandas conversion upcasts int-with-null to
+    # float64, silently corrupting int64 values >= 2^53 (snowflake ids)
+    _int_nullable = {
+        pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+        pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+        pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+    }
+
+    def merge(g: pa.Table) -> pd.DataFrame:
+        gp = g.to_pandas(types_mapper=_int_nullable.get)
         # the union is schema-conformed: right columns already carry suffix
-        lg = g[g["__side"] == 0][left_cols].sort_values(ts_col, kind="mergesort")
-        rg = (g[g["__side"] == 1][[on] + [c + suffix for c in right_in]]
+        lg = gp[gp["__side"] == 0][left_cols].sort_values(ts_col, kind="mergesort")
+        rg = (gp[gp["__side"] == 1][[on] + [c + suffix for c in right_in]]
               .sort_values(ts_col + suffix, kind="mergesort"))
+        # merge_asof rejects extension dtypes for on/by keys; a side's own
+        # key columns are null-free (null keys can never match — drop), so
+        # casting them back to numpy is lossless
+        for df, keys in ((lg, (on, ts_col)), (rg, (on, ts_col + suffix))):
+            for kcol in keys:
+                dt = df[kcol].dtype
+                if isinstance(dt, pd.api.extensions.ExtensionDtype) and dt.kind in "iu":
+                    if df[kcol].isna().any():
+                        df.drop(index=df.index[df[kcol].isna()], inplace=True)
+                    df[kcol] = df[kcol].astype(dt.numpy_dtype)
         out = pd.merge_asof(lg, rg, left_on=ts_col, right_on=ts_col + suffix,
                             by=on, direction="backward")
         out = out[out[ts_col + suffix].notna()]
@@ -296,4 +317,4 @@ def asof_join(left_ds, right_ds, on: str, ts_col: str,
     both = l.map_batches(conform({}), batch_format="pyarrow").union(
         r.map_batches(conform(rename_map), batch_format="pyarrow")
     )
-    return both.groupby("__b").map_groups(merge, batch_format="pandas")
+    return both.groupby("__b").map_groups(merge, batch_format="pyarrow")

@@ -62,13 +62,15 @@ class KnnPartial:
         # boundary must resolve identically in every partial and in the
         # final merge, or the global top-k is block-split-dependent
         tie = ids if ids.dtype.kind in "iu" else ids.astype(str)
-        rows_l, cols_l = [], []
-        for qi in range(d.shape[0]):
-            order = np.lexsort((tie, d[qi]))[:kk]
-            rows_l.append(np.full(len(order), qi))
-            cols_l.append(order)
-        rows = np.concatenate(rows_l)
-        cols = np.concatenate(cols_l)
+        # ONE lexsort over (query, distance, tie) for all queries at once —
+        # a per-query Python loop here is O(queries) driver-code iterations
+        # and shows up when thousands of query points are broadcast
+        nq, npts = d.shape
+        flat = np.lexsort((np.tile(tie, nq), d.ravel(),
+                           np.repeat(np.arange(nq), npts)))
+        sel = flat.reshape(nq, npts)[:, :kk]
+        rows = np.repeat(np.arange(nq), kk)
+        cols = (sel % npts).ravel()
         dist = d[rows, cols]
         if self.max_distance_m is not None:
             keep = dist <= self.max_distance_m

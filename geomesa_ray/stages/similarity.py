@@ -238,7 +238,11 @@ def ivf_topk_exact(ds, query_vectors, query_ids, k: int = 10, n_lists: int = 64,
     index = IVFIndex(sample, n_lists=n_lists, seed=seed)
     nl = len(index.centroids)
     q = _normalize(np.asarray(query_vectors, dtype=np.float32))
-    qids = np.asarray(query_ids, dtype=object)
+    # normalize ids to str at ENTRY: the merge output's query_id is always
+    # str (AnnPartial casts), so a non-str qid would never match below and
+    # the triangle-inequality pruning would silently degrade to brute force
+    qids = np.array([str(x) for x in np.asarray(query_ids, dtype=object)],
+                    dtype=object)
     cent_ref = ray.put(index.centroids)
 
     class ListRadii:
@@ -313,7 +317,7 @@ def ivf_topk_exact(ds, query_vectors, query_ids, k: int = 10, n_lists: int = 64,
         )
         new = set()
         for qi, qid in enumerate(qids):
-            rows = best[best["query_id"] == str(qid)]
+            rows = best[best["query_id"] == qid]
             if len(rows) < k:
                 dk = np.inf
             else:

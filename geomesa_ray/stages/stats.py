@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from geomesa_ray.util import default_concurrency
+from geomesa_ray.util import default_concurrency, tree_sketch_reduce
 
 from geomesa_ray.cells.shard import fnv1a_str, fnv1a_u64
 
@@ -572,8 +572,11 @@ def z3_stats_scan(ds, time_bin_col: str, z3_col: str, kind: str = "frequency",
                   batch_size: int = 65536, **kwargs):
     """Distributed Z3Frequency/Z3Histogram pass (Z3Frequency.scala /
     Z3Histogram.scala): per-batch partial sketches over the
-    ``(time_bin, z3)`` column pair, merged driver-side over O(batches)
-    pickled partials — same reduce shape as ``stats_scan``."""
+    ``(time_bin, z3)`` column pair, merged by the map-coalesced TREE
+    (util.tree_sketch_reduce) — the driver only unpickles the final blob.
+    (The previous driver-side iter_batches reduce made the driver the
+    serial reducer over O(blocks) pickled sketches — the shape the density
+    stage measured at 185 s vs 21 s on 48M docs.)"""
     factory = {"frequency": Z3FrequencyStat, "histogram": Z3HistogramStat}[kind]
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -582,31 +585,47 @@ def z3_stats_scan(ds, time_bin_col: str, z3_col: str, kind: str = "frequency",
                   batch.column(z3_col).to_numpy(zero_copy_only=False)))
         return pa.table({"sketch": pa.array([pickle.dumps(s)], type=pa.binary())})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-    merged = None
-    for batch in partials.iter_batches(batch_size=256, batch_format="pyarrow"):
-        for blob in batch.column("sketch").to_pylist():
+    def merge_blobs(blobs):
+        merged = None
+        for blob in blobs:
             s = pickle.loads(blob)
             merged = s if merged is None else merged.merge(s)
+        return pickle.dumps(merged)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    rows = tree_sketch_reduce(partials, merge_blobs).take_all()
+    merged = None
+    for row in rows:  # normally exactly one row
+        s = pickle.loads(row["sketch"])
+        merged = s if merged is None else merged.merge(s)
     return merged or factory(**kwargs)
 
 
 def stats_scan(ds, spec: str, batch_size: int = 65536):
     """Run a SeqStat-style multi-sketch pass; returns the merged Stat list
-    (one per spec entry). The reduce is driver-side over O(batches) rows —
-    the QueryPlanner.reducer analog (QueryPlanner.scala:61-66)."""
+    (one per spec entry) — the QueryPlanner.reducer analog
+    (QueryPlanner.scala:61-66), distributed via the map-coalesced tree
+    (util.tree_sketch_reduce) so the driver never reduces O(blocks)
+    partials serially."""
     partials = ds.map_batches(
         _StatsPartial, fn_constructor_kwargs={"spec": spec},
         batch_format="pyarrow", batch_size=batch_size, concurrency=default_concurrency(),
     )
-    merged: list[Stat] | None = None
-    for batch in partials.iter_batches(batch_size=256, batch_format="pyarrow"):
-        for blob in batch.column("sketch").to_pylist():
+
+    def merge_blobs(blobs):
+        merged = None
+        for blob in blobs:
             stats = pickle.loads(blob)
-            if merged is None:
-                merged = stats
-            else:
-                merged = [a.merge(b) for a, b in zip(merged, stats)]
+            merged = stats if merged is None else \
+                [a.merge(b) for a, b in zip(merged, stats)]
+        return pickle.dumps(merged)
+
+    rows = tree_sketch_reduce(partials, merge_blobs).take_all()
+    merged: list[Stat] | None = None
+    for row in rows:  # normally exactly one row
+        stats = pickle.loads(row["sketch"])
+        merged = stats if merged is None else \
+            [a.merge(b) for a, b in zip(merged, stats)]
     return merged or []
 
 
@@ -649,11 +668,21 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
             c = np.bincount(bucket_of(v, b_lo, b_hi), minlength=n_bins)
             return pa.table({"h": pa.array([c.astype(np.int64).tobytes()], type=pa.binary())})
 
+        def merge_blobs(blobs):
+            t = np.zeros(n_bins, dtype=np.int64)
+            for blob in blobs:
+                t += np.frombuffer(blob, dtype=np.int64)
+            return t.tobytes()
+
+        # tree-merged (util.tree_sketch_reduce): at 100 TB the bincount
+        # partials are ~1M x n_bins*8B — a driver-side sum would stream
+        # 32 GB through the driver and throttle the pipeline
+        rows = tree_sketch_reduce(
+            dcol.map_batches(part, batch_format="pyarrow"), merge_blobs, col="h",
+        ).take_all()
         total = np.zeros(n_bins, dtype=np.int64)
-        for b in dcol.map_batches(part, batch_format="pyarrow").iter_batches(
-                batch_size=256, batch_format="pyarrow"):
-            for blob in b.column("h").to_pylist():
-                total += np.frombuffer(blob, dtype=np.int64)
+        for row in rows:  # normally exactly one row
+            total += np.frombuffer(row["h"], dtype=np.int64)
         return total
 
     def select(rank_items: dict, b_lo: float, b_hi: float, restrict: bool) -> dict:

@@ -63,6 +63,35 @@ def tree_topk(partials, sort_cols, ascending, k, group_col="query_id",
     return out
 
 
+def tree_sketch_reduce(partials, merge_blobs, col="sketch",
+                       levels=((64, 0.5), (64, 0.51), (4096, 0.52))):
+    """Map-coalesced tree reduce of one-row binary-sketch blocks: returns a
+    Dataset with (normally) ONE row whose ``col`` is the fully-merged blob.
+
+    Same pattern as the density merge (stages/density.py merge_level): a
+    driver-side ``iter_batches`` sum throttles the whole streaming pipeline
+    to driver-consumption speed (measured 185 s vs 21 s at 48M docs), and a
+    single-group groupby costs ~2.5 s fixed all-to-all barrier. map_batches
+    with batch_size=N instead coalesces N sketch ROWS per task (streaming
+    rebundle, no shuffle); 64 x 64 x 4096 covers ~16.7M input blocks (a
+    100 TB run at 128 MB blocks is ~1M). Each level carries a DISTINCT
+    fractional num_cpus: Ray fuses map operators with identical resource
+    requests, and a fused chain would rebundle the upstream data batches
+    instead of the sketch rows. Callers should still merge the take_all()
+    rows (normally exactly one) for the beyond-capacity tail."""
+    import pyarrow as pa
+
+    def merge_level(t: pa.Table) -> pa.Table:
+        blob = merge_blobs(t.column(col).to_pylist())
+        return pa.table({col: pa.array([blob], type=pa.binary())})
+
+    lvl = partials
+    for batch_rows, cpu in levels:
+        lvl = lvl.map_batches(merge_level, batch_format="pyarrow",
+                              batch_size=batch_rows, num_cpus=cpu)
+    return lvl
+
+
 def holder_fn(cls, **kwargs):
     """Per-worker lazily-initialized stage callable for map_batches — task
     scheduling with init-once-per-worker-process state. Prefer this over an
