@@ -123,3 +123,101 @@ class TestWktStrictness:
         ])
         assert valid.tolist() == [False, True, True, False]
         assert lon[1] == 1.0 and lat[2] == 4.0
+
+
+class TestRound4AdviceRegressions:
+    """Regression tests for the round-3 ADVICE findings."""
+
+    def test_jaccard_non_ascii_anchor(self, ray_session):
+        # min shingle straddles a multibyte UTF-8 codepoint: the old
+        # surrogateescape-decoded anchor crashed both fnv1a_str (encode)
+        # and pa.array(...astype(str)) (decode)
+        import ray.data as rd
+        import pyarrow as pa
+        from geomesa_ray.stages.dedup import jaccard_pairs
+
+        t = pa.table({
+            "doc_id": ["a", "b", "c"],
+            "text": ["!!!!ézzzz", "!!!!ézzzz", "completely different body"],
+        })
+        out = jaccard_pairs(rd.from_arrow(t), threshold=0.5).to_pandas()
+        assert len(out) == 1
+        assert {out["left_id"][0], out["right_id"][0]} == {"a", "b"}
+        assert out["jaccard"][0] == 1.0
+
+    def test_jaccard_vectorized_matches_pairwise(self, ray_session):
+        # value parity of the per-left-doc vectorized verify vs the exact
+        # two-doc predicate, on docs with partial overlap
+        import ray.data as rd
+        import pyarrow as pa
+        from geomesa_ray.stages.dedup import jaccard_pairs, ngram_jaccard
+
+        texts = {
+            "d1": "the quick brown fox jumps over the lazy dog",
+            "d2": "the quick brown fox jumps over the lazy cat",
+            "d3": "the quick brown fox leaps over the lazy dog",
+        }
+        t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+        out = jaccard_pairs(rd.from_arrow(t), threshold=0.0).to_pandas()
+        got = {(r.left_id, r.right_id): r.jaccard for r in out.itertuples()}
+        for (a, b), j in got.items():
+            # raw-byte shingles (no lowercasing) == ngram path here (ASCII lower already)
+            assert abs(j - ngram_jaccard(texts[a], texts[b])) < 1e-12
+
+    def test_asof_join_large_int64_payload(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from geomesa_ray.stages.joins import asof_join
+
+        big = 2 ** 53 + 12345  # not representable in float64
+        left = rd.from_arrow(pa.table({
+            "k": ["x", "x", "y"], "ts": pa.array([10, 20, 30], pa.int64()),
+            "lid": pa.array([big + 1, big + 2, big + 3], pa.int64()),
+        }))
+        right = rd.from_arrow(pa.table({
+            "k": ["x", "y"], "ts": pa.array([5, 25], pa.int64()),
+            "rid": pa.array([big + 10, big + 20], pa.int64()),
+        }))
+        res = asof_join(left, right, on="k", ts_col="ts").to_pandas().sort_values("ts")
+        assert res["lid"].tolist() == [big + 1, big + 2, big + 3]
+        assert set(res["rid_r"]) == {big + 10, big + 20}
+
+    def test_antimeridian_west_crossing(self):
+        from geomesa_ray.functions.registry import f_st_antimeridian_safe_geom
+        from geomesa_ray.geo.wkt import parse_wkt
+
+        out = f_st_antimeridian_safe_geom(np.array(
+            ["POLYGON ((-185 0, -175 0, -175 5, -185 5, -185 0))"], dtype=object))[0]
+        g = parse_wkt(out)
+        assert g["type"] == "MultiPolygon"
+        xs = np.concatenate([np.asarray(p[0])[:, 0] for p in g["coords"]])
+        assert xs.min() >= -180.0 and xs.max() <= 180.0
+        # the sub- -180 part lands at [175, 180]
+        assert (xs >= 175.0).any()
+
+    def test_negative_point_buffer_raises(self):
+        from geomesa_ray.functions.registry import f_st_buffer
+
+        with pytest.raises(ValueError):
+            f_st_buffer(np.array(["POINT (1 2)"], dtype=object), -3.0)
+
+    def test_ivf_topk_exact_int_query_ids(self, ray_session):
+        # non-string query ids must still drive the pruning/lookup
+        import ray.data as rd
+        from geomesa_ray.stages.similarity import ann_topk, ivf_topk_exact
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(400, 16)).astype(np.float32)
+        ds = rd.from_items([
+            {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))
+        ])
+        q = rng.normal(size=(2, 16)).astype(np.float32)
+        exact = ivf_topk_exact(ds, q, [0, 1], k=5, n_lists=8, nprobe=2,
+                               sample_rows=400).to_pandas()
+        brute = ann_topk(ds, q, [0, 1], k=5).to_pandas()
+        for qid in ("0", "1"):
+            e = exact[exact["query_id"] == qid].sort_values(
+                ["cosine", "neighbor_id"], ascending=[False, True])
+            b = brute[brute["query_id"] == qid].sort_values(
+                ["cosine", "neighbor_id"], ascending=[False, True])
+            assert e["neighbor_id"].tolist() == b["neighbor_id"].tolist()
