@@ -6,14 +6,14 @@ spark/jts/udf/SpatialRelationFunctions.scala:62-83``, which delegates to JTS
 ``Geometry.relate``). The matrix is the standard row-major 9 characters
 [II IB IE / BI BB BE / EI EB EE] with dims in {F, 0, 1, 2}.
 
-Supported pairs: Point x Point, Point x convex Polygon (either order), and
-convex Polygon x convex Polygon. Convexity lets every entry be derived from
-three exact primitives — closed containment (sign-consistent cross
-products), strict-interior separation (SAT with touching allowed), and
-pairwise edge-intersection dimension — with no constructive geometry, so
-the results are exact for float-representable inputs. Line inputs and
-concave rings raise ``ValueError`` (the named predicates ``st_crosses`` /
-``st_intersects`` cover the line cases).
+Supported pairs: every combination of Point, LineString and convex Polygon.
+Convexity (for polygons) lets every entry be derived from exact primitives —
+closed containment (sign-consistent cross products), strict-interior
+separation (SAT with touching allowed), and pairwise edge-intersection
+dimension — with no constructive geometry, so the results are exact for
+float-representable inputs. Line boundaries follow the JTS mod-2 rule (the
+two global endpoints; EMPTY for a closed ring). Concave rings raise
+``ValueError``.
 """
 
 from __future__ import annotations
@@ -239,9 +239,169 @@ def _relate_line_poly(line: np.ndarray, poly: np.ndarray) -> str:
     )
 
 
+def _line_boundary(line: np.ndarray) -> list[np.ndarray]:
+    """JTS mod-2 boundary rule for a single LineString: the two global
+    endpoints, or EMPTY when the line is closed (ring)."""
+    if len(line) >= 2 and (line[0] == line[-1]).all():
+        return []
+    return [line[0], line[-1]]
+
+
+def _pt_on_seg(p, q0, q1) -> bool:
+    """Closed-segment containment (exact for float-representable inputs)."""
+    d = q1 - q0
+    cr = d[0] * (p[1] - q0[1]) - d[1] * (p[0] - q0[0])
+    if cr != 0.0:
+        return False
+    lo0, hi0 = (q0[0], q1[0]) if q0[0] <= q1[0] else (q1[0], q0[0])
+    lo1, hi1 = (q0[1], q1[1]) if q0[1] <= q1[1] else (q1[1], q0[1])
+    return lo0 <= p[0] <= hi0 and lo1 <= p[1] <= hi1
+
+
+def _pt_on_line(p, line: np.ndarray) -> bool:
+    return any(_pt_on_seg(p, line[s], line[s + 1]) for s in range(len(line) - 1))
+
+
+def _relate_point_line(p: np.ndarray, line: np.ndarray) -> str:
+    """Point x LineString DE-9IM (JTS semantics, mod-2 boundary rule)."""
+    bnd = _line_boundary(line)
+    on_bnd = any((p == e).all() for e in bnd)
+    on_line = _pt_on_line(p, line)
+    eb = "0" if bnd else F  # line endpoints (if any) are beyond the point
+    if on_bnd:
+        # the OTHER endpoint still sits in the point's exterior unless both
+        # endpoints coincide with p (degenerate)
+        other = [e for e in bnd if not (p == e).all()]
+        return "F0FFFF1" + ("0" if other else F) + "2"
+    if on_line:
+        return "0FFFFF1" + eb + "2"
+    return "FF0FFF1" + eb + "2"
+
+
+def _seg_params_collinear(p0, p1, q0, q1):
+    """If segments are collinear with positive-length overlap, return the
+    (t_lo, t_hi) parameter interval of the overlap on segment p (else None)."""
+    d1 = p1 - p0
+    d2 = q1 - q0
+    c = d1[0] * d2[1] - d1[1] * d2[0]
+    c_q0 = d1[0] * (q0[1] - p0[1]) - d1[1] * (q0[0] - p0[0])
+    if c != 0.0 or c_q0 != 0.0:
+        return None
+    den = float(d1[0] * d1[0] + d1[1] * d1[1])
+    if den == 0.0:
+        return None
+    t_a = float((q0 - p0) @ d1) / den
+    t_b = float((q1 - p0) @ d1) / den
+    lo, hi = (t_a, t_b) if t_a <= t_b else (t_b, t_a)
+    lo, hi = max(lo, 0.0), min(hi, 1.0)
+    return (lo, hi) if hi > lo else None
+
+
+def _covered_by(a: np.ndarray, b: np.ndarray) -> bool:
+    """Every point of line ``a`` lies on line ``b``: each a-segment's [0,1]
+    parameter range is covered by the union of its collinear overlaps with
+    b's segments (isolated crossings never cover dim-1)."""
+    for s in range(len(a) - 1):
+        p0, p1 = a[s], a[s + 1]
+        if (p0 == p1).all():
+            continue
+        ivs = []
+        for t in range(len(b) - 1):
+            iv = _seg_params_collinear(p0, p1, b[t], b[t + 1])
+            if iv is not None:
+                ivs.append(iv)
+        ivs.sort()
+        reach = 0.0
+        for lo, hi in ivs:
+            if lo > reach + 1e-12:
+                return False
+            reach = max(reach, hi)
+        if reach < 1.0 - 1e-12:
+            return False
+    return True
+
+
+def _proper_cross(p0, p1, q0, q1) -> bool:
+    """Both segments STRICTLY straddle each other: the intersection point is
+    interior to both segments (hence interior to both lines)."""
+    d1 = p1 - p0
+    d2 = q1 - q0
+    c_q0 = d1[0] * (q0[1] - p0[1]) - d1[1] * (q0[0] - p0[0])
+    c_q1 = d1[0] * (q1[1] - p0[1]) - d1[1] * (q1[0] - p0[0])
+    c_p0 = d2[0] * (p0[1] - q0[1]) - d2[1] * (p0[0] - q0[0])
+    c_p1 = d2[0] * (p1[1] - q0[1]) - d2[1] * (p1[0] - q0[0])
+    return ((c_q0 > 0) != (c_q1 > 0) and c_q0 != 0 and c_q1 != 0
+            and (c_p0 > 0) != (c_p1 > 0) and c_p0 != 0 and c_p1 != 0)
+
+
+def _relate_line_line(a: np.ndarray, b: np.ndarray) -> str:
+    """LineString x LineString DE-9IM from exact primitives.
+
+    Every intersection point of two polylines is a proper interior-interior
+    crossing, a vertex-of-one incidence on the other, or part of a collinear
+    overlap (whose endpoints are vertices) — so classifying (i) collinear
+    overlaps, (ii) proper crossings and (iii) vertex incidences by each
+    point's interior/boundary role on both lines enumerates the whole
+    matrix. Coverage (the *E entries) reduces to per-segment interval
+    union over collinear overlaps (the interval-algebra view)."""
+    bnd_a, bnd_b = _line_boundary(a), _line_boundary(b)
+
+    def role(p, line, bnd):
+        """'i' interior / 'b' boundary / 'e' not on the line."""
+        if any((p == e).all() for e in bnd):
+            return "b"
+        return "i" if _pt_on_line(p, line) else "e"
+
+    ii = ib = bi = bb = False
+    ii_dim1 = False
+    for s in range(len(a) - 1):
+        p0, p1 = a[s], a[s + 1]
+        for t in range(len(b) - 1):
+            q0, q1 = b[t], b[t + 1]
+            if _seg_params_collinear(p0, p1, q0, q1) is not None:
+                ii_dim1 = True  # a dim-1 overlap minus finite boundary pts
+            elif _proper_cross(p0, p1, q0, q1):
+                ii = True
+    # vertex incidences: any non-crossing contact involves a vertex
+    for va_ in a:
+        rb = role(va_, b, bnd_b)
+        if rb == "e":
+            continue
+        ra = role(va_, a, bnd_a)
+        ii |= ra == "i" and rb == "i"
+        ib |= ra == "i" and rb == "b"
+        bi |= ra == "b" and rb == "i"
+        bb |= ra == "b" and rb == "b"
+    for vb_ in b:
+        ra = role(vb_, a, bnd_a)
+        if ra == "e":
+            continue
+        rb = role(vb_, b, bnd_b)
+        ii |= ra == "i" and rb == "i"
+        ib |= ra == "i" and rb == "b"
+        bi |= ra == "b" and rb == "i"
+        bb |= ra == "b" and rb == "b"
+
+    a_cov = _covered_by(a, b)
+    b_cov = _covered_by(b, a)
+    be = any(role(e, b, bnd_b) == "e" for e in bnd_a)
+    eb = any(role(e, a, bnd_a) == "e" for e in bnd_b)
+    return (
+        ("1" if ii_dim1 else "0" if ii else F)
+        + ("0" if ib else F)
+        + (F if a_cov else "1")
+        + ("0" if bi else F)
+        + ("0" if bb else F)
+        + ("0" if be else F)
+        + (F if b_cov else "1")
+        + ("0" if eb else F)
+        + "2"
+    )
+
+
 def relate(ga: dict, gb: dict) -> str:
-    """DE-9IM matrix for two parse_wkt geometries (Point / LineString /
-    convex Polygon; line x line is not supported)."""
+    """DE-9IM matrix for two parse_wkt geometries: Point / LineString /
+    convex Polygon, all pair combinations."""
 
     def classify(g):
         if g["type"] == "Point":
@@ -263,6 +423,12 @@ def relate(ga: dict, gb: dict) -> str:
         return _relate_point_poly(va, vb)
     if ka == "poly" and kb == "pt":
         return _transpose(_relate_point_poly(vb, va))
+    if ka == "pt" and kb == "line":
+        return _relate_point_line(va, vb)
+    if ka == "line" and kb == "pt":
+        return _transpose(_relate_point_line(vb, va))
+    if ka == "line" and kb == "line":
+        return _relate_line_line(va, vb)
     if ka == "line" and kb == "poly":
         return _relate_line_poly(va, vb)
     if ka == "poly" and kb == "line":

@@ -1244,6 +1244,97 @@ def oracle_relate_rects() -> str:
     """
 
 
+def q_relate_lines(sf_dir: str):
+    """DE-9IM st_relate for LINE pairs end-to-end (SpatialRelationFunctions
+    .scala:62-83 -> JTS Geometry.relate): axis-aligned integer segments
+    derived from event_id — horizontal A vs (alternating) vertical or
+    horizontal B — so crossings, T-touches, endpoint touches, collinear
+    overlaps, containment and disjoint cases all occur exactly. The oracle
+    derives the same matrices INDEPENDENTLY from interval algebra."""
+    from geomesa_ray.functions.registry import call
+
+    def rel(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        ya = (ids % 3).astype(np.float64)
+        a0 = (ids % 5).astype(np.float64)
+        a1 = a0 + 1.0 + (ids % 4).astype(np.float64)
+        vert = ids % 2 == 0
+        xb = (ids % 7).astype(np.float64)
+        vb0 = (ids % 4 - 1).astype(np.float64)
+        vb1 = vb0 + 1.0 + (ids % 3).astype(np.float64)
+        yb = (ids % 5 % 3).astype(np.float64)
+        hb0 = (ids % 6 - 1).astype(np.float64)
+        hb1 = hb0 + 1.0 + (ids % 5).astype(np.float64)
+        wa = np.array([f"LINESTRING ({p0} {y}, {p1} {y})"
+                       for p0, y, p1 in zip(a0, ya, a1)], dtype=object)
+        wb = np.array([
+            f"LINESTRING ({x} {q0}, {x} {q1})" if v else
+            f"LINESTRING ({q0h} {y}, {q1h} {y})"
+            for v, x, q0, q1, q0h, y, q1h
+            in zip(vert, xb, vb0, vb1, hb0, yb, hb1)
+        ], dtype=object)
+        m = call("st_relate", wa, wb)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "matrix": pa.array(m, type=pa.string()),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(rel, batch_format="pyarrow")
+    )
+
+
+def oracle_relate_lines() -> str:
+    """Axis-aligned segment DE-9IM from pure interval algebra: H x V from
+    strict/loose interval membership of the crossing coordinates; collinear
+    H x H from 1-D interval overlap (II dim 1 iff positive-length overlap);
+    parallel H x H disjoint by construction of the rows."""
+    # H x V: A = [a0,a1] x {ya}, B = {xb} x [b0,b1]
+    hv = (
+        "(CASE WHEN a0 < xb AND xb < a1 AND vb0 < ya AND ya < vb1 THEN '0' ELSE 'F' END)"
+        " || (CASE WHEN a0 < xb AND xb < a1 AND ya IN (vb0, vb1) THEN '0' ELSE 'F' END)"
+        " || '1'"
+        " || (CASE WHEN xb IN (a0, a1) AND vb0 < ya AND ya < vb1 THEN '0' ELSE 'F' END)"
+        " || (CASE WHEN xb IN (a0, a1) AND ya IN (vb0, vb1) THEN '0' ELSE 'F' END)"
+        " || '0' || '1' || '0' || '2'"
+    )
+    # H x H collinear (ya = yb): 1-D interval algebra on [a0,a1] vs [b0,b1]
+    hh_col = (
+        "(CASE WHEN LEAST(a1, hb1) > GREATEST(a0, hb0) THEN '1' ELSE 'F' END)"
+        " || (CASE WHEN (a0 < hb0 AND hb0 < a1) OR (a0 < hb1 AND hb1 < a1) THEN '0' ELSE 'F' END)"
+        " || (CASE WHEN hb0 <= a0 AND a1 <= hb1 THEN 'F' ELSE '1' END)"
+        " || (CASE WHEN (hb0 < a0 AND a0 < hb1) OR (hb0 < a1 AND a1 < hb1) THEN '0' ELSE 'F' END)"
+        " || (CASE WHEN a0 IN (hb0, hb1) OR a1 IN (hb0, hb1) THEN '0' ELSE 'F' END)"
+        " || (CASE WHEN a0 < hb0 OR a0 > hb1 OR a1 < hb0 OR a1 > hb1 THEN '0' ELSE 'F' END)"
+        " || (CASE WHEN a0 <= hb0 AND hb1 <= a1 THEN 'F' ELSE '1' END)"
+        " || (CASE WHEN hb0 < a0 OR hb0 > a1 OR hb1 < a0 OR hb1 > a1 THEN '0' ELSE 'F' END)"
+        " || '2'"
+    )
+    hh_par = "'FF1FF0102'"  # parallel distinct-y horizontals: disjoint
+    return f"""
+    WITH s AS (
+      SELECT event_id,
+             CAST(event_id % 3 AS DOUBLE) AS ya,
+             CAST(event_id % 5 AS DOUBLE) AS a0,
+             CAST(event_id % 5 + 1 + event_id % 4 AS DOUBLE) AS a1,
+             event_id % 2 = 0 AS vert,
+             CAST(event_id % 7 AS DOUBLE) AS xb,
+             CAST(event_id % 4 - 1 AS DOUBLE) AS vb0,
+             CAST(event_id % 4 - 1 + 1 + event_id % 3 AS DOUBLE) AS vb1,
+             CAST(event_id % 5 % 3 AS DOUBLE) AS yb,
+             CAST(event_id % 6 - 1 AS DOUBLE) AS hb0,
+             CAST(event_id % 6 - 1 + 1 + event_id % 5 AS DOUBLE) AS hb1
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN vert THEN {hv}
+                WHEN ya = yb THEN {hh_col}
+                ELSE {hh_par} END AS matrix
+    FROM s
+    """
+
+
 _TTL_NOW_MS = 1_706_659_032_194  # max event ts in the corpus (fixed reference instant)
 _TTL_MS = 86_400_000  # 1-day age-off: 17 of 150 users fully expire at sf0.01
 
@@ -3233,6 +3324,7 @@ QUERIES = {
     "bin_export": q_bin_export,
     "visibility_filter": q_visibility_filter,
     "relate_rects": q_relate_rects,
+    "relate_lines": q_relate_lines,
     "ttl_latest": q_ttl_latest,
     "expr_score": q_expr_score,
     "corpus_pip_join": q_corpus_pip_join,
@@ -3307,6 +3399,7 @@ ORACLES = {
     "visibility_filter": oracle_visibility_filter(),
     "minhash_dedup_docs": oracle_minhash_dedup(),
     "relate_rects": oracle_relate_rects(),
+    "relate_lines": oracle_relate_lines(),
     "ttl_latest": oracle_ttl_latest(),
     "expr_score": oracle_expr_score(),
 }
