@@ -1314,12 +1314,30 @@ def _close(r: np.ndarray) -> np.ndarray:
     return np.vstack([r, r[:1]])
 
 
+def _pieces_to_wkt(pieces) -> str:
+    """Open-ring pieces -> POLYGON / MULTIPOLYGON / 'POLYGON EMPTY' WKT.
+    Zero-area slivers (from decomposition seams) are dropped."""
+    from geomesa_ray.geo.poly import signed_area
+    from geomesa_ray.geo.wkt import format_wkt
+
+    keep = [p for p in pieces if len(p) >= 3 and abs(signed_area(p)) > 0.0]
+    if not keep:
+        return "POLYGON EMPTY"
+    if len(keep) == 1:
+        return format_wkt({"type": "Polygon", "coords": [_close(keep[0])]})
+    return format_wkt({"type": "MultiPolygon", "coords": [[_close(p)] for p in keep]})
+
+
 def f_st_intersection(values_a, values_b):
-    """st_intersection for polygon x polygon where at least one side is
-    CONVEX (Sutherland-Hodgman clip; the convex side is the clipper).
-    Returns POLYGON / 'POLYGON EMPTY'; null when both sides are concave
-    (unsupported without a full boolean-ops kernel — documented)."""
-    from geomesa_ray.geo.poly import convex_clip, is_convex
+    """st_intersection for polygon x polygon. Either-side-convex pairs use
+    one Sutherland-Hodgman clip (the convex side is the clipper); a
+    concave x concave pair is handled by ear-clip convex decomposition of
+    BOTH sides (geo/poly.ear_clip) and pairwise convex clips. The concave
+    result is a piecewise MULTIPOLYGON whose pieces may share seam edges —
+    area-exact and coverage-exact vs JTS, but not the unioned topology JTS
+    returns (documented; the area-conservation oracle `concave_clip`
+    verifies the piece sum)."""
+    from geomesa_ray.geo.poly import convex_clip, decompose_convex, is_convex
     from geomesa_ray.geo.wkt import format_wkt
 
     va = np.asarray(values_a, dtype=object)
@@ -1333,24 +1351,30 @@ def f_st_intersection(values_a, values_b):
         sa = np.asarray(ga["coords"][0], dtype=np.float64)
         sb = np.asarray(gb["coords"][0], dtype=np.float64)
         if is_convex(sb):
-            subject, clip = sa, sb
+            r = convex_clip(sa, sb)
+            out[i] = ("POLYGON EMPTY" if len(r) < 3
+                      else format_wkt({"type": "Polygon", "coords": [_close(r)]}))
         elif is_convex(sa):
-            subject, clip = sb, sa
+            r = convex_clip(sb, sa)
+            out[i] = ("POLYGON EMPTY" if len(r) < 3
+                      else format_wkt({"type": "Polygon", "coords": [_close(r)]}))
         else:
-            out[i] = None
-            continue
-        r = convex_clip(subject, clip)
-        out[i] = ("POLYGON EMPTY" if len(r) < 3
-                  else format_wkt({"type": "Polygon", "coords": [_close(r)]}))
+            pieces = [convex_clip(pa_, pb_)
+                      for pa_ in decompose_convex(sa)
+                      for pb_ in decompose_convex(sb)]
+            out[i] = _pieces_to_wkt(pieces)
     return out
 
 
 def f_st_difference(values_a, values_b):
-    """st_difference(a, b) for polygon a minus CONVEX polygon b (halfplane
-    complement decomposition). POLYGON / MULTIPOLYGON / 'POLYGON EMPTY';
-    null when b is concave."""
-    from geomesa_ray.geo.poly import convex_difference, is_convex
-    from geomesa_ray.geo.wkt import format_wkt
+    """st_difference(a, b) for polygon pairs. Convex b uses the halfplane
+    complement decomposition directly; a CONCAVE b is ear-clipped into
+    convex triangles which are subtracted sequentially (a concave subject
+    is first decomposed too, so every intermediate piece stays convex and
+    Sutherland-Hodgman never bridges components). POLYGON / MULTIPOLYGON /
+    'POLYGON EMPTY'; the concave result is piecewise (seam edges), area-
+    exact vs JTS."""
+    from geomesa_ray.geo.poly import convex_difference, decompose_convex, is_convex
 
     va = np.asarray(values_a, dtype=object)
     vb = np.asarray(values_b, dtype=object)
@@ -1360,19 +1384,18 @@ def f_st_difference(values_a, values_b):
         if ga is None or gb is None or ga["type"] != "Polygon" or gb["type"] != "Polygon":
             out[i] = None
             continue
+        sa = np.asarray(ga["coords"][0], dtype=np.float64)
         sb = np.asarray(gb["coords"][0], dtype=np.float64)
-        if not is_convex(sb):
-            out[i] = None
+        if is_convex(sb):
+            out[i] = _pieces_to_wkt(convex_difference(sa, sb))
             continue
-        pieces = [p for p in convex_difference(np.asarray(ga["coords"][0], dtype=np.float64), sb)
-                  if len(p) >= 3]
-        if not pieces:
-            out[i] = "POLYGON EMPTY"
-        elif len(pieces) == 1:
-            out[i] = format_wkt({"type": "Polygon", "coords": [_close(pieces[0])]})
-        else:
-            out[i] = format_wkt({"type": "MultiPolygon",
-                                 "coords": [[_close(p)] for p in pieces]})
+        parts = decompose_convex(sa)
+        for tb in decompose_convex(sb):
+            parts = [q for p in parts for q in convex_difference(p, tb)
+                     if len(q) >= 3]
+            if not parts:
+                break
+        out[i] = _pieces_to_wkt(parts)
     return out
 
 

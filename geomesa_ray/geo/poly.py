@@ -154,3 +154,71 @@ def convex_difference(subject_ring: np.ndarray, clip_ring: np.ndarray) -> list[n
         if len(current) == 0:
             break
     return pieces
+
+
+def _point_in_tri_closed(a, b, c, p) -> bool:
+    """p inside-or-on CCW triangle abc."""
+    c1 = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+    c2 = (c[0] - b[0]) * (p[1] - b[1]) - (c[1] - b[1]) * (p[0] - b[0])
+    c3 = (a[0] - c[0]) * (p[1] - c[1]) - (a[1] - c[1]) * (p[0] - c[0])
+    return c1 >= 0 and c2 >= 0 and c3 >= 0
+
+
+def ear_clip(ring: np.ndarray) -> list[np.ndarray]:
+    """Triangulate a SIMPLE polygon ring (no holes) by ear clipping
+    (O(n^2); standard public algorithm, e.g. Meisters 1975 two-ears
+    theorem). Returns CCW triangles covering the polygon exactly; zero-area
+    (collinear) corners are dropped. The convex-decomposition primitive the
+    concave set ops build on."""
+    r = _ccw(ring)
+    # drop consecutive duplicates
+    keep = np.ones(len(r), dtype=bool)
+    keep[1:] = (r[1:] != r[:-1]).any(axis=1)
+    r = r[keep]
+    idx = list(range(len(r)))
+    tris: list[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard <= 4 * len(r) * len(r):
+        guard += 1
+        n = len(idx)
+        best_fallback = None
+        clipped = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = r[i0], r[i1], r[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross == 0.0:  # collinear corner: remove, contributes no area
+                idx.pop(k)
+                clipped = True
+                break
+            if cross < 0.0:  # reflex
+                continue
+            if any(_point_in_tri_closed(a, b, c, r[j])
+                   for j in idx if j not in (i0, i1, i2)):
+                best_fallback = best_fallback or k
+                continue
+            tris.append(np.array([a, b, c]))
+            idx.pop(k)
+            clipped = True
+            break
+        if not clipped:
+            # numerically stuck (near-degenerate input): clip the least-bad
+            # convex corner so termination is guaranteed
+            k = best_fallback if best_fallback is not None else 0
+            i0, i1, i2 = idx[(k - 1) % len(idx)], idx[k], idx[(k + 1) % len(idx)]
+            tris.append(np.array([r[i0], r[i1], r[i2]]))
+            idx.pop(k)
+    if len(idx) == 3:
+        a, b, c = r[idx[0]], r[idx[1]], r[idx[2]]
+        if (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) > 0.0:
+            tris.append(np.array([a, b, c]))
+    return tris
+
+
+def decompose_convex(ring: np.ndarray) -> list[np.ndarray]:
+    """Simple ring -> list of convex open rings covering it exactly: the
+    ring itself when convex, else its ear-clip triangles."""
+    r = _open_ring(ring)
+    if is_convex(r):
+        return [_ccw(r)]
+    return ear_clip(r)

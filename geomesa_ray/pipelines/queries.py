@@ -1335,6 +1335,101 @@ def oracle_relate_lines() -> str:
     """
 
 
+def _l_ring_wkt(x, y, w, h):
+    """Concave L-shaped hexagon ring WKT (arm thickness 1)."""
+    return (f"POLYGON (({x} {y}, {x + w} {y}, {x + w} {y + 1}, "
+            f"{x + 1} {y + 1}, {x + 1} {y + h}, {x} {y + h}, {x} {y}))")
+
+
+def q_concave_clip(sf_dir: str):
+    """Concave x concave st_intersection end-to-end (the ear-clip convex-
+    decomposition path): two integer-coordinate L-shaped hexagons derived
+    from event_id, intersection area = shoelace sum over the returned
+    pieces. Rectilinear integer-vertex regions have INTEGER area, and the
+    piece areas are exact multiples of 1/2 in binary floating point, so the
+    sum is FP-exact and compares as int64. The oracle derives the same
+    area INDEPENDENTLY by inclusion-exclusion over the L-shapes' rectangle
+    decompositions — no shared geometry code."""
+    from geomesa_ray.functions.registry import call
+    from geomesa_ray.geo.poly import signed_area
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    def clip(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        ax = (ids % 5).astype(np.int64)
+        ay = (ids % 7).astype(np.int64)
+        aw = (ids % 3 + 2).astype(np.int64)
+        ah = (ids % 4 + 2).astype(np.int64)
+        bx = (ids % 6 - 1).astype(np.int64)
+        by = (ids % 4).astype(np.int64)
+        bw = (ids % 4 + 2).astype(np.int64)
+        bh = (ids % 5 + 2).astype(np.int64)
+        wa = np.array([_l_ring_wkt(*p) for p in zip(ax, ay, aw, ah)], dtype=object)
+        wb = np.array([_l_ring_wkt(*p) for p in zip(bx, by, bw, bh)], dtype=object)
+        inter = call("st_intersection", wa, wb)
+        areas = np.zeros(len(ids), dtype=np.int64)
+        for i, wkt in enumerate(inter):
+            if wkt is None or wkt == "POLYGON EMPTY":
+                continue
+            g = parse_wkt(wkt)
+            rings = [g["coords"][0]] if g["type"] == "Polygon" else \
+                    [p[0] for p in g["coords"]]
+            a = sum(abs(signed_area(np.asarray(r, dtype=np.float64)[:-1]))
+                    for r in rings)
+            areas[i] = np.int64(round(a))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "inter_area": pa.array(areas),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(clip, batch_format="pyarrow")
+    )
+
+
+def oracle_concave_clip() -> str:
+    """L∩L area by inclusion-exclusion: each L = R1 ∪ R2 (two axis-aligned
+    rects), so A∩B = union of the 4 pairwise rect intersections; the union
+    area expands to 15 signed rect-intersection terms, each
+    max(0, min(hi)-max(lo)) per axis."""
+    from itertools import combinations
+
+    # the 4 rects (xl, xh, yl, yh) of A∩B as SQL expressions
+    rects = []
+    for a_r in (("ax", "ax + aw", "ay", "ay + 1"), ("ax", "ax + 1", "ay", "ay + ah")):
+        for b_r in (("bx", "bx + bw", "by", "by + 1"), ("bx", "bx + 1", "by", "by + bh")):
+            rects.append((
+                f"GREATEST({a_r[0]}, {b_r[0]})", f"LEAST({a_r[1]}, {b_r[1]})",
+                f"GREATEST({a_r[2]}, {b_r[2]})", f"LEAST({a_r[3]}, {b_r[3]})",
+            ))
+
+    def inter_area(group):
+        xl = "GREATEST(" + ", ".join(r[0] for r in group) + ")" if len(group) > 1 else group[0][0]
+        xh = "LEAST(" + ", ".join(r[1] for r in group) + ")" if len(group) > 1 else group[0][1]
+        yl = "GREATEST(" + ", ".join(r[2] for r in group) + ")" if len(group) > 1 else group[0][2]
+        yh = "LEAST(" + ", ".join(r[3] for r in group) + ")" if len(group) > 1 else group[0][3]
+        return f"GREATEST(0, {xh} - ({xl})) * GREATEST(0, {yh} - ({yl}))"
+
+    terms = []
+    for k in range(1, 5):
+        sign = "+" if k % 2 == 1 else "-"
+        for grp in combinations(rects, k):
+            terms.append(f" {sign} {inter_area(grp)}")
+    return f"""
+    WITH s AS (
+      SELECT event_id,
+             event_id % 5 AS ax, event_id % 7 AS ay,
+             event_id % 3 + 2 AS aw, event_id % 4 + 2 AS ah,
+             event_id % 6 - 1 AS bx, event_id % 4 AS by,
+             event_id % 4 + 2 AS bw, event_id % 5 + 2 AS bh
+      FROM events
+    )
+    SELECT event_id, CAST(0{''.join(terms)} AS BIGINT) AS inter_area
+    FROM s
+    """
+
+
 _TTL_NOW_MS = 1_706_659_032_194  # max event ts in the corpus (fixed reference instant)
 _TTL_MS = 86_400_000  # 1-day age-off: 17 of 150 users fully expire at sf0.01
 
@@ -3325,6 +3420,7 @@ QUERIES = {
     "visibility_filter": q_visibility_filter,
     "relate_rects": q_relate_rects,
     "relate_lines": q_relate_lines,
+    "concave_clip": q_concave_clip,
     "ttl_latest": q_ttl_latest,
     "expr_score": q_expr_score,
     "corpus_pip_join": q_corpus_pip_join,
@@ -3400,6 +3496,7 @@ ORACLES = {
     "minhash_dedup_docs": oracle_minhash_dedup(),
     "relate_rects": oracle_relate_rects(),
     "relate_lines": oracle_relate_lines(),
+    "concave_clip": oracle_concave_clip(),
     "ttl_latest": oracle_ttl_latest(),
     "expr_score": oracle_expr_score(),
 }

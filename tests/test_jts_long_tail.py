@@ -155,11 +155,19 @@ class TestSetOps:
                    np.array([big], dtype=object))[0]
         assert out == "POLYGON EMPTY"
 
-    def test_concave_clipper_is_null(self):
+    def test_concave_self_intersection_conserves_area(self):
+        # round 4: concave x concave no longer null — ear-clip decomposition
+        from geomesa_ray.geo.poly import signed_area
+        from geomesa_ray.geo.wkt import parse_wkt
+
         concave = "POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"
         out = call("st_intersection", np.array([concave], dtype=object),
                    np.array([concave], dtype=object))[0]
-        assert out is None
+        g = parse_wkt(out)
+        rings = [g["coords"][0]] if g["type"] == "Polygon" else [p[0] for p in g["coords"]]
+        got = sum(abs(signed_area(np.asarray(r, dtype=float)[:-1])) for r in rings)
+        src = abs(signed_area(np.asarray(parse_wkt(concave)["coords"][0], dtype=float)[:-1]))
+        assert abs(got - src) < 1e-9
 
 
 class TestAntimeridianLatLonText:
@@ -176,3 +184,55 @@ class TestAntimeridianLatLonText:
     def test_lat_lon_text(self):
         out = call("st_asLatLonText", np.array([-79.2]), np.array([35.5]))[0]
         assert out == "35°30'00.000\"N 79°12'00.000\"W"
+
+
+class TestConcaveSetOps:
+    """Round 4: concave x concave set ops via ear-clip decomposition."""
+
+    A = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"  # L, area 12
+    B = "POLYGON ((1 1, 5 1, 5 5, 3 5, 3 3, 1 3, 1 1))"  # L, area 12
+
+    @staticmethod
+    def _area(wkt):
+        from geomesa_ray.geo.poly import signed_area
+        from geomesa_ray.geo.wkt import parse_wkt
+
+        if wkt == "POLYGON EMPTY":
+            return 0.0
+        g = parse_wkt(wkt)
+        rings = [g["coords"][0]] if g["type"] == "Polygon" else [p[0] for p in g["coords"]]
+        return sum(abs(signed_area(np.asarray(r, dtype=float)[:-1])) for r in rings)
+
+    def test_concave_intersection_area(self):
+        got = call("st_intersection", np.array([self.A], dtype=object),
+                   np.array([self.B], dtype=object))[0]
+        assert got is not None and got != "POLYGON EMPTY"
+        assert abs(self._area(got) - 4.0) < 1e-9
+
+    def test_concave_difference_areas(self):
+        d1 = call("st_difference", np.array([self.A], dtype=object),
+                  np.array([self.B], dtype=object))[0]
+        d2 = call("st_difference", np.array([self.B], dtype=object),
+                  np.array([self.A], dtype=object))[0]
+        assert abs(self._area(d1) - 8.0) < 1e-9
+        assert abs(self._area(d2) - 8.0) < 1e-9
+
+    def test_disjoint_concave(self):
+        far = "POLYGON ((100 100, 104 100, 104 102, 102 102, 102 104, 100 104, 100 100))"
+        got = call("st_intersection", np.array([self.A], dtype=object),
+                   np.array([far], dtype=object))[0]
+        assert got == "POLYGON EMPTY"
+
+    def test_ear_clip_area_conservation_random(self):
+        from geomesa_ray.geo.poly import ear_clip, signed_area
+
+        rng = np.random.default_rng(11)
+        for _ in range(20):
+            # random star-shaped polygon: strictly increasing angles with
+            # every gap < pi (guarantees simplicity around the origin)
+            n = int(rng.integers(5, 12))
+            ang = (np.arange(n) + rng.uniform(0.0, 0.9, n)) * 2 * np.pi / n
+            rad = rng.uniform(1.0, 5.0, n)
+            ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+            tris = ear_clip(ring)
+            assert abs(sum(signed_area(t) for t in tris) - abs(signed_area(ring))) < 1e-9
