@@ -115,6 +115,10 @@ def cmd_export(args):
         from geomesa_ray.stages.bin_export import bin_export
 
         bin_export(ds, args.track_col, args.ts_col).write_parquet(args.out)
+    elif args.format == "geojson":
+        from geomesa_ray.stages.geojson_export import write_geojson
+
+        write_geojson(ds, args.out, lon_col=args.lon_col, lat_col=args.lat_col)
     elif args.format == "csv":
         ds.write_csv(args.out)
     elif args.format == "json":
@@ -163,11 +167,14 @@ def main(argv=None):
 
     s = sub.add_parser("export")
     s.add_argument("--indexed", required=True)
-    s.add_argument("--format", default="arrow", choices=["arrow", "bin", "csv", "json"])
+    s.add_argument("--format", default="arrow",
+                   choices=["arrow", "bin", "csv", "json", "geojson"])
     s.add_argument("--out", required=True)
     s.add_argument("--dict-cols", default=None)
     s.add_argument("--track-col", default="doc_id")
     s.add_argument("--ts-col", default="ts")
+    s.add_argument("--lon-col", default="lon")
+    s.add_argument("--lat-col", default="lat")
     s.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)

@@ -1335,6 +1335,34 @@ def oracle_relate_lines() -> str:
     """
 
 
+def q_geojson_roundtrip(sf_dir: str):
+    """GeoJSON exporter round-trip proof (GeoJsonExporter.scala analog):
+    derived event points -> vectorized Feature serialization -> one
+    FeatureCollection file per block under /tmp -> stdlib-json parse back.
+    Shortest-round-trip float formatting makes lon/lat/value bit-identical
+    to the source derivation, so the oracle is simply the derive SQL."""
+    import hashlib
+    import shutil
+
+    from geomesa_ray.stages.geojson_export import read_geojson, write_geojson
+
+    out_dir = "/tmp/graft_geojson/" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "event_type", "value", "lon", "lat"])
+
+    src = _geo_events(sf_dir).map_batches(slim, batch_format="pyarrow")
+    manifest = write_geojson(src, out_dir,
+                             props=["event_id", "event_type", "value"])
+    paths = sorted(r["path"] for r in manifest.take_all())
+    return read_geojson(paths)
+
+
+def oracle_geojson_roundtrip() -> str:
+    return f"SELECT event_id, event_type, value, lon, lat FROM ({_DERIVE_SQL})"
+
+
 def _l_ring_wkt(x, y, w, h):
     """Concave L-shaped hexagon ring WKT (arm thickness 1)."""
     return (f"POLYGON (({x} {y}, {x + w} {y}, {x + w} {y + 1}, "
@@ -3421,6 +3449,7 @@ QUERIES = {
     "relate_rects": q_relate_rects,
     "relate_lines": q_relate_lines,
     "concave_clip": q_concave_clip,
+    "geojson_roundtrip": q_geojson_roundtrip,
     "ttl_latest": q_ttl_latest,
     "expr_score": q_expr_score,
     "corpus_pip_join": q_corpus_pip_join,
@@ -3497,6 +3526,7 @@ ORACLES = {
     "relate_rects": oracle_relate_rects(),
     "relate_lines": oracle_relate_lines(),
     "concave_clip": oracle_concave_clip(),
+    "geojson_roundtrip": oracle_geojson_roundtrip(),
     "ttl_latest": oracle_ttl_latest(),
     "expr_score": oracle_expr_score(),
 }
