@@ -260,8 +260,115 @@ class AlbersEqualArea:
         return np.degrees(th / self.n + self.lon0), np.degrees(phi)
 
 
-#: Named projected CRS built from the two conic families (parameters are the
-#: published EPSG definitions; all on WGS84/GRS80-equivalent flattening).
+# ---------------------------------------------------------------------------
+# Generalized Transverse Mercator (arbitrary ellipsoid / k0 / origin /
+# false offsets) — the same 6th-order Krüger series as the UTM fast path
+# above, parameterized so national TM grids (OSGB, NZTM, MGA, state-plane
+# TM zones) come from a parameter table instead of new code.
+# ---------------------------------------------------------------------------
+
+
+def _krueger_coeffs(n: float):
+    alpha = np.array([
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180 - 127 * n**5 / 288,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440 + 281 * n**5 / 630,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880,
+        49561 * n**4 / 161280 - 179 * n**5 / 168,
+        34729 * n**5 / 80640,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360 - 81 * n**5 / 512,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480,
+        4397 * n**4 / 161280 - 11 * n**5 / 504,
+        4583 * n**5 / 161280,
+    ])
+    return alpha, beta
+
+
+class TransverseMercator:
+    """Ellipsoidal TM via the Krüger series, with latitude-of-origin
+    meridian-arc offset — covers OSGB / NZTM / MGA / state-plane TM zones."""
+
+    def __init__(self, lon0: float, lat0: float = 0.0, k0: float = 0.9996,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = _WGS84_A, f: float = _WGS84_F):
+        n = f / (2.0 - f)
+        self.A = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0 + n**6 / 256.0)
+        self.alpha, self.beta = _krueger_coeffs(n)
+        self.e = np.sqrt(f * (2.0 - f))
+        self.k0 = k0
+        self.lon0 = np.radians(lon0)
+        self.fe, self.fn = false_e, false_n
+        self.m0 = self._arc(np.radians(lat0)) if lat0 != 0.0 else 0.0
+
+    def _arc(self, phi: float) -> float:
+        """Meridian arc length from the equator (Krüger xi at lam=0)."""
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - self.e * np.arctanh(self.e * s))
+        xi_p = np.arctan(t)
+        xi = xi_p + sum(a * np.sin(2 * j * xi_p)
+                        for j, a in enumerate(self.alpha, start=1))
+        return float(self.A * xi)
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64)) - self.lon0
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - self.e * np.arctanh(self.e * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+        xi, eta = xi_p.copy(), eta_p.copy()
+        for j, a in enumerate(self.alpha, start=1):
+            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return (self.fe + self.k0 * self.A * eta,
+                self.fn + self.k0 * (self.A * xi - self.m0))
+
+    def inverse(self, x, y):
+        xi = (np.asarray(y, dtype=np.float64) - self.fn + self.k0 * self.m0) / (self.k0 * self.A)
+        eta = (np.asarray(x, dtype=np.float64) - self.fe) / (self.k0 * self.A)
+        xi_p, eta_p = xi.copy(), eta.copy()
+        for j, b in enumerate(self.beta, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+        phi = chi.copy()
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.arcsin(np.clip(np.tanh(np.arctanh(np.clip(np.sin(chi), -1, 1))
+                                            + self.e * np.arctanh(self.e * s)), -1.0, 1.0))
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        return np.degrees(lam + self.lon0), np.degrees(phi)
+
+
+class _ScaledCRS:
+    """Unit adapter: publishes a projection whose axis unit is not the
+    meter (US survey foot state-plane zones)."""
+
+    def __init__(self, proj, meters_per_unit: float):
+        self.proj, self.s = proj, meters_per_unit
+
+    def forward(self, lon, lat):
+        x, y = self.proj.forward(lon, lat)
+        return x / self.s, y / self.s
+
+    def inverse(self, x, y):
+        return self.proj.inverse(np.asarray(x, dtype=np.float64) * self.s,
+                                 np.asarray(y, dtype=np.float64) * self.s)
+
+
+# published reference ellipsoids (public EPSG registry values)
+_GRS80_A, _GRS80_F = 6378137.0, 1.0 / 298.257222101
+_AIRY_A, _AIRY_F = 6377563.396, 1.0 / 299.3249646
+_CLARKE66_A, _CLARKE66_F = 6378206.4, 1.0 - (1.0 - 0.00676866) ** 0.5
+_FT_US = 1200.0 / 3937.0  # US survey foot in meters
+
+#: Named projected CRS built from the three kernels (LCC 2SP / Albers 2SP /
+#: TM). Parameters are the published EPSG definitions. Geographic input is
+#: interpreted on each CRS's own datum (no datum shift — NAD83/ETRS89/GDA94
+#: agree with WGS84 at the meter level; NAD27 entries take NAD27 lon/lat,
+#: exactly as Snyder's worked examples do).
 PROJECTED_CRS = {
     # CONUS Albers (EPSG:5070 — NAD83/GRS80; GRS80 f matches WGS84 to 1e-9)
     "EPSG:5070": lambda: AlbersEqualArea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
@@ -271,6 +378,35 @@ PROJECTED_CRS = {
     "EPSG:3034": lambda: LambertConformalConic(35.0, 65.0, 52.0, 10.0, 4_000_000.0, 2_800_000.0),
     # US National Atlas Equal Area-ish CONUS check grid
     "EPSG:102003": lambda: AlbersEqualArea(29.5, 45.5, 37.5, -96.0, 0.0, 0.0),
+    # --- national grids / state plane (round 4) ---
+    # France Lambert-93 (RGF93, GRS80)
+    "EPSG:2154": lambda: LambertConformalConic(
+        44.0, 49.0, 46.5, 3.0, 700_000.0, 6_600_000.0, a=_GRS80_A, f=_GRS80_F),
+    # Great Britain OSGB36 National Grid (Airy 1830, TM)
+    "EPSG:27700": lambda: TransverseMercator(
+        -2.0, 49.0, 0.9996012717, 400_000.0, -100_000.0, a=_AIRY_A, f=_AIRY_F),
+    # New Zealand NZTM2000 (GRS80, TM)
+    "EPSG:2193": lambda: TransverseMercator(
+        173.0, 0.0, 0.9996, 1_600_000.0, 10_000_000.0, a=_GRS80_A, f=_GRS80_F),
+    # Australia MGA zone 55 (GDA94/GRS80 — UTM 55S parameters)
+    "EPSG:28355": lambda: TransverseMercator(
+        147.0, 0.0, 0.9996, 500_000.0, 10_000_000.0, a=_GRS80_A, f=_GRS80_F),
+    # US State Plane NAD83 California zone 3 (LCC, meters): SP 37°04'/38°26',
+    # origin 36°30'N 120°30'W, FE 2,000,000 FN 500,000
+    "EPSG:26943": lambda: LambertConformalConic(
+        37.0 + 4 / 60, 38.0 + 26 / 60, 36.5, -120.5,
+        2_000_000.0, 500_000.0, a=_GRS80_A, f=_GRS80_F),
+    # US State Plane NAD83 Maryland (LCC, meters): SP 38°18'/39°27',
+    # origin 37°40'N 77°W, FE 400,000
+    "EPSG:26985": lambda: LambertConformalConic(
+        38.3, 39.45, 37.0 + 40 / 60, -77.0,
+        400_000.0, 0.0, a=_GRS80_A, f=_GRS80_F),
+    # US State Plane NAD27 Texas South Central (LCC, US survey feet —
+    # Snyder PP1395's state-plane parameter set): SP 28°23'/30°17',
+    # origin 27°50'N 99°W, FE 2,000,000 ftUS
+    "EPSG:32040": lambda: _ScaledCRS(LambertConformalConic(
+        28.0 + 23 / 60, 30.0 + 17 / 60, 27.0 + 50 / 60, -99.0,
+        2_000_000.0 * _FT_US, 0.0, a=_CLARKE66_A, f=_CLARKE66_F), _FT_US),
 }
 
 

@@ -250,3 +250,87 @@ class TestUTM:
         assert z[0] == 31 and not s[0] and 400_000 < e[0] < 500_000
         e, n, z, s = lonlat_to_utm(np.array([151.2]), np.array([-33.87]))
         assert z[0] == 56 and s[0] and n[0] > 6_000_000
+
+
+class TestNationalGrids:
+    """Round 4: parameter-table CRS (state plane / national TM grids)."""
+
+    def test_grid_origins(self):
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import get_projection
+
+        for code, lonlat, expect in [
+            ("EPSG:2154", (3.0, 46.5), (700_000.0, 6_600_000.0)),       # Lambert-93
+            ("EPSG:27700", (-2.0, 49.0), (400_000.0, -100_000.0)),      # OSGB
+            ("EPSG:26943", (-120.5, 36.5), (2_000_000.0, 500_000.0)),   # CA zone 3
+            ("EPSG:26985", (-77.0, 37.0 + 40 / 60), (400_000.0, 0.0)),  # Maryland
+            ("EPSG:32040", (-99.0, 27.0 + 50 / 60), (2_000_000.0, 0.0)),  # TX SC (ftUS)
+        ]:
+            p = get_projection(code)
+            x, y = p.forward(np.array([lonlat[0]]), np.array([lonlat[1]]))
+            assert abs(x[0] - expect[0]) < 1e-6 and abs(y[0] - expect[1]) < 1e-6, code
+
+    def test_texas_sc_snyder_worked_example(self):
+        # Snyder PP1395 state-plane LCC parameter set (Clarke 1866, SP
+        # 28°23'/30°17', origin 27°50'N 99°W, FE 2,000,000 ftUS):
+        # (28°30'N, 96°W) -> x = 2,963,503.91 ft, y = 254,759.80 ft
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import get_projection
+
+        p = get_projection("EPSG:32040")
+        x, y = p.forward(np.array([-96.0]), np.array([28.5]))
+        assert abs(x[0] - 2_963_503.91) < 0.05
+        assert abs(y[0] - 254_759.80) < 0.05
+
+    def test_mga55_matches_utm_55s(self):
+        # independent code paths: the TM parameter-table entry vs the
+        # dedicated Krüger UTM fast path (GRS80 vs WGS84 f differs ~1e-9)
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import get_projection, lonlat_to_utm
+
+        lon = np.array([147.5, 145.2, 150.0])
+        lat = np.array([-37.8, -42.9, -33.9])
+        x, y = get_projection("EPSG:28355").forward(lon, lat)
+        e, n, _, _ = lonlat_to_utm(lon, lat, zone=55)
+        assert np.abs(x - e).max() < 1e-3
+        assert np.abs(y - n).max() < 1e-3
+
+    def test_roundtrips(self):
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import get_projection
+
+        rng = np.random.default_rng(3)
+        for code, lo, hi, la, ha in [
+            ("EPSG:2154", -4, 8, 42, 51), ("EPSG:27700", -7, 1.8, 50, 60),
+            ("EPSG:2193", 166, 179, -47, -34),
+            ("EPSG:26943", -123, -118, 36.6, 38.4),
+            ("EPSG:32040", -100, -94, 28, 30.2),
+        ]:
+            p = get_projection(code)
+            lon = rng.uniform(lo, hi, 200)
+            lat = rng.uniform(la, ha, 200)
+            lon2, lat2 = p.inverse(*p.forward(lon, lat))
+            assert np.abs(lon2 - lon).max() < 1e-10, code
+            assert np.abs(lat2 - lat).max() < 1e-10, code
+
+    def test_scale_factor_on_standard_parallel(self):
+        # conformal LCC: scale on a standard parallel equals 1 (ground
+        # distance == grid distance) — checked by finite difference
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import get_projection
+        from geomesa_ray.geo.distance import haversine_m
+
+        p = get_projection("EPSG:2154")
+        lat = np.array([49.0, 49.0])   # upper standard parallel
+        lon = np.array([2.0, 2.001])
+        x, y = p.forward(lon, lat)
+        grid = float(np.hypot(np.diff(x), np.diff(y))[0])
+        # spherical ground distance is within ~0.3% of ellipsoidal here;
+        # LCC scale at SP = 1 exactly, so ratio ~= sphere/ellipsoid error
+        ground = float(haversine_m(lon[:1], lat[:1], lon[1:], lat[1:])[0])
+        assert abs(grid / ground - 1.0) < 5e-3
