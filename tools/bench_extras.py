@@ -206,11 +206,116 @@ def bench_windows(n_rows: int, n_keys: int = 1_000_000, num_cpus: int = 32) -> d
     }
 
 
+def bench_jaccard_hot(n_docs: int = 4096, num_cpus: int = 32) -> dict:
+    """Hot-anchor worst case (round-3 verdict #3 done-criterion): n_docs
+    near-identical docs all sharing ONE min-shingle anchor — the regime the
+    old per-pair Python verify hit ~n^2/2 interpreter iterations on.
+    Reports the vectorized jaccard verify wall vs the simhash verify wall
+    on the SAME docs/pair volume."""
+    _init(num_cpus)
+    import ray.data as rd
+
+    from geomesa_ray.stages.dedup import jaccard_pairs, simhash_pairs
+
+    # doc i = shared 40-word prefix + one distinguishing suffix word; the
+    # global min shingle sits in the shared prefix -> one anchor run
+    base = " ".join(f"w{j:04d}" for j in range(40))
+    docs = [{"doc_id": f"d{i:05d}", "text": f"{base} t{i:05d}"} for i in range(n_docs)]
+    ds = rd.from_items(docs).repartition(8)
+
+    t0 = time.time()
+    n_j = jaccard_pairs(ds, threshold=0.5, max_bucket=n_docs).count()
+    t_j = time.time() - t0
+    t0 = time.time()
+    n_s = simhash_pairs(ds, max_hamming=16, max_bucket=n_docs).count()
+    t_s = time.time() - t0
+    return {
+        "metric": "hot-anchor pair-verify wall (sec)",
+        "docs": n_docs, "pairs_possible": n_docs * (n_docs - 1) // 2,
+        "jaccard_sec": round(t_j, 2), "jaccard_pairs": int(n_j),
+        "simhash_sec": round(t_s, 2), "simhash_pairs": int(n_s),
+        "jaccard_vs_simhash": round(t_j / t_s, 2), "num_cpus": num_cpus,
+    }
+
+
+def bench_knn_many(n_docs: int = 6_000_000, n_queries: int = 1000,
+                   num_cpus: int = 32) -> dict:
+    """kNN with a THOUSAND broadcast query points (round-3 verdict #8
+    done-criterion): the per-batch top-k partial must stay one lexsort,
+    not a per-query Python loop."""
+    _init(num_cpus)
+    import ray.data as rd
+
+    from geomesa_ray.cells.shard import mix64
+    from geomesa_ray.stages.knn import knn
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lon = (mix64(ids) % np.uint64(360_000_000)).astype(np.float64) / 1e6 - 180.0
+        lat = (mix64(ids * np.uint64(3)) % np.uint64(180_000_000)).astype(np.float64) / 1e6 - 90.0
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    ds = rd.range(n_docs).map_batches(mk, batch_format="pyarrow")
+    rng = np.random.default_rng(7)
+    q = {"query_id": np.array([f"q{i:04d}" for i in range(n_queries)], dtype=object),
+         "lon": rng.uniform(-180, 180, n_queries),
+         "lat": rng.uniform(-85, 85, n_queries)}
+    t0 = time.time()
+    n = knn(ds, q, k=10).count()
+    dt = time.time() - t0
+    return {
+        "metric": "kNN wall with 1,000 broadcast queries (sec)",
+        "docs": n_docs, "queries": n_queries, "k": 10,
+        "sec": round(dt, 2), "result_rows": int(n),
+        "docs_per_sec": round(n_docs / dt, 1), "num_cpus": num_cpus,
+    }
+
+
+def bench_stats(n_rows: int = 48_000_000, num_cpus: int = 32) -> dict:
+    """stats_scan multi-sketch pass at 48M rows (round-3 verdict #2
+    done-criterion): the reduce is now the map-coalesced tree, so wall
+    should track the scan, not driver consumption (the density precedent
+    measured 185 s driver-reduce vs 21 s tree on this shape)."""
+    _init(num_cpus)
+    import ray.data as rd
+
+    from geomesa_ray.cells.shard import mix64
+    from geomesa_ray.stages.stats import stats_scan, z3_stats_scan
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = (mix64(ids) % np.uint64(1_000_000)).astype(np.int64)
+        tb = (mix64(ids * np.uint64(3)) % np.uint64(64)).astype(np.int64)
+        z3 = (mix64(ids * np.uint64(5)) >> np.uint64(2)).astype(np.int64)
+        return pa.table({"v": pa.array(v), "time_bin": pa.array(tb),
+                         "z3": pa.array(z3)})
+
+    def data():
+        return rd.range(n_rows).map_batches(mk, batch_format="pyarrow")
+
+    t0 = time.time()
+    stats = stats_scan(data(), "count;minmax(v);hll(v);moments(v)")
+    t_scan = time.time() - t0
+    n_count = int(stats[0].result())
+    t0 = time.time()
+    z3f = z3_stats_scan(data(), "time_bin", "z3", kind="frequency")
+    t_z3 = time.time() - t0
+    return {
+        "metric": "48M-row sketch scan wall (tree-merged reduce)",
+        "rows": n_rows, "stats_scan_sec": round(t_scan, 2),
+        "count": n_count, "z3_frequency_sec": round(t_z3, 2),
+        "z3_time_bins": len(getattr(z3f, "sketches", {})),
+        "num_cpus": num_cpus,
+    }
+
+
 if __name__ == "__main__":
     import ray
 
     mode = sys.argv[1]
-    defaults = {"dedup": 6_000_000, "extent": 3_000_000, "windows": 48_000_000}
+    defaults = {"dedup": 6_000_000, "extent": 3_000_000, "windows": 48_000_000,
+                "jaccard_hot": 4096, "knn_many": 6_000_000, "stats": 48_000_000}
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 1_000_000)
     if mode == "dedup":
         out = bench_dedup(n)
@@ -218,6 +323,12 @@ if __name__ == "__main__":
         out = bench_extent(n)
     elif mode == "windows":
         out = bench_windows(n)
+    elif mode == "jaccard_hot":
+        out = bench_jaccard_hot(n)
+    elif mode == "knn_many":
+        out = bench_knn_many(n)
+    elif mode == "stats":
+        out = bench_stats(n)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(json.dumps(out))
