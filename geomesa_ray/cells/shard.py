@@ -49,6 +49,43 @@ def fnv1a_str(values) -> np.ndarray:
     return h.reshape(arr.shape)
 
 
+def fnv1a_arrow(arr) -> np.ndarray:
+    """FNV-1a over the UTF-8 bytes of a pyarrow string array — identical
+    output to ``fnv1a_str`` but FULLY vectorized: the padded byte matrix is
+    gathered straight from the array's data buffer with one fancy-index
+    (no per-element Python encode/fill loop). Nulls hash like ''."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_large_string(arr.type) and not pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.large_string() if pa.types.is_string(arr.type) or
+                       pa.types.is_large_string(arr.type) else pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
+    data_buf = arr.buffers()[2]
+    buf = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else \
+        np.empty(0, dtype=np.uint8)
+    lens = np.diff(offs)
+    if arr.null_count:
+        valid_mask = ~np.asarray(arr.is_null())
+        lens = np.where(valid_mask, lens, 0)
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    pos = np.arange(maxlen, dtype=np.int64)
+    idx = offs[:-1, None] + pos[None, :]
+    active = pos[None, :] < lens[:, None]
+    mat = buf[np.where(active, idx, 0)]
+    for p in range(maxlen):
+        nh = (h ^ mat[:, p].astype(np.uint64)) * _FNV_PRIME
+        h = np.where(active[:, p], nh, h)
+    return h
+
+
 def mix64(h: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer (public-domain mixer): FNV alone has weak
     avalanche on sequential keys, which skews sketch/LSH distributions."""

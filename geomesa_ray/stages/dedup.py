@@ -332,12 +332,71 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", **kw):
 # ---------------------------------------------------------------------------
 
 
-def simhash64(texts: np.ndarray, max_chunk_tokens: int = 131_072) -> np.ndarray:
-    """Charikar simhash over whitespace tokens, vectorized ACROSS the batch:
+def simhash64(texts, max_chunk_tokens: int = 131_072) -> np.ndarray:
+    """Charikar simhash over whitespace tokens. ASCII batches (the common
+    corpus case) run a FULLY vectorized Arrow path — ``ascii_lower`` +
+    ``utf8_split_whitespace`` + buffer-gather FNV (``fnv1a_arrow``), zero
+    per-token Python objects; non-ASCII batches fall back to the Python
+    tokenizer whose ``str.lower()`` full case mapping the SQL oracle
+    mirrors (Arrow's simple case mapping differs on e.g. dotted capital I).
+    Accepts a numpy object array or a pyarrow (Chunked)Array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        arr = texts
+        np_texts = None
+    else:
+        np_texts = np.asarray(texts, dtype=object)
+        arr = pa.array([("" if t is None else str(t)) for t in np_texts],
+                       type=pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if bool(pc.all(pc.string_is_ascii(pc.fill_null(arr, ""))).as_py()):
+        return _simhash64_arrow(arr, n)
+    if np_texts is None:
+        np_texts = arr.to_numpy(zero_copy_only=False)
+    return _simhash64_py(np_texts, max_chunk_tokens)
+
+
+def _simhash64_arrow(arr, n: int) -> np.ndarray:
+    """Vectorized ASCII simhash: tokenization and hashing never touch
+    Python objects (Arrow kernels + one fancy-index FNV over the token
+    buffer); per-doc bit votes reduce with np.add.reduceat."""
+    import pyarrow.compute as pc
+
+    from geomesa_ray.cells.shard import fnv1a_arrow
+
+    toks = pc.utf8_split_whitespace(pc.ascii_lower(pc.fill_null(arr, "")))
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.binary_length(flat), 0)
+    flat = flat.filter(nonempty)
+    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+    seg_lens = np.bincount(parents, minlength=n).astype(np.int64)
+    h = _mix64(fnv1a_arrow(flat))
+    out = np.zeros(n, dtype=np.uint64)
+    idx = np.nonzero(seg_lens > 0)[0]
+    if len(idx) == 0:
+        return out
+    lens_nz = seg_lens[idx]
+    starts = np.cumsum(lens_nz) - lens_nz
+    sig = np.zeros(len(idx), dtype=np.uint64)
+    for b in np.arange(64, dtype=np.uint64):
+        ones = np.add.reduceat(((h >> b) & np.uint64(1)).astype(np.int64), starts)
+        sig |= (2 * ones > lens_nz).astype(np.uint64) << b
+    out[idx] = sig
+    return out
+
+
+def _simhash64_py(texts: np.ndarray, max_chunk_tokens: int = 131_072) -> np.ndarray:
+    """Python-tokenizer fallback (exact ``str.lower().split()`` semantics):
     all tokens of a doc-chunk hash in one fnv+mix pass and per-doc bit votes
-    reduce with a single ``np.add.reduceat`` (the round-2 per-document loop
-    is gone). ``max_chunk_tokens`` bounds the (tokens, 64) vote matrix to
-    ~64 MB per chunk regardless of document sizes."""
+    reduce with a single ``np.add.reduceat``. ``max_chunk_tokens`` bounds
+    the per-chunk token materialization."""
     toks_per = [str(t).lower().split() for t in texts]
     lens = np.array([len(t) for t in toks_per], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.uint64)
@@ -386,7 +445,7 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3, ba
     corpora (round-1 verdict: hot 16-bit bands were unbounded)."""
 
     def add_sim(t: pa.Table) -> pa.Table:
-        sh = simhash64(t.column(text_col).to_numpy(zero_copy_only=False))
+        sh = simhash64(t.column(text_col))  # Arrow in: zero-copy token path
         return pa.table({
             id_col: t.column(id_col),
             "simhash": pa.array(sh.astype(np.int64)),
