@@ -43,6 +43,11 @@ class KnnPartial:
         self.lat_col = lat_col
         self.max_distance_m = max_distance_m
 
+    # bound the per-task (queries x points) distance matrix: thousands of
+    # broadcast queries against a 64k-row batch would otherwise build a
+    # multi-hundred-MB float64 matrix per task
+    MAX_MATRIX_CELLS = 8 << 20  # 64 MB of float64
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
         lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
@@ -56,25 +61,43 @@ class KnnPartial:
                 "neighbor_id": pa.array([], type=id_type),
                 "distance_m": pa.array([], type=pa.float64()),
             })
-        d = haversine_matrix_m(self.qlon, self.qlat, lon, lat)  # (nq, np)
-        kk = min(self.k, d.shape[1])
         # total order (distance, neighbor_id): exact-distance ties at the k
         # boundary must resolve identically in every partial and in the
         # final merge, or the global top-k is block-split-dependent
         tie = ids if ids.dtype.kind in "iu" else ids.astype(str)
-        # ONE lexsort over (query, distance, tie) for all queries at once —
-        # a per-query Python loop here is O(queries) driver-code iterations
-        # and shows up when thousands of query points are broadcast
-        nq, npts = d.shape
-        flat = np.lexsort((np.tile(tie, nq), d.ravel(),
-                           np.repeat(np.arange(nq), npts)))
-        sel = flat.reshape(nq, npts)[:, :kk]
-        rows = np.repeat(np.arange(nq), kk)
-        cols = (sel % npts).ravel()
-        dist = d[rows, cols]
-        if self.max_distance_m is not None:
-            keep = dist <= self.max_distance_m
-            rows, cols, dist = rows[keep], cols[keep], dist[keep]
+        npts = len(lon)
+        nq_all = len(self.qlon)
+        q_chunk = max(1, min(nq_all, self.MAX_MATRIX_CELLS // max(npts, 1)))
+        out_r, out_c, out_d = [], [], []
+        for q0 in range(0, nq_all, q_chunk):
+            q1 = min(q0 + q_chunk, nq_all)
+            d = haversine_matrix_m(self.qlon[q0:q1], self.qlat[q0:q1], lon, lat)
+            nq = q1 - q0
+            kk = min(self.k, npts)
+            # O(cells) selection: per-row kth-distance threshold via
+            # np.partition, then ONE lexsort over only the <=threshold
+            # candidates (ties included -> exact (distance, id) order;
+            # candidate count ~= nq*k unless distances massively tie).
+            # Never a per-query Python loop.
+            thr = np.partition(d, kk - 1, axis=1)[:, kk - 1:kk]
+            r, c = np.nonzero(d <= thr)
+            order = np.lexsort((tie[c], d[r, c], r))
+            r, c = r[order], c[order]
+            counts = np.bincount(r, minlength=nq)
+            starts = np.cumsum(counts) - counts
+            rank = np.arange(len(r)) - starts[r]
+            keep = rank < kk
+            rows, cols = r[keep], c[keep]
+            dist = d[rows, cols]
+            if self.max_distance_m is not None:
+                within = dist <= self.max_distance_m
+                rows, cols, dist = rows[within], cols[within], dist[within]
+            out_r.append(rows + q0)
+            out_c.append(cols)
+            out_d.append(dist)
+        rows = np.concatenate(out_r)
+        cols = np.concatenate(out_c)
+        dist = np.concatenate(out_d)
         return pa.table({
             "query_id": pa.array(self.qids[rows].astype(str)),
             "neighbor_id": pa.array(ids[cols]),
