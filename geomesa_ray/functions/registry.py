@@ -1328,15 +1328,56 @@ def _pieces_to_wkt(pieces) -> str:
     return format_wkt({"type": "MultiPolygon", "coords": [[_close(p)] for p in keep]})
 
 
+def _clip_line_to_polygon(line: np.ndarray, poly: np.ndarray) -> str:
+    """LineString ∩ Polygon as WKT: per segment, Liang-Barsky parameter
+    intervals against each convex piece of the (possibly concave, ear-
+    clipped) polygon, merged by interval union — seam duplicates collapse
+    and adjacent triangle pieces rejoin, so single-segment results come
+    back unfragmented. Degenerate (single-point) touches are dropped
+    (documented difference from JTS, which returns POINT parts)."""
+    from geomesa_ray.geo.poly import _ccw, decompose_convex
+    from geomesa_ray.geo.relate import _clip_param
+
+    pieces = [_ccw(p) for p in decompose_convex(poly)]
+    parts = []
+    for s in range(len(line) - 1):
+        p0, p1 = line[s], line[s + 1]
+        d = p1 - p0
+        ivs = []
+        for cp in pieces:
+            r = _clip_param(p0, d, cp)
+            if r is not None and r[1] > r[0]:
+                ivs.append(r)
+        ivs.sort()
+        merged: list[list[float]] = []
+        for lo, hi in ivs:
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        for lo, hi in merged:
+            a = p0 + lo * d
+            b = p0 + hi * d
+            parts.append((a, b))
+    if not parts:
+        return "LINESTRING EMPTY"
+    fmt = [f"({a[0]} {a[1]}, {b[0]} {b[1]})" for a, b in parts]
+    if len(fmt) == 1:
+        return "LINESTRING " + fmt[0].replace("(", "(", 1)
+    return "MULTILINESTRING (" + ", ".join(fmt) + ")"
+
+
 def f_st_intersection(values_a, values_b):
-    """st_intersection for polygon x polygon. Either-side-convex pairs use
-    one Sutherland-Hodgman clip (the convex side is the clipper); a
-    concave x concave pair is handled by ear-clip convex decomposition of
-    BOTH sides (geo/poly.ear_clip) and pairwise convex clips. The concave
-    result is a piecewise MULTIPOLYGON whose pieces may share seam edges —
-    area-exact and coverage-exact vs JTS, but not the unioned topology JTS
-    returns (documented; the area-conservation oracle `concave_clip`
-    verifies the piece sum)."""
+    """st_intersection for polygon x polygon and line x polygon. Either-
+    side-convex polygon pairs use one Sutherland-Hodgman clip (the convex
+    side is the clipper); a concave x concave pair is handled by ear-clip
+    convex decomposition of BOTH sides (geo/poly.ear_clip) and pairwise
+    convex clips. The concave result is a piecewise MULTIPOLYGON whose
+    pieces may share seam edges — area-exact and coverage-exact vs JTS,
+    but not the unioned topology JTS returns (documented; the
+    area-conservation oracle `concave_clip` verifies the piece sum).
+    Line x polygon clips by Liang-Barsky interval union (`line_clip`
+    oracle)."""
     from geomesa_ray.geo.poly import convex_clip, decompose_convex, is_convex
     from geomesa_ray.geo.wkt import format_wkt
 
@@ -1345,7 +1386,17 @@ def f_st_intersection(values_a, values_b):
     out = np.empty(len(va), dtype=object)
     for i in range(len(va)):
         ga, gb = _parse_or_none(va[i]), _parse_or_none(vb[i])
-        if ga is None or gb is None or ga["type"] != "Polygon" or gb["type"] != "Polygon":
+        if ga is None or gb is None:
+            out[i] = None
+            continue
+        kinds = (ga["type"], gb["type"])
+        if kinds == ("LineString", "Polygon") or kinds == ("Polygon", "LineString"):
+            gl, gp = (ga, gb) if kinds[0] == "LineString" else (gb, ga)
+            out[i] = _clip_line_to_polygon(
+                np.asarray(gl["coords"], dtype=np.float64),
+                np.asarray(gp["coords"][0], dtype=np.float64))
+            continue
+        if kinds != ("Polygon", "Polygon"):
             out[i] = None
             continue
         sa = np.asarray(ga["coords"][0], dtype=np.float64)

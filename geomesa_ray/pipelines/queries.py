@@ -1458,6 +1458,86 @@ def oracle_concave_clip() -> str:
     """
 
 
+def q_line_clip(sf_dir: str):
+    """st_intersection(line, CONCAVE polygon) end-to-end: an integer
+    horizontal segment clipped to the L-shaped hexagon (ear-clip pieces +
+    Liang-Barsky interval union). A horizontal line meets an L in at most
+    one interval, emitted as numeric columns (integer coords -> FP-exact);
+    the oracle re-derives the interval with pure 1-D algebra."""
+    from geomesa_ray.functions.registry import call
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    def clip(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        ax = (ids % 5).astype(np.int64)
+        ay = (ids % 7).astype(np.int64)
+        aw = (ids % 3 + 2).astype(np.int64)
+        ah = (ids % 4 + 2).astype(np.int64)
+        yl = (ids % 6).astype(np.int64)
+        lx0 = (ids % 7 - 3).astype(np.int64)
+        lx1 = lx0 + 4 + (ids % 5).astype(np.int64)
+        wl = np.array([f"LINESTRING ({x0} {y}, {x1} {y})"
+                       for x0, y, x1 in zip(lx0, yl, lx1)], dtype=object)
+        wp = np.array([_l_ring_wkt(*p) for p in zip(ax, ay, aw, ah)], dtype=object)
+        res = call("st_intersection", wl, wp)
+        n = np.zeros(len(ids), dtype=np.int64)
+        px0 = np.full(len(ids), np.nan)
+        px1 = np.full(len(ids), np.nan)
+        for i, wkt in enumerate(res):
+            if wkt is None or wkt == "LINESTRING EMPTY":
+                continue
+            g = parse_wkt(wkt)
+            chains = [g["coords"]] if g["type"] == "LineString" else g["coords"]
+            n[i] = len(chains)
+            c = np.asarray(chains[0], dtype=np.float64)
+            px0[i] = min(c[0][0], c[-1][0])
+            px1[i] = max(c[0][0], c[-1][0])
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "n_pieces": pa.array(n),
+            # no-intersection rows must be NULL (not NaN) to match SQL
+            "px0": pa.array(px0, mask=np.isnan(px0)),
+            "px1": pa.array(px1, mask=np.isnan(px1)),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(clip, batch_format="pyarrow")
+    )
+
+
+def oracle_line_clip() -> str:
+    """Horizontal-line x L-shape clip from 1-D interval algebra: the L =
+    R1 ∪ R2 (both starting at ax), so the y-slice is a single interval
+    [ax, max(reachable ends)]; intersect with the line's x-span."""
+    return """
+    WITH s AS (
+      SELECT event_id,
+             CAST(event_id % 5 AS DOUBLE) AS ax, CAST(event_id % 7 AS DOUBLE) AS ay,
+             CAST(event_id % 3 + 2 AS DOUBLE) AS aw, CAST(event_id % 4 + 2 AS DOUBLE) AS ah,
+             CAST(event_id % 6 AS DOUBLE) AS yl,
+             CAST(event_id % 7 - 3 AS DOUBLE) AS lx0,
+             CAST(event_id % 7 - 3 + 4 + event_id % 5 AS DOUBLE) AS lx1
+      FROM events
+    ), u AS (
+      SELECT event_id, lx0, lx1,
+             CASE WHEN yl BETWEEN ay AND ay + 1 THEN ax + aw
+                  WHEN yl BETWEEN ay AND ay + ah THEN ax + 1
+                  ELSE NULL END AS uhi,
+             CASE WHEN yl BETWEEN ay AND ay + ah THEN ax ELSE NULL END AS ulo
+      FROM s
+    )
+    SELECT event_id,
+           CAST(CASE WHEN ulo IS NOT NULL AND LEAST(uhi, lx1) > GREATEST(ulo, lx0)
+                THEN 1 ELSE 0 END AS BIGINT) AS n_pieces,
+           CASE WHEN ulo IS NOT NULL AND LEAST(uhi, lx1) > GREATEST(ulo, lx0)
+                THEN GREATEST(ulo, lx0) END AS px0,
+           CASE WHEN ulo IS NOT NULL AND LEAST(uhi, lx1) > GREATEST(ulo, lx0)
+                THEN LEAST(uhi, lx1) END AS px1
+    FROM u
+    """
+
+
 _TTL_NOW_MS = 1_706_659_032_194  # max event ts in the corpus (fixed reference instant)
 _TTL_MS = 86_400_000  # 1-day age-off: 17 of 150 users fully expire at sf0.01
 
@@ -3414,6 +3494,7 @@ QUERIES = {
     "relate_lines": q_relate_lines,
     "concave_clip": q_concave_clip,
     "geojson_roundtrip": q_geojson_roundtrip,
+    "line_clip": q_line_clip,
     # --- (c) code path changed in round 4
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "asof_prev_view": q_asof_prev_view,
@@ -3443,9 +3524,9 @@ QUERIES = {
     "latest_event": q_latest_event,
     "tumbling_hour": q_tumbling_hour,
     "sliding_hour": q_sliding_hour,
-    "session_windows": q_session_windows,
     # ------------- position 51+ (unsampled this round; all have r1-r3
-    # green driver rows and stay in the 72/72 local gate) -------------
+    # green driver rows and stay in the full local gate) -------------
+    "session_windows": q_session_windows,
     "time_bins": q_time_bins,
     "agg_lineitem": q_agg_lineitem,
     "topk_customers": q_topk_customers,
@@ -3541,6 +3622,7 @@ ORACLES = {
     "relate_lines": oracle_relate_lines(),
     "concave_clip": oracle_concave_clip(),
     "geojson_roundtrip": oracle_geojson_roundtrip(),
+    "line_clip": oracle_line_clip(),
     "ttl_latest": oracle_ttl_latest(),
     "expr_score": oracle_expr_score(),
 }

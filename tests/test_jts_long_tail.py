@@ -236,3 +236,39 @@ class TestConcaveSetOps:
             ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
             tris = ear_clip(ring)
             assert abs(sum(signed_area(t) for t in tris) - abs(signed_area(ring))) < 1e-9
+
+
+class TestLinePolygonClip:
+    """Round 4: st_intersection(line, polygon) via Liang-Barsky unions."""
+
+    L = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+
+    def _clip(self, line):
+        return call("st_intersection", np.array([line], dtype=object),
+                    np.array([self.L], dtype=object))[0]
+
+    def test_bottom_arm(self):
+        assert self._clip("LINESTRING (-5 0.5, 10 0.5)") == "LINESTRING (0.0 0.5, 4.0 0.5)"
+
+    def test_tall_arm(self):
+        assert self._clip("LINESTRING (-5 3, 10 3)") == "LINESTRING (0.0 3.0, 2.0 3.0)"
+
+    def test_miss(self):
+        assert self._clip("LINESTRING (-5 5, 10 5)") == "LINESTRING EMPTY"
+
+    def test_diagonal_through_corner(self):
+        assert self._clip("LINESTRING (-1 -1, 5 5)") == "LINESTRING (0.0 0.0, 2.0 2.0)"
+
+    def test_reversed_args(self):
+        got = call("st_intersection", np.array([self.L], dtype=object),
+                   np.array(["LINESTRING (-5 3, 10 3)"], dtype=object))[0]
+        assert got == "LINESTRING (0.0 3.0, 2.0 3.0)"
+
+    def test_multi_piece_convex(self):
+        # zig-zag line exits and re-enters a convex square -> 2 pieces
+        sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        got = call("st_intersection",
+                   np.array(["LINESTRING (2 5, 2 15, 8 15, 8 5)"], dtype=object),
+                   np.array([sq], dtype=object))[0]
+        assert got.startswith("MULTILINESTRING")
+        assert got.count("(") == 3  # outer + two pieces
