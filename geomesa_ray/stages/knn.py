@@ -24,8 +24,17 @@ import pyarrow as pa
 
 import ray
 
-from geomesa_ray.geo.distance import haversine_matrix_m
+from geomesa_ray.geo.distance import haversine_m, haversine_matrix_m
 from geomesa_ray.util import default_concurrency, tree_topk
+
+
+def _unit_vectors(lon, lat) -> np.ndarray:
+    """(n,) lon/lat degrees -> (n, 3) unit vectors on the sphere; the dot
+    product gives cos(central angle), a monotone stand-in for haversine."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    cp = np.cos(phi)
+    return np.stack([cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)], axis=1)
 
 
 class KnnPartial:
@@ -37,6 +46,7 @@ class KnnPartial:
         self.qids = np.asarray(q["query_id"], dtype=object)
         self.qlon = np.asarray(q["lon"], dtype=np.float64)
         self.qlat = np.asarray(q["lat"], dtype=np.float64)
+        self.qvec = _unit_vectors(self.qlon, self.qlat)  # (nq, 3)
         self.k = k
         self.id_col = id_col
         self.lon_col = lon_col
@@ -68,27 +78,31 @@ class KnnPartial:
         npts = len(lon)
         nq_all = len(self.qlon)
         q_chunk = max(1, min(nq_all, self.MAX_MATRIX_CELLS // max(npts, 1)))
+        pvec = _unit_vectors(lon, lat)  # (np, 3): O(npts) trig, once per batch
         out_r, out_c, out_d = [], [], []
         for q0 in range(0, nq_all, q_chunk):
             q1 = min(q0 + q_chunk, nq_all)
-            d = haversine_matrix_m(self.qlon[q0:q1], self.qlat[q0:q1], lon, lat)
             nq = q1 - q0
             kk = min(self.k, npts)
-            # O(cells) selection: per-row kth-distance threshold via
-            # np.partition, then ONE lexsort over only the <=threshold
-            # candidates (ties included -> exact (distance, id) order;
-            # candidate count ~= nq*k unless distances massively tie).
-            # Never a per-query Python loop.
-            thr = np.partition(d, kk - 1, axis=1)[:, kk - 1:kk]
-            r, c = np.nonzero(d <= thr)
-            order = np.lexsort((tie[c], d[r, c], r))
-            r, c = r[order], c[order]
+            # BLAS prefilter: cos(central angle) = unit-vector dot product,
+            # a MONOTONE transform of the haversine distance — one matmul
+            # (6 flops/cell) replaces per-cell transcendentals. The kth dot
+            # minus an FP guard band keeps a GUARANTEED superset of the
+            # true top-k; exact haversine (bit-identical formula to the
+            # full-matrix path) re-ranks only the ~k candidates per query.
+            dots = self.qvec[q0:q1] @ pvec.T  # (nq, npts)
+            thr = np.partition(dots, npts - kk, axis=1)[:, npts - kk:npts - kk + 1]
+            r, c = np.nonzero(dots >= thr - 1e-12)
+            del dots
+            dcand = haversine_m(self.qlon[q0 + r], self.qlat[q0 + r], lon[c], lat[c])
+            # exact (distance, id) selection within each query's candidates
+            order = np.lexsort((tie[c], dcand, r))
+            r, c, dcand = r[order], c[order], dcand[order]
             counts = np.bincount(r, minlength=nq)
             starts = np.cumsum(counts) - counts
             rank = np.arange(len(r)) - starts[r]
             keep = rank < kk
-            rows, cols = r[keep], c[keep]
-            dist = d[rows, cols]
+            rows, cols, dist = r[keep], c[keep], dcand[keep]
             if self.max_distance_m is not None:
                 within = dist <= self.max_distance_m
                 rows, cols, dist = rows[within], cols[within], dist[within]
