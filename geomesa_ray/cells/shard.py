@@ -30,9 +30,17 @@ def fnv1a_u64(values: np.ndarray) -> np.ndarray:
 
 
 def fnv1a_str(values) -> np.ndarray:
-    """FNV-1a over UTF-8 bytes of each string (object/str array). Vectorized
-    per fixed byte position over a padded byte matrix."""
+    """FNV-1a over UTF-8 bytes of each string (object/str array). Fast path
+    round-trips through Arrow (`fnv1a_arrow` — C-level conversion + one
+    buffer-gather, no per-element Python encode); mixed/odd element types
+    fall back to the padded-byte-matrix implementation."""
     arr = np.asarray(values, dtype=object)
+    try:
+        import pyarrow as pa
+
+        return fnv1a_arrow(pa.array(arr.ravel())).reshape(arr.shape)
+    except Exception:
+        pass
     encoded = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in arr.ravel()]
     maxlen = max((len(b) for b in encoded), default=0)
     if maxlen == 0:
@@ -69,20 +77,36 @@ def fnv1a_arrow(arr) -> np.ndarray:
     buf = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else \
         np.empty(0, dtype=np.uint8)
     lens = np.diff(offs)
-    if arr.null_count:
+    has_nulls = bool(arr.null_count)
+    if has_nulls:
         valid_mask = ~np.asarray(arr.is_null())
         lens = np.where(valid_mask, lens, 0)
     maxlen = int(lens.max()) if n else 0
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     if maxlen == 0:
         return h
-    pos = np.arange(maxlen, dtype=np.int64)
-    idx = offs[:-1, None] + pos[None, :]
-    active = pos[None, :] < lens[:, None]
-    mat = buf[np.where(active, idx, 0)]
+    if not has_nulls:
+        # O(total_bytes) padded-matrix build: rows are contiguous in the
+        # data buffer, so one repeat+arange scatter fills (n, maxlen) —
+        # ~8x less memory traffic than an (n, maxlen) fancy-index gather
+        start0 = offs[0]
+        total = int(offs[-1] - start0)
+        # int32 index math while it fits (4x less intermediate traffic)
+        idt = np.int32 if n * maxlen < 2**31 and total < 2**31 else np.int64
+        dst = np.repeat((np.arange(n, dtype=idt) * idt(maxlen))
+                        - (offs[:-1] - start0).astype(idt), lens)
+        dst += np.arange(total, dtype=idt)
+        flat = np.zeros(n * maxlen, dtype=np.uint8)
+        flat[dst] = buf[start0:start0 + total]
+        mat = flat.reshape(n, maxlen)
+    else:  # nulls leave gaps between offsets; use the explicit gather
+        pos = np.arange(maxlen, dtype=np.int64)
+        idx = offs[:-1, None] + pos[None, :]
+        active = pos[None, :] < lens[:, None]
+        mat = buf[np.where(active, idx, 0)]
     for p in range(maxlen):
         nh = (h ^ mat[:, p].astype(np.uint64)) * _FNV_PRIME
-        h = np.where(active[:, p], nh, h)
+        h = np.where(lens > p, nh, h)
     return h
 
 
