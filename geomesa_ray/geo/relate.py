@@ -399,13 +399,45 @@ def _relate_line_line(a: np.ndarray, b: np.ndarray) -> str:
     )
 
 
+def _relate_mpoint_point(pts: np.ndarray, p: np.ndarray) -> str:
+    hit = bool((pts == p).all(axis=1).any())
+    extra = bool((~(pts == p).all(axis=1)).any())
+    if hit:
+        return "0F" + ("0" if extra else F) + "FFFFF2"
+    return "FF0FFF0F2"
+
+
+def _relate_mpoint_line(pts: np.ndarray, line: np.ndarray) -> str:
+    bnd = _line_boundary(line)
+    on_b = np.array([any((p == e).all() for e in bnd) for p in pts], dtype=bool)
+    on_l = np.array([_pt_on_line(p, line) for p in pts], dtype=bool)
+    covered = {tuple(p) for p in pts}
+    eb = "0" if any(tuple(e) not in covered for e in bnd) else F
+    return (("0" if bool((on_l & ~on_b).any()) else F)
+            + ("0" if bool(on_b.any()) else F)
+            + ("0" if bool((~on_l).any()) else F)
+            + "FFF" + "1" + eb + "2")
+
+
+def _relate_mpoint_poly(pts: np.ndarray, poly: np.ndarray) -> str:
+    where = [_point_in(poly, p[0], p[1]) for p in pts]
+    ii = "0" if "i" in where else F
+    ib = "0" if "b" in where else F
+    ie = "0" if "e" in where else F
+    return ii + ib + ie + "FFF" + "212"
+
+
 def relate(ga: dict, gb: dict) -> str:
-    """DE-9IM matrix for two parse_wkt geometries: Point / LineString /
-    convex Polygon, all pair combinations."""
+    """DE-9IM matrix for two parse_wkt geometries: Point / MultiPoint /
+    LineString / convex Polygon pair combinations (MultiPoint has no
+    boundary — JTS mod-0 rule for puntal geometry)."""
 
     def classify(g):
         if g["type"] == "Point":
             return "pt", np.asarray(g["coords"], dtype=np.float64)
+        if g["type"] == "MultiPoint":
+            pts = np.asarray(g["coords"], dtype=np.float64).reshape(-1, 2)
+            return "mpt", np.unique(pts, axis=0)
         if g["type"] == "LineString":
             return "line", np.asarray(g["coords"], dtype=np.float64)
         if g["type"] == "Polygon":
@@ -413,10 +445,29 @@ def relate(ga: dict, gb: dict) -> str:
             if (ring[0] == ring[-1]).all():
                 ring = ring[:-1]
             return "poly", ring
-        raise ValueError(f"st_relate supports Point/LineString/Polygon, got {g['type']}")
+        raise ValueError(
+            f"st_relate supports Point/MultiPoint/LineString/Polygon, got {g['type']}")
 
     ka, va = classify(ga)
     kb, vb = classify(gb)
+    if ka == "mpt" or kb == "mpt":
+        if ka == "mpt" and kb == "pt":
+            return _relate_mpoint_point(va, vb)
+        if ka == "pt" and kb == "mpt":
+            return _transpose(_relate_mpoint_point(vb, va))
+        if ka == "mpt" and kb == "mpt":
+            a_in = np.array([(vb == p).all(axis=1).any() for p in va])
+            b_in = np.array([(va == p).all(axis=1).any() for p in vb])
+            return (("0" if a_in.any() else F) + F
+                    + ("0" if (~a_in).any() else F) + "FFF"
+                    + ("0" if (~b_in).any() else F) + F + "2")
+        if ka == "mpt" and kb == "line":
+            return _relate_mpoint_line(va, vb)
+        if ka == "line" and kb == "mpt":
+            return _transpose(_relate_mpoint_line(vb, va))
+        if ka == "mpt" and kb == "poly":
+            return _relate_mpoint_poly(va, vb)
+        return _transpose(_relate_mpoint_poly(vb, va))
     if ka == "pt" and kb == "pt":
         return _relate_point_point(va, vb)
     if ka == "pt" and kb == "poly":

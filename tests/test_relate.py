@@ -188,3 +188,34 @@ class TestLineLine:
                     np.array(["LINESTRING (0 0, 10 0)"], dtype=object))[0] == "0FFFFF102"
         assert call("st_relate", np.array(["LINESTRING (0 0, 10 0)"], dtype=object),
                     np.array(["POINT (0 0)"], dtype=object))[0] == _tr("F0FFFF102")
+
+
+class TestMultiPointRelate:
+    """Round 4: MultiPoint DE-9IM (puntal geometry has no boundary)."""
+
+    CASES = [
+        ("MULTIPOINT ((5 5), (15 15))", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "0F0FFF212"),
+        ("MULTIPOINT ((5 5), (6 6))", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "0FFFFF212"),
+        ("MULTIPOINT ((10 5), (15 15))", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "F00FFF212"),
+        ("MULTIPOINT ((1 1), (2 2))", "POINT (1 1)", "0F0FFFFF2"),
+        ("MULTIPOINT ((1 1))", "POINT (1 1)", "0FFFFFFF2"),
+        ("MULTIPOINT ((1 1), (2 2))", "POINT (9 9)", "FF0FFF0F2"),
+        ("MULTIPOINT ((5 0), (20 0))", "LINESTRING (0 0, 10 0)", "0F0FFF102"),
+        ("MULTIPOINT ((0 0), (10 0))", "LINESTRING (0 0, 10 0)", "F0FFFF1F2"),
+        ("MULTIPOINT ((0 0), (5 5))", "LINESTRING (0 0, 10 0)", "F00FFF102"),
+        ("MULTIPOINT ((1 1), (2 2))", "MULTIPOINT ((2 2), (3 3))", "0F0FFF0F2"),
+        ("MULTIPOINT ((1 1))", "MULTIPOINT ((1 1))", "0FFFFFFF2"),
+        # transposed polygon case
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "MULTIPOINT ((5 5), (15 15))", "0F2FF10F2"),
+    ]
+
+    @pytest.mark.parametrize("a,b,exp", CASES)
+    def test_matrix(self, a, b, exp):
+        got = call("st_relate", np.array([a], dtype=object),
+                   np.array([b], dtype=object))[0]
+        assert got == exp
+
+    def test_duplicate_points_dedup(self):
+        got = call("st_relate", np.array(["MULTIPOINT ((1 1), (1 1))"], dtype=object),
+                   np.array(["POINT (1 1)"], dtype=object))[0]
+        assert got == "0FFFFFFF2"  # equals: dupes collapse, no extra point
