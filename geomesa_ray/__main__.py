@@ -119,6 +119,14 @@ def cmd_export(args):
         from geomesa_ray.stages.geojson_export import write_geojson
 
         write_geojson(ds, args.out, lon_col=args.lon_col, lat_col=args.lat_col)
+    elif args.format == "gml":
+        from geomesa_ray.stages.gml_export import write_gml
+
+        write_gml(ds, args.out, lon_col=args.lon_col, lat_col=args.lat_col)
+    elif args.format == "leaflet":
+        from geomesa_ray.stages.geojson_export import write_leaflet
+
+        write_leaflet(ds, args.out, lon_col=args.lon_col, lat_col=args.lat_col)
     elif args.format == "csv":
         ds.write_csv(args.out)
     elif args.format == "json":
@@ -168,7 +176,7 @@ def main(argv=None):
     s = sub.add_parser("export")
     s.add_argument("--indexed", required=True)
     s.add_argument("--format", default="arrow",
-                   choices=["arrow", "bin", "csv", "json", "geojson"])
+                   choices=["arrow", "bin", "csv", "json", "geojson", "gml", "leaflet"])
     s.add_argument("--out", required=True)
     s.add_argument("--dict-cols", default=None)
     s.add_argument("--track-col", default="doc_id")

@@ -139,3 +139,66 @@ def read_geojson(paths):
         return out
 
     return rd.from_items([{"path": p} for p in paths]).flat_map(parse)
+
+
+_LEAFLET_TEMPLATE = """<!DOCTYPE html>
+<html>
+<head>
+  <title>geomesa_ray export</title>
+  <meta charset="utf-8"/>
+  <link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+  <script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+  <script src="https://unpkg.com/leaflet.heat@0.2.0/dist/leaflet-heat.js"></script>
+  <style>html, body, #map {{ height: 100%; margin: 0; }}</style>
+</head>
+<body>
+<div id="map"></div>
+<script>
+var points = {geojson};
+
+var heat = {heat};
+
+var map = L.map('map');
+L.tileLayer('https://{{s}}.tile.openstreetmap.org/{{z}}/{{x}}/{{y}}.png',
+            {{maxZoom: 19, attribution: '&copy; OpenStreetMap contributors'}}).addTo(map);
+var layer = L.geoJSON(points).addTo(map);
+if (heat.length) {{ L.heatLayer(heat, {{radius: 20}}).addTo(map); }}
+try {{ map.fitBounds(layer.getBounds()); }} catch (e) {{ map.setView([0, 0], 2); }}
+</script>
+</body>
+</html>
+"""
+
+
+def write_leaflet(ds, out_html: str, lon_col: str = "lon", lat_col: str = "lat",
+                  id_col: str | None = None, props: list[str] | None = None,
+                  max_features: int = 10_000):
+    """Self-contained Leaflet preview page (LeafletMapExporter.scala analog):
+    an index.html embedding the features as ``var points = <geojson>`` plus
+    a coordinate-count heat layer. A map PREVIEW is inherently bounded —
+    ``max_features`` caps the embedded collection (the distributed-export
+    path for full datasets is ``write_geojson``); the heat weights still
+    aggregate the capped sample per rounded coordinate, matching the
+    reference's coordMap counting."""
+    import collections
+    import json
+    import os
+
+    lines = geojson_feature_lines(ds.limit(max_features), lon_col, lat_col,
+                                  id_col, props)
+    feats = [r["feature"] for r in lines.take_all()]
+    counts: collections.Counter = collections.Counter()
+    for f in feats:
+        c = json.loads(f)["geometry"]["coordinates"]
+        counts[(round(c[1], 4), round(c[0], 4))] += 1
+    heat = [[la, lo, n] for (la, lo), n in counts.items()]
+    html = _LEAFLET_TEMPLATE.format(
+        geojson='{"type":"FeatureCollection","features":[' + ",".join(feats) + "]}",
+        heat=json.dumps(heat),
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(out_html)) or ".", exist_ok=True)
+    tmp = out_html + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(html)
+    os.replace(tmp, out_html)
+    return {"path": out_html, "count": len(feats)}

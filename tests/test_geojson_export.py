@@ -72,3 +72,54 @@ class TestGeoJsonExport:
         assert all(r["path"].endswith(".geojsonl") for r in manifest)
         back = read_geojson([r["path"] for r in manifest]).to_pandas()
         assert sorted(back["k"]) == [1, 2]
+
+
+class TestGmlExport:
+    def test_members_parse_and_escape(self, ray_session, tmp_path):
+        import xml.etree.ElementTree as ET
+
+        import ray.data as rd
+
+        from geomesa_ray.stages.gml_export import write_gml
+
+        df = pd.DataFrame({
+            "name": ["a<b&c", 'q"x', "plain'"],
+            "v": [1.5, 2.5, 3.5],
+            "lon": [1.0, 2.0, 3.0],
+            "lat": [4.0, 5.0, 6.0],
+        })
+        out = str(tmp_path / "gml")
+        man = write_gml(rd.from_pandas(df), out, id_col=None).take_all()
+        assert sum(r["count"] for r in man) == 3
+        GML = "{http://www.opengis.net/gml}"
+        GM = "{http://geomesa.org}"
+        names, poses = [], []
+        for r in man:
+            root = ET.parse(r["path"]).getroot()
+            for m in root.findall(f".//{GML}featureMember"):
+                names.append(m.find(f".//{GM}name").text)
+                poses.append(m.find(f".//{GML}pos").text)
+        assert sorted(names) == sorted(df["name"])  # escaping round-trips
+        assert "4.0 1.0" in poses  # (lat lon) axis order
+
+    def test_leaflet_page(self, ray_session, tmp_path):
+        import json
+
+        import ray.data as rd
+
+        from geomesa_ray.stages.geojson_export import write_leaflet
+
+        df = pd.DataFrame({"n": [1, 2], "lon": [2.35, 2.35], "lat": [48.85, 48.85]})
+        out = str(tmp_path / "map.html")
+        res = write_leaflet(rd.from_pandas(df), out)
+        html = open(out).read()
+        assert res["count"] == 2
+        start = html.index("var points = ") + len("var points = ")
+        end = html.index(";\n", start)
+        fc = json.loads(html[start:end])
+        assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 2
+        # duplicate coordinate aggregates to one heat entry of weight 2
+        hs = html.index("var heat = ") + len("var heat = ")
+        he = html.index(";\n", hs)
+        heat = json.loads(html[hs:he])
+        assert heat == [[48.85, 2.35, 2]]
