@@ -170,58 +170,83 @@ def _seg_on_edge(p0, p1, poly) -> bool:
     return bool(((cr == 0) & (c0 == 0)).any())
 
 
-def _relate_line_poly(line: np.ndarray, poly: np.ndarray) -> str:
-    """LineString x convex Polygon DE-9IM.
+def _line_boundary(line: np.ndarray) -> list[np.ndarray]:
+    """JTS mod-2 boundary rule for a single LineString: the two global
+    endpoints, or EMPTY when the line is closed (ring)."""
+    if len(line) >= 2 and (line[0] == line[-1]).all():
+        return []
+    return [line[0], line[-1]]
 
-    Each line segment Liang-Barsky-clips against the closed polygon; the
-    clipped piece contributes to int(A)∩int(B) unless it runs ALONG an edge
-    (then it is interior∩boundary, dim 1); clip endpoints interior to the
-    line contribute boundary-touch points (dim 0). Line boundary = the two
-    global endpoints."""
+
+def _mls_boundary(chains: list[np.ndarray]) -> list[np.ndarray]:
+    """JTS Mod2BoundaryNodeRule for a (Multi)LineString: endpoints whose
+    valence across components is ODD (two chains meeting end-to-end fuse —
+    the shared point is interior; closed components contribute nothing)."""
+    counts: dict[tuple, int] = {}
+    for ch in chains:
+        if len(ch) >= 2 and (ch[0] == ch[-1]).all():
+            continue
+        for e in (ch[0], ch[-1]):
+            key = (float(e[0]), float(e[1]))
+            counts[key] = counts.get(key, 0) + 1
+    return [np.array(k) for k, c in counts.items() if c % 2 == 1]
+
+
+def _in_bnd(p, bnd) -> bool:
+    return any((p == e).all() for e in bnd)
+
+
+def _relate_line_poly(chains: list[np.ndarray], bnd: list[np.ndarray],
+                      poly: np.ndarray) -> str:
+    """(Multi)LineString x convex Polygon DE-9IM.
+
+    Each segment Liang-Barsky-clips against the closed polygon; the clipped
+    piece contributes to int(A)∩int(B) unless it runs ALONG an edge (then it
+    is interior∩boundary, dim 1); clip touch points that are not boundary
+    nodes of A contribute dim-0 interior∩boundary. ``bnd`` is the mod-2
+    boundary node set (coordinate membership — positional end checks break
+    for multi-component and closed inputs)."""
     # CCW orientation for the clip normals
     x, y = poly[:, 0], poly[:, 1]
     if (x * np.roll(y, -1) - np.roll(x, -1) * y).sum() < 0:
         poly = poly[::-1]
 
-    ii = ib = ie = False
+    ii = ie = False
     ib_dim = -1
     eps = 1e-12
-    n_seg = len(line) - 1
-    for s in range(n_seg):
-        p0, p1 = line[s], line[s + 1]
-        d = p1 - p0
-        res = _clip_param(p0, d, poly)
-        if res is None:
-            ie = True  # entire segment outside
-            continue
-        t0, t1 = res
-        if t0 > eps or t1 < 1.0 - eps:
-            ie = True  # a piece of this segment lies outside
-        if t1 - t0 > eps:
-            mid = p0 + 0.5 * (t0 + t1) * d
-            if _seg_on_edge(p0 + t0 * d, p0 + t1 * d, poly):
-                ib_dim = 1  # runs along the boundary
-            elif _point_in(poly, mid[0], mid[1]) == "i":
-                ii = True
+    for line in chains:
+        for s in range(len(line) - 1):
+            p0, p1 = line[s], line[s + 1]
+            d = p1 - p0
+            res = _clip_param(p0, d, poly)
+            if res is None:
+                ie = True  # entire segment outside
+                continue
+            t0, t1 = res
+            if t0 > eps or t1 < 1.0 - eps:
+                ie = True  # a piece of this segment lies outside
+            if t1 - t0 > eps:
+                mid = p0 + 0.5 * (t0 + t1) * d
+                if _seg_on_edge(p0 + t0 * d, p0 + t1 * d, poly):
+                    ib_dim = 1  # runs along the boundary
+                elif _point_in(poly, mid[0], mid[1]) == "i":
+                    ii = True
+                else:
+                    ib_dim = 1
             else:
-                ib_dim = 1
-        else:
-            # degenerate clip: a single touch point; interior-of-line only
-            tp = p0 + t0 * d
-            is_global_end = (s == 0 and t0 <= eps) or (s == n_seg - 1 and t1 >= 1.0 - eps)
-            if not is_global_end and _on_boundary(poly, tp[0], tp[1]):
-                ib_dim = max(ib_dim, 0)
-        # clip endpoints interior to the line that sit on the boundary
-        for t in (t0, t1):
-            pt = p0 + t * d
-            gl_end = (s == 0 and t <= eps) or (s == n_seg - 1 and t >= 1.0 - eps)
-            if not gl_end and _on_boundary(poly, pt[0], pt[1]):
-                ib_dim = max(ib_dim, 0)
+                # degenerate clip: a single touch point; interior-of-line only
+                tp = p0 + t0 * d
+                if not _in_bnd(tp, bnd) and _on_boundary(poly, tp[0], tp[1]):
+                    ib_dim = max(ib_dim, 0)
+            # clip endpoints interior to the line that sit on the boundary
+            for t in (t0, t1):
+                pt = p0 + t * d
+                if not _in_bnd(pt, bnd) and _on_boundary(poly, pt[0], pt[1]):
+                    ib_dim = max(ib_dim, 0)
     ib = ib_dim >= 0
 
-    # line boundary: the two global endpoints
     bi = bb = be = False
-    for pt in (line[0], line[-1]):
+    for pt in bnd:
         w = _point_in(poly, pt[0], pt[1])
         bi |= w == "i"
         bb |= w == "b"
@@ -239,14 +264,6 @@ def _relate_line_poly(line: np.ndarray, poly: np.ndarray) -> str:
     )
 
 
-def _line_boundary(line: np.ndarray) -> list[np.ndarray]:
-    """JTS mod-2 boundary rule for a single LineString: the two global
-    endpoints, or EMPTY when the line is closed (ring)."""
-    if len(line) >= 2 and (line[0] == line[-1]).all():
-        return []
-    return [line[0], line[-1]]
-
-
 def _pt_on_seg(p, q0, q1) -> bool:
     """Closed-segment containment (exact for float-representable inputs)."""
     d = q1 - q0
@@ -258,15 +275,15 @@ def _pt_on_seg(p, q0, q1) -> bool:
     return lo0 <= p[0] <= hi0 and lo1 <= p[1] <= hi1
 
 
-def _pt_on_line(p, line: np.ndarray) -> bool:
-    return any(_pt_on_seg(p, line[s], line[s + 1]) for s in range(len(line) - 1))
+def _pt_on_line(p, chains) -> bool:
+    return any(_pt_on_seg(p, ch[s], ch[s + 1])
+               for ch in chains for s in range(len(ch) - 1))
 
 
-def _relate_point_line(p: np.ndarray, line: np.ndarray) -> str:
-    """Point x LineString DE-9IM (JTS semantics, mod-2 boundary rule)."""
-    bnd = _line_boundary(line)
+def _relate_point_line(p: np.ndarray, chains, bnd) -> str:
+    """Point x (Multi)LineString DE-9IM (JTS mod-2 boundary rule)."""
     on_bnd = any((p == e).all() for e in bnd)
-    on_line = _pt_on_line(p, line)
+    on_line = _pt_on_line(p, chains)
     eb = "0" if bnd else F  # line endpoints (if any) are beyond the point
     if on_bnd:
         # the OTHER endpoint still sits in the point's exterior unless both
@@ -297,27 +314,29 @@ def _seg_params_collinear(p0, p1, q0, q1):
     return (lo, hi) if hi > lo else None
 
 
-def _covered_by(a: np.ndarray, b: np.ndarray) -> bool:
-    """Every point of line ``a`` lies on line ``b``: each a-segment's [0,1]
-    parameter range is covered by the union of its collinear overlaps with
-    b's segments (isolated crossings never cover dim-1)."""
-    for s in range(len(a) - 1):
-        p0, p1 = a[s], a[s + 1]
-        if (p0 == p1).all():
-            continue
-        ivs = []
-        for t in range(len(b) - 1):
-            iv = _seg_params_collinear(p0, p1, b[t], b[t + 1])
-            if iv is not None:
-                ivs.append(iv)
-        ivs.sort()
-        reach = 0.0
-        for lo, hi in ivs:
-            if lo > reach + 1e-12:
+def _covered_by(chains_a, chains_b) -> bool:
+    """Every point of (multi)line ``a`` lies on ``b``: each a-segment's
+    [0,1] parameter range is covered by the union of its collinear overlaps
+    with b's segments (isolated crossings never cover dim-1)."""
+    b_segs = [(ch[t], ch[t + 1]) for ch in chains_b for t in range(len(ch) - 1)]
+    for a in chains_a:
+        for s in range(len(a) - 1):
+            p0, p1 = a[s], a[s + 1]
+            if (p0 == p1).all():
+                continue
+            ivs = []
+            for q0, q1 in b_segs:
+                iv = _seg_params_collinear(p0, p1, q0, q1)
+                if iv is not None:
+                    ivs.append(iv)
+            ivs.sort()
+            reach = 0.0
+            for lo, hi in ivs:
+                if lo > reach + 1e-12:
+                    return False
+                reach = max(reach, hi)
+            if reach < 1.0 - 1e-12:
                 return False
-            reach = max(reach, hi)
-        if reach < 1.0 - 1e-12:
-            return False
     return True
 
 
@@ -334,8 +353,8 @@ def _proper_cross(p0, p1, q0, q1) -> bool:
             and (c_p0 > 0) != (c_p1 > 0) and c_p0 != 0 and c_p1 != 0)
 
 
-def _relate_line_line(a: np.ndarray, b: np.ndarray) -> str:
-    """LineString x LineString DE-9IM from exact primitives.
+def _relate_line_line(chains_a, bnd_a, chains_b, bnd_b) -> str:
+    """(Multi)LineString x (Multi)LineString DE-9IM from exact primitives.
 
     Every intersection point of two polylines is a proper interior-interior
     crossing, a vertex-of-one incidence on the other, or part of a collinear
@@ -343,49 +362,50 @@ def _relate_line_line(a: np.ndarray, b: np.ndarray) -> str:
     overlaps, (ii) proper crossings and (iii) vertex incidences by each
     point's interior/boundary role on both lines enumerates the whole
     matrix. Coverage (the *E entries) reduces to per-segment interval
-    union over collinear overlaps (the interval-algebra view)."""
-    bnd_a, bnd_b = _line_boundary(a), _line_boundary(b)
+    union over collinear overlaps (the interval-algebra view). Boundary
+    node sets come from the mod-2 valence rule, so multi-component inputs
+    whose chains fuse end-to-end behave like the merged line."""
 
-    def role(p, line, bnd):
+    def role(p, chains, bnd):
         """'i' interior / 'b' boundary / 'e' not on the line."""
         if any((p == e).all() for e in bnd):
             return "b"
-        return "i" if _pt_on_line(p, line) else "e"
+        return "i" if _pt_on_line(p, chains) else "e"
 
+    a_segs = [(ch[s], ch[s + 1]) for ch in chains_a for s in range(len(ch) - 1)]
+    b_segs = [(ch[t], ch[t + 1]) for ch in chains_b for t in range(len(ch) - 1)]
     ii = ib = bi = bb = False
     ii_dim1 = False
-    for s in range(len(a) - 1):
-        p0, p1 = a[s], a[s + 1]
-        for t in range(len(b) - 1):
-            q0, q1 = b[t], b[t + 1]
+    for p0, p1 in a_segs:
+        for q0, q1 in b_segs:
             if _seg_params_collinear(p0, p1, q0, q1) is not None:
                 ii_dim1 = True  # a dim-1 overlap minus finite boundary pts
             elif _proper_cross(p0, p1, q0, q1):
                 ii = True
     # vertex incidences: any non-crossing contact involves a vertex
-    for va_ in a:
-        rb = role(va_, b, bnd_b)
+    for va_ in (v for ch in chains_a for v in ch):
+        rb = role(va_, chains_b, bnd_b)
         if rb == "e":
             continue
-        ra = role(va_, a, bnd_a)
+        ra = role(va_, chains_a, bnd_a)
         ii |= ra == "i" and rb == "i"
         ib |= ra == "i" and rb == "b"
         bi |= ra == "b" and rb == "i"
         bb |= ra == "b" and rb == "b"
-    for vb_ in b:
-        ra = role(vb_, a, bnd_a)
+    for vb_ in (v for ch in chains_b for v in ch):
+        ra = role(vb_, chains_a, bnd_a)
         if ra == "e":
             continue
-        rb = role(vb_, b, bnd_b)
+        rb = role(vb_, chains_b, bnd_b)
         ii |= ra == "i" and rb == "i"
         ib |= ra == "i" and rb == "b"
         bi |= ra == "b" and rb == "i"
         bb |= ra == "b" and rb == "b"
 
-    a_cov = _covered_by(a, b)
-    b_cov = _covered_by(b, a)
-    be = any(role(e, b, bnd_b) == "e" for e in bnd_a)
-    eb = any(role(e, a, bnd_a) == "e" for e in bnd_b)
+    a_cov = _covered_by(chains_a, chains_b)
+    b_cov = _covered_by(chains_b, chains_a)
+    be = any(role(e, chains_b, bnd_b) == "e" for e in bnd_a)
+    eb = any(role(e, chains_a, bnd_a) == "e" for e in bnd_b)
     return (
         ("1" if ii_dim1 else "0" if ii else F)
         + ("0" if ib else F)
@@ -407,10 +427,9 @@ def _relate_mpoint_point(pts: np.ndarray, p: np.ndarray) -> str:
     return "FF0FFF0F2"
 
 
-def _relate_mpoint_line(pts: np.ndarray, line: np.ndarray) -> str:
-    bnd = _line_boundary(line)
+def _relate_mpoint_line(pts: np.ndarray, chains, bnd) -> str:
     on_b = np.array([any((p == e).all() for e in bnd) for p in pts], dtype=bool)
-    on_l = np.array([_pt_on_line(p, line) for p in pts], dtype=bool)
+    on_l = np.array([_pt_on_line(p, chains) for p in pts], dtype=bool)
     covered = {tuple(p) for p in pts}
     eb = "0" if any(tuple(e) not in covered for e in bnd) else F
     return (("0" if bool((on_l & ~on_b).any()) else F)
@@ -439,17 +458,22 @@ def relate(ga: dict, gb: dict) -> str:
             pts = np.asarray(g["coords"], dtype=np.float64).reshape(-1, 2)
             return "mpt", np.unique(pts, axis=0)
         if g["type"] == "LineString":
-            return "line", np.asarray(g["coords"], dtype=np.float64)
+            return "line", [np.asarray(g["coords"], dtype=np.float64)]
+        if g["type"] == "MultiLineString":
+            return "line", [np.asarray(c, dtype=np.float64) for c in g["coords"]]
         if g["type"] == "Polygon":
             ring = np.asarray(g["coords"][0], dtype=np.float64)
             if (ring[0] == ring[-1]).all():
                 ring = ring[:-1]
             return "poly", ring
         raise ValueError(
-            f"st_relate supports Point/MultiPoint/LineString/Polygon, got {g['type']}")
+            "st_relate supports Point/MultiPoint/(Multi)LineString/Polygon, "
+            f"got {g['type']}")
 
     ka, va = classify(ga)
     kb, vb = classify(gb)
+    bnd_a = _mls_boundary(va) if ka == "line" else None
+    bnd_b = _mls_boundary(vb) if kb == "line" else None
     if ka == "mpt" or kb == "mpt":
         if ka == "mpt" and kb == "pt":
             return _relate_mpoint_point(va, vb)
@@ -462,9 +486,9 @@ def relate(ga: dict, gb: dict) -> str:
                     + ("0" if (~a_in).any() else F) + "FFF"
                     + ("0" if (~b_in).any() else F) + F + "2")
         if ka == "mpt" and kb == "line":
-            return _relate_mpoint_line(va, vb)
+            return _relate_mpoint_line(va, vb, bnd_b)
         if ka == "line" and kb == "mpt":
-            return _transpose(_relate_mpoint_line(vb, va))
+            return _transpose(_relate_mpoint_line(vb, va, bnd_a))
         if ka == "mpt" and kb == "poly":
             return _relate_mpoint_poly(va, vb)
         return _transpose(_relate_mpoint_poly(vb, va))
@@ -475,15 +499,15 @@ def relate(ga: dict, gb: dict) -> str:
     if ka == "poly" and kb == "pt":
         return _transpose(_relate_point_poly(vb, va))
     if ka == "pt" and kb == "line":
-        return _relate_point_line(va, vb)
+        return _relate_point_line(va, vb, bnd_b)
     if ka == "line" and kb == "pt":
-        return _transpose(_relate_point_line(vb, va))
+        return _transpose(_relate_point_line(vb, va, bnd_a))
     if ka == "line" and kb == "line":
-        return _relate_line_line(va, vb)
+        return _relate_line_line(va, bnd_a, vb, bnd_b)
     if ka == "line" and kb == "poly":
-        return _relate_line_poly(va, vb)
+        return _relate_line_poly(va, bnd_a, vb)
     if ka == "poly" and kb == "line":
-        return _transpose(_relate_line_poly(vb, va))
+        return _transpose(_relate_line_poly(vb, bnd_b, va))
     if ka == "poly" and kb == "poly":
         return _relate_poly_poly(va, vb)
     raise ValueError(f"st_relate does not support {ka} x {kb}")

@@ -219,3 +219,32 @@ class TestMultiPointRelate:
         got = call("st_relate", np.array(["MULTIPOINT ((1 1), (1 1))"], dtype=object),
                    np.array(["POINT (1 1)"], dtype=object))[0]
         assert got == "0FFFFFFF2"  # equals: dupes collapse, no extra point
+
+
+class TestMultiLineStringRelate:
+    """Round 4: MultiLineString DE-9IM under the JTS Mod2BoundaryNodeRule —
+    endpoints with ODD valence across components form the boundary, so
+    chains that fuse end-to-end behave like the merged line."""
+
+    CASES = [
+        # fused MLS == merged line (shared endpoint valence 2 -> interior)
+        ("MULTILINESTRING ((0 0, 5 0), (5 0, 10 0))", "LINESTRING (0 0, 10 0)", "1FFF0FFF2"),
+        # two components: one crosses the line, one is far away
+        ("MULTILINESTRING ((0 0, 10 10), (20 0, 30 0))", "LINESTRING (0 10, 10 0)", "0F1FF0102"),
+        # a component endpoint touches the other line's endpoint
+        ("MULTILINESTRING ((0 0, 5 0), (7 3, 9 9))", "LINESTRING (5 0, 5 -5)", "FF1F00102"),
+        # MLS x polygon: one component within, one outside
+        ("MULTILINESTRING ((2 2, 8 8), (20 20, 30 30))",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "1F10F0212"),
+        # fused junction point is INTERIOR of the MLS
+        ("POINT (5 0)", "MULTILINESTRING ((0 0, 5 0), (5 0, 10 0))", "0FFFFF102"),
+        # three chains meeting at one point: valence 3 -> boundary node
+        ("POINT (0 0)",
+         "MULTILINESTRING ((0 0, 1 0), (0 0, 0 1), (0 0, -1 0))", "F0FFFF102"),
+    ]
+
+    @pytest.mark.parametrize("a,b,exp", CASES)
+    def test_matrix(self, a, b, exp):
+        got = call("st_relate", np.array([a], dtype=object),
+                   np.array([b], dtype=object))[0]
+        assert got == exp
