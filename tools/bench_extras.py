@@ -310,12 +310,111 @@ def bench_stats(n_rows: int = 48_000_000, num_cpus: int = 32) -> dict:
     }
 
 
+def bench_ann(n_vecs: int = 1_000_000, dim: int = 64, n_queries: int = 4,
+              k: int = 10, n_lists: int = 256, nprobe: int = 8,
+              num_cpus: int = 32) -> dict:
+    """ANN scale path, apples-to-apples on PARQUET: brute-force cosine
+    top-k must scan the whole stored corpus; the ingest-partitioned IVF
+    layout reads only each query's probed lists (I/O ∝ nprobe/n_lists —
+    the per-query latency claim, so search is measured PER QUERY; batching
+    diverse queries would union the probe sets and negate pruning by
+    design). n_lists defaults near sqrt(corpus)/4 so a probe touches ~3%
+    of the partitions."""
+    import shutil
+
+    _init(num_cpus)
+    import ray.data as rd
+
+    from geomesa_ray.cells.shard import mix64
+    from geomesa_ray.stages.similarity import ann_topk, ivf_build, ivf_search
+
+    # mixture-of-Gaussians corpus (128 deterministic centers + noise):
+    # real embedding spaces cluster — a uniform corpus is IVF's degenerate
+    # worst case (every query's true neighbors spread over all lists)
+    n_centers = 128
+    c_rng = np.random.default_rng(123)
+    centers = c_rng.normal(size=(n_centers, dim)).astype(np.float32)
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cid = (mix64(ids) % np.uint64(n_centers)).astype(np.int64)
+        mults = (np.arange(dim, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + np.uint64(1))
+        h = mix64((ids + np.uint64(7)) [:, None] * mults[None, :])
+        noise = (h % np.uint64(2_000_001)).astype(np.float32) / 1e6 - 1.0
+        v = centers[cid] + 0.25 * noise
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "embedding": pa.array(list(v), type=pa.list_(pa.float32(), dim)),
+        })
+
+    corpus_dir = f"/tmp/graft_ann_corpus_mog_{n_vecs}"
+    if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        rd.range(n_vecs).map_batches(mk, batch_format="pyarrow") \
+            .write_parquet(corpus_dir)
+        open(os.path.join(corpus_dir, "_DONE"), "w").write("1")
+
+    rng = np.random.default_rng(9)
+    q = (centers[rng.integers(0, n_centers, n_queries)]
+         + 0.2 * rng.normal(size=(n_queries, dim))).astype(np.float32)
+    qids = [f"q{i:03d}" for i in range(n_queries)]
+
+    t0 = time.time()
+    brute = ann_topk(rd.read_parquet(corpus_dir), q, qids, k=k).to_pandas()
+    t_brute = time.time() - t0
+
+    idx_dir = "/tmp/graft_ivf_bench"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    ivf_build(rd.read_parquet(corpus_dir), idx_dir, n_lists=n_lists)
+    t_build = time.time() - t0
+
+    import glob
+
+    def _bytes(pattern):
+        return sum(os.path.getsize(p) for p in glob.glob(pattern, recursive=True))
+
+    corpus_bytes = _bytes(os.path.join(corpus_dir, "**", "*.parquet"))
+    per_q, probed_bytes, hits = [], [], 0
+    for i, qid in enumerate(qids):
+        t0 = time.time()
+        approx = ivf_search(idx_dir, q[i:i + 1], [qid], k=k, nprobe=nprobe).to_pandas()
+        per_q.append(time.time() - t0)
+        # bytes the probed partitions hold (the 100-TB-relevant number: on
+        # this box the page cache hides the I/O difference entirely)
+        centroids = np.load(os.path.join(idx_dir, "_centroids.npy"))
+        from geomesa_ray.stages.similarity import _normalize
+        sims = _normalize(q[i:i + 1]) @ centroids.T
+        lists = np.argsort(-sims, axis=1)[:, :nprobe].ravel()
+        probed_bytes.append(sum(
+            _bytes(os.path.join(idx_dir, f"ivf_list={j}", "*.parquet"))
+            for j in lists.tolist()))
+        want = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        hits += len(want & set(approx["neighbor_id"]))
+    return {
+        "metric": "ANN brute full-scan vs IVF per-query search (sec)",
+        "vectors": n_vecs, "dim": dim, "queries": n_queries, "k": k,
+        "brute_scan_sec": round(t_brute, 2),
+        "ivf_build_sec": round(t_build, 2),
+        "ivf_search_per_query_sec": round(float(np.mean(per_q)), 2),
+        "speedup_vs_full_scan": round(t_brute / float(np.mean(per_q)), 1),
+        "n_lists": n_lists, "nprobe": nprobe,
+        "corpus_bytes": int(corpus_bytes),
+        "probed_bytes_per_query": int(np.mean(probed_bytes)),
+        "bytes_fraction_read": round(float(np.mean(probed_bytes)) / corpus_bytes, 4),
+        "recall_at_k": round(hits / (n_queries * k), 4),
+        "num_cpus": num_cpus,
+    }
+
+
 if __name__ == "__main__":
     import ray
 
     mode = sys.argv[1]
     defaults = {"dedup": 6_000_000, "extent": 3_000_000, "windows": 48_000_000,
-                "jaccard_hot": 4096, "knn_many": 6_000_000, "stats": 48_000_000}
+                "jaccard_hot": 4096, "knn_many": 6_000_000, "stats": 48_000_000,
+                "ann": 1_000_000}
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 1_000_000)
     if mode == "dedup":
         out = bench_dedup(n)
@@ -329,6 +428,8 @@ if __name__ == "__main__":
         out = bench_knn_many(n)
     elif mode == "stats":
         out = bench_stats(n)
+    elif mode == "ann":
+        out = bench_ann(n)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(json.dumps(out))
