@@ -1335,6 +1335,119 @@ def oracle_relate_lines() -> str:
     """
 
 
+def q_relate_mls(sf_dir: str):
+    """DE-9IM st_relate for MULTILINESTRING pairs (mod-2 valence boundary
+    rule): A = two collinear horizontal segments that either FUSE at a
+    shared endpoint (valence 2 — the junction is INTERIOR) or sit 2 apart
+    (all four endpoints are boundary); B alternates a same-y horizontal
+    line and a vertical line. The oracle re-derives every matrix from
+    interval algebra with an explicit fused/disjoint case split — an
+    independent check of the boundary-rule implementation."""
+    from geomesa_ray.functions.registry import call
+
+    def rel(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        ya = (ids % 3).astype(np.int64)
+        a0 = (ids % 5).astype(np.int64)
+        a1 = a0 + 1 + (ids % 3).astype(np.int64)
+        # fused/disjoint alternates INDEPENDENTLY of the H/V branch
+        c0 = a1 + ((ids // 2) % 2).astype(np.int64) * 2   # fused or gap-2
+        c1 = c0 + 1 + (ids % 2).astype(np.int64)
+        vert = ids % 2 == 0
+        xb = (ids % 7).astype(np.int64)
+        vb0 = (ids % 4 - 1).astype(np.int64)
+        vb1 = vb0 + 1 + (ids % 3).astype(np.int64)
+        hb0 = (ids % 6 - 1).astype(np.int64)
+        hb1 = hb0 + 2 + (ids % 5).astype(np.int64)
+        wa = np.array([
+            f"MULTILINESTRING (({p0} {y}, {p1} {y}), ({q0} {y}, {q1} {y}))"
+            for p0, p1, q0, q1, y in zip(a0, a1, c0, c1, ya)
+        ], dtype=object)
+        wb = np.array([
+            f"LINESTRING ({x} {u0}, {x} {u1})" if v else
+            f"LINESTRING ({h0} {y}, {h1} {y})"
+            for v, x, u0, u1, h0, h1, y in zip(vert, xb, vb0, vb1, hb0, hb1, ya)
+        ], dtype=object)
+        m = call("st_relate", wa, wb)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "matrix": pa.array(m, type=pa.string()),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(rel, batch_format="pyarrow")
+    )
+
+
+def oracle_relate_mls() -> str:
+    """Two-component collinear MLS vs H/V line, from interval algebra.
+    ``fused`` (c0 = a1) means A is topologically ONE segment [a0, c1] with
+    boundary {a0, c1}; disjoint means two intervals with boundary
+    {a0, a1, c0, c1} (mod-2 valence rule)."""
+    # boundary-point predicates (SQL: p IN (...) switching on fused)
+    bset = "CASE WHEN fused THEN {p} IN (a0, c1) ELSE {p} IN (a0, a1, c0, c1) END"
+    in_open = ("CASE WHEN fused THEN ({p} > a0 AND {p} < c1) "
+               "ELSE ({p} > a0 AND {p} < a1) OR ({p} > c0 AND {p} < c1) END")
+    in_closed = ("CASE WHEN fused THEN {p} BETWEEN a0 AND c1 "
+                 "ELSE {p} BETWEEN a0 AND a1 OR {p} BETWEEN c0 AND c1 END")
+    # interior of A at a point x: inside closed union AND not a boundary node
+    in_int = f"(({in_closed}) AND NOT ({bset}))"
+    hv = (
+        f"(CASE WHEN ({in_int.format(p='xb')}) AND vb0 < ya AND ya < vb1 THEN '0' ELSE 'F' END)"
+        f" || (CASE WHEN ({in_int.format(p='xb')}) AND ya IN (vb0, vb1) THEN '0' ELSE 'F' END)"
+        " || '1'"
+        f" || (CASE WHEN ({bset.format(p='xb')}) AND vb0 < ya AND ya < vb1 THEN '0' ELSE 'F' END)"
+        f" || (CASE WHEN ({bset.format(p='xb')}) AND ya IN (vb0, vb1) THEN '0' ELSE 'F' END)"
+        " || '0' || '1' || '0' || '2'"
+    )
+    # H x H same-y: B = [hb0, hb1]; A interior/boundary from the case split
+    ov = ("CASE WHEN fused THEN LEAST(c1, hb1) > GREATEST(a0, hb0) "
+          "ELSE LEAST(a1, hb1) > GREATEST(a0, hb0) OR LEAST(c1, hb1) > GREATEST(c0, hb0) END")
+    a_cov = ("CASE WHEN fused THEN hb0 <= a0 AND c1 <= hb1 "
+             "ELSE hb0 <= a0 AND a1 <= hb1 AND hb0 <= c0 AND c1 <= hb1 END")
+    b_cov = ("CASE WHEN fused THEN hb0 >= a0 AND hb1 <= c1 "
+             "ELSE (hb0 >= a0 AND hb1 <= a1) OR (hb0 >= c0 AND hb1 <= c1) END")
+    hh = (
+        f"(CASE WHEN {ov} THEN '1' ELSE 'F' END)"
+        f" || (CASE WHEN ({in_open.format(p='hb0')}) OR ({in_open.format(p='hb1')}) THEN '0' ELSE 'F' END)"
+        f" || (CASE WHEN {a_cov} THEN 'F' ELSE '1' END)"
+        f" || (CASE WHEN (CASE WHEN fused THEN (a0 > hb0 AND a0 < hb1) OR (c1 > hb0 AND c1 < hb1)"
+        "        ELSE (a0 > hb0 AND a0 < hb1) OR (a1 > hb0 AND a1 < hb1)"
+        "          OR (c0 > hb0 AND c0 < hb1) OR (c1 > hb0 AND c1 < hb1) END) THEN '0' ELSE 'F' END)"
+        f" || (CASE WHEN ({bset.format(p='hb0')}) OR ({bset.format(p='hb1')}) THEN '0' ELSE 'F' END)"
+        f" || (CASE WHEN (CASE WHEN fused THEN a0 < hb0 OR a0 > hb1 OR c1 < hb0 OR c1 > hb1"
+        "        ELSE a0 < hb0 OR a0 > hb1 OR a1 < hb0 OR a1 > hb1"
+        "          OR c0 < hb0 OR c0 > hb1 OR c1 < hb0 OR c1 > hb1 END) THEN '0' ELSE 'F' END)"
+        f" || (CASE WHEN {b_cov} THEN 'F' ELSE '1' END)"
+        f" || (CASE WHEN NOT ({in_closed.format(p='hb0')}) OR NOT ({in_closed.format(p='hb1')}) THEN '0' ELSE 'F' END)"
+        " || '2'"
+    )
+    return f"""
+    WITH s AS (
+      SELECT event_id,
+             CAST(event_id % 3 AS DOUBLE) AS ya,
+             CAST(event_id % 5 AS DOUBLE) AS a0,
+             CAST(event_id % 5 + 1 + event_id % 3 AS DOUBLE) AS a1,
+             CAST(event_id % 5 + 1 + event_id % 3
+                  + ((event_id // 2) % 2) * 2 AS DOUBLE) AS c0,
+             CAST(event_id % 5 + 1 + event_id % 3 + ((event_id // 2) % 2) * 2
+                  + 1 + event_id % 2 AS DOUBLE) AS c1,
+             event_id % 2 = 0 AS vert,
+             (event_id // 2) % 2 = 0 AS fused,
+             CAST(event_id % 7 AS DOUBLE) AS xb,
+             CAST(event_id % 4 - 1 AS DOUBLE) AS vb0,
+             CAST(event_id % 4 - 1 + 1 + event_id % 3 AS DOUBLE) AS vb1,
+             CAST(event_id % 6 - 1 AS DOUBLE) AS hb0,
+             CAST(event_id % 6 - 1 + 2 + event_id % 5 AS DOUBLE) AS hb1
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN vert THEN {hv} ELSE {hh} END AS matrix
+    FROM s
+    """
+
+
 def q_geojson_roundtrip(sf_dir: str):
     """GeoJSON exporter round-trip proof (GeoJsonExporter.scala analog):
     derived event points -> vectorized Feature serialization -> one
@@ -3495,6 +3608,7 @@ QUERIES = {
     "concave_clip": q_concave_clip,
     "geojson_roundtrip": q_geojson_roundtrip,
     "line_clip": q_line_clip,
+    "relate_mls": q_relate_mls,
     # --- (c) code path changed in round 4
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "asof_prev_view": q_asof_prev_view,
@@ -3623,6 +3737,7 @@ ORACLES = {
     "concave_clip": oracle_concave_clip(),
     "geojson_roundtrip": oracle_geojson_roundtrip(),
     "line_clip": oracle_line_clip(),
+    "relate_mls": oracle_relate_mls(),
     "ttl_latest": oracle_ttl_latest(),
     "expr_score": oracle_expr_score(),
 }
