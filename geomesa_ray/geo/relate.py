@@ -109,8 +109,21 @@ def _relate_point_point(pa, pb) -> str:
     return "0FFFFFFF2" if (pa == pb).all() else "FF0FFF0F2"
 
 
-def _relate_point_poly(p, poly) -> str:
-    where = _point_in(poly, p[0], p[1])
+def _point_in_mpoly(rings, x, y) -> str:
+    """'i'/'b'/'e' of a point vs a (Multi)Polygon of convex rings (valid
+    inputs: interior-disjoint components that touch at most at points)."""
+    out = "e"
+    for r in rings:
+        w = _point_in(r, x, y)
+        if w == "i":
+            return "i"
+        if w == "b":
+            out = "b"
+    return out
+
+
+def _relate_point_poly(p, rings) -> str:
+    where = _point_in_mpoly(rings, p[0], p[1])
     if where == "i":
         return "0FFFFF212"
     if where == "b":
@@ -118,19 +131,53 @@ def _relate_point_poly(p, poly) -> str:
     return "FF0FFF212"
 
 
-def _relate_poly_poly(a: np.ndarray, b: np.ndarray) -> str:
-    a_in_b = _closed_contains(b, a)
-    b_in_a = _closed_contains(a, b)
-    overlap = _interiors_overlap(a, b)
-    bb = _boundary_dim(a, b)
-    ii = "2" if overlap else F
-    ib = "1" if overlap and not a_in_b else F
-    ie = F if a_in_b else "2"
-    bi = "1" if overlap and not b_in_a else F
-    be = F if a_in_b else "1"
-    ei = F if b_in_a else "2"
-    eb = F if b_in_a else "1"
-    return ii + ib + ie + bi + (str(bb) if bb >= 0 else F) + be + ei + eb + "2"
+def _dim_max(values) -> str:
+    """Combine DE-9IM entry chars by max dimension (F < 0 < 1 < 2)."""
+    order = {F: -1, "0": 0, "1": 1, "2": 2}
+    best = F
+    for v in values:
+        if order[v] > order[best]:
+            best = v
+    return best
+
+
+def _relate_poly_poly(rings_a, rings_b) -> str:
+    """(Multi)Polygon x (Multi)Polygon DE-9IM over convex components with
+    disjoint interiors (OGC-valid MultiPolygon). The I/B rows and columns
+    combine as the max over component pairs; the E row/column reduce to
+    containment — a CONNECTED convex component lies in the closure of an
+    interior-disjoint union iff it lies in ONE component."""
+
+    def single(a, b) -> str:
+        a_in_b = _closed_contains(b, a)
+        b_in_a = _closed_contains(a, b)
+        overlap = _interiors_overlap(a, b)
+        bb = _boundary_dim(a, b)
+        ii = "2" if overlap else F
+        ib = "1" if overlap and not a_in_b else F
+        ie = F if a_in_b else "2"
+        bi = "1" if overlap and not b_in_a else F
+        be = F if a_in_b else "1"
+        ei = F if b_in_a else "2"
+        eb = F if b_in_a else "1"
+        return ii + ib + ie + bi + (str(bb) if bb >= 0 else F) + be + ei + eb + "2"
+
+    if len(rings_a) == 1 and len(rings_b) == 1:
+        return single(rings_a[0], rings_b[0])
+    ms = [single(a, b) for a in rings_a for b in rings_b]
+    a_cov = all(any(_closed_contains(b, a) for b in rings_b) for a in rings_a)
+    b_cov = all(any(_closed_contains(a, b) for a in rings_a) for b in rings_b)
+    return (
+        _dim_max(m[0] for m in ms)
+        + _dim_max(m[1] for m in ms)
+        + (F if a_cov else "2")
+        + _dim_max(m[3] for m in ms)
+        + _dim_max(m[4] for m in ms)
+        + (F if a_cov else "1")
+        + (F if b_cov else "2")
+        + (F if b_cov else "1")
+        + "2"
+    )
 
 
 def _clip_param(p0: np.ndarray, d: np.ndarray, poly: np.ndarray):
@@ -197,19 +244,26 @@ def _in_bnd(p, bnd) -> bool:
 
 
 def _relate_line_poly(chains: list[np.ndarray], bnd: list[np.ndarray],
-                      poly: np.ndarray) -> str:
-    """(Multi)LineString x convex Polygon DE-9IM.
+                      rings) -> str:
+    """(Multi)LineString x (Multi)Polygon-of-convex-components DE-9IM.
 
-    Each segment Liang-Barsky-clips against the closed polygon; the clipped
-    piece contributes to int(A)∩int(B) unless it runs ALONG an edge (then it
-    is interior∩boundary, dim 1); clip touch points that are not boundary
-    nodes of A contribute dim-0 interior∩boundary. ``bnd`` is the mod-2
-    boundary node set (coordinate membership — positional end checks break
-    for multi-component and closed inputs)."""
-    # CCW orientation for the clip normals
-    x, y = poly[:, 0], poly[:, 1]
-    if (x * np.roll(y, -1) - np.roll(x, -1) * y).sum() < 0:
-        poly = poly[::-1]
+    Each segment Liang-Barsky-clips against each closed component; a
+    clipped piece contributes to int(A)∩int(B) unless it runs ALONG an
+    edge (then it is interior∩boundary, dim 1); clip touch points that are
+    not boundary nodes of A contribute dim-0 interior∩boundary, classified
+    against the WHOLE multipolygon (a point on one component's edge may be
+    interior to another). The line∩exterior entry uses the per-segment
+    UNION of clip intervals — per-component outside flags are wrong for
+    multi-component B. ``bnd`` is the mod-2 boundary node set."""
+    ccw_rings = []
+    for poly in rings:
+        x, y = poly[:, 0], poly[:, 1]
+        if (x * np.roll(y, -1) - np.roll(x, -1) * y).sum() < 0:
+            poly = poly[::-1]
+        ccw_rings.append(poly)
+
+    def role_b(pt) -> str:
+        return _point_in_mpoly(ccw_rings, pt[0], pt[1])
 
     ii = ie = False
     ib_dim = -1
@@ -218,36 +272,43 @@ def _relate_line_poly(chains: list[np.ndarray], bnd: list[np.ndarray],
         for s in range(len(line) - 1):
             p0, p1 = line[s], line[s + 1]
             d = p1 - p0
-            res = _clip_param(p0, d, poly)
-            if res is None:
-                ie = True  # entire segment outside
-                continue
-            t0, t1 = res
-            if t0 > eps or t1 < 1.0 - eps:
-                ie = True  # a piece of this segment lies outside
-            if t1 - t0 > eps:
-                mid = p0 + 0.5 * (t0 + t1) * d
-                if _seg_on_edge(p0 + t0 * d, p0 + t1 * d, poly):
-                    ib_dim = 1  # runs along the boundary
-                elif _point_in(poly, mid[0], mid[1]) == "i":
-                    ii = True
+            ivs = []
+            for poly in ccw_rings:
+                res = _clip_param(p0, d, poly)
+                if res is None:
+                    continue
+                t0, t1 = res
+                ivs.append((t0, t1))
+                if t1 - t0 > eps:
+                    mid = p0 + 0.5 * (t0 + t1) * d
+                    if _seg_on_edge(p0 + t0 * d, p0 + t1 * d, poly):
+                        ib_dim = 1  # runs along this component's boundary
+                    elif _point_in(poly, mid[0], mid[1]) == "i":
+                        ii = True
+                    else:
+                        ib_dim = 1
                 else:
-                    ib_dim = 1
-            else:
-                # degenerate clip: a single touch point; interior-of-line only
-                tp = p0 + t0 * d
-                if not _in_bnd(tp, bnd) and _on_boundary(poly, tp[0], tp[1]):
-                    ib_dim = max(ib_dim, 0)
-            # clip endpoints interior to the line that sit on the boundary
-            for t in (t0, t1):
-                pt = p0 + t * d
-                if not _in_bnd(pt, bnd) and _on_boundary(poly, pt[0], pt[1]):
-                    ib_dim = max(ib_dim, 0)
+                    tp = p0 + t0 * d
+                    if not _in_bnd(tp, bnd) and role_b(tp) == "b":
+                        ib_dim = max(ib_dim, 0)
+                for t in (t0, t1):
+                    pt = p0 + t * d
+                    if not _in_bnd(pt, bnd) and role_b(pt) == "b":
+                        ib_dim = max(ib_dim, 0)
+            # exterior coverage: union of the clip intervals over components
+            ivs.sort()
+            reach = 0.0
+            for lo, hi in ivs:
+                if lo > reach + eps:
+                    break
+                reach = max(reach, hi)
+            if reach < 1.0 - eps:
+                ie = True
     ib = ib_dim >= 0
 
     bi = bb = be = False
     for pt in bnd:
-        w = _point_in(poly, pt[0], pt[1])
+        w = role_b(pt)
         bi |= w == "i"
         bb |= w == "b"
         be |= w == "e"
@@ -438,8 +499,8 @@ def _relate_mpoint_line(pts: np.ndarray, chains, bnd) -> str:
             + "FFF" + "1" + eb + "2")
 
 
-def _relate_mpoint_poly(pts: np.ndarray, poly: np.ndarray) -> str:
-    where = [_point_in(poly, p[0], p[1]) for p in pts]
+def _relate_mpoint_poly(pts: np.ndarray, rings) -> str:
+    where = [_point_in_mpoly(rings, p[0], p[1]) for p in pts]
     ii = "0" if "i" in where else F
     ib = "0" if "b" in where else F
     ie = "0" if "e" in where else F
@@ -461,14 +522,18 @@ def relate(ga: dict, gb: dict) -> str:
             return "line", [np.asarray(g["coords"], dtype=np.float64)]
         if g["type"] == "MultiLineString":
             return "line", [np.asarray(c, dtype=np.float64) for c in g["coords"]]
-        if g["type"] == "Polygon":
-            ring = np.asarray(g["coords"][0], dtype=np.float64)
-            if (ring[0] == ring[-1]).all():
-                ring = ring[:-1]
-            return "poly", ring
+        if g["type"] in ("Polygon", "MultiPolygon"):
+            raw = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
+            rings = []
+            for part in raw:
+                ring = np.asarray(part[0], dtype=np.float64)
+                if (ring[0] == ring[-1]).all():
+                    ring = ring[:-1]
+                rings.append(ring)
+            return "poly", rings
         raise ValueError(
-            "st_relate supports Point/MultiPoint/(Multi)LineString/Polygon, "
-            f"got {g['type']}")
+            "st_relate supports Point/MultiPoint/(Multi)LineString/"
+            f"(Multi)Polygon, got {g['type']}")
 
     ka, va = classify(ga)
     kb, vb = classify(gb)

@@ -248,3 +248,36 @@ class TestMultiLineStringRelate:
         got = call("st_relate", np.array([a], dtype=object),
                    np.array([b], dtype=object))[0]
         assert got == exp
+
+
+class TestMultiPolygonRelate:
+    """Round 4: MultiPolygon DE-9IM (interior-disjoint convex components)."""
+
+    MP = ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+          "((20 0, 30 0, 30 10, 20 10, 20 0)))")
+
+    CASES = [
+        (MP, "POINT (5 5)", "0F2FF1FF2"),            # in component 1
+        (MP, "POINT (15 5)", "FF2FF10F2"),           # in the gap
+        (MP, "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))", "212FF1FF2"),    # contains
+        (MP, "POLYGON ((8 2, 22 2, 22 8, 8 8, 8 2))", "212101212"),  # spans gap
+        (MP, "POLYGON ((12 2, 18 2, 18 8, 12 8, 12 2))", "FF2FF1212"),  # disjoint
+        (MP, MP, "2FFF1FFF2"),                       # equals
+        ("LINESTRING (-5 5, 35 5)", MP, "101FF0212"),  # crosses both comps
+        ("LINESTRING (2 5, 8 5)", MP, "1FF0FF212"),    # within one comp
+        ("LINESTRING (12 5, 18 5)", MP, "FF1FF0212"),  # wholly in the gap
+        ("MULTIPOINT ((5 5), (25 5))", MP, "0FFFFF212"),  # one pt per comp
+    ]
+
+    @pytest.mark.parametrize("a,b,exp", CASES)
+    def test_matrix(self, a, b, exp):
+        got = call("st_relate", np.array([a], dtype=object),
+                   np.array([b], dtype=object))[0]
+        assert got == exp
+
+    def test_gap_line_exterior_entry(self):
+        # a line crossing ONE comp but ending in the gap: IE covers the
+        # union-of-intervals logic (per-component outside flags would lie)
+        got = call("st_relate", np.array(["LINESTRING (5 5, 15 5)"], dtype=object),
+                   np.array([self.MP], dtype=object))[0]
+        assert got == "1010F0212"  # crosses out of comp 1; end in exterior
