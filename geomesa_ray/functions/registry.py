@@ -1328,17 +1328,24 @@ def _pieces_to_wkt(pieces) -> str:
     return format_wkt({"type": "MultiPolygon", "coords": [[_close(p)] for p in keep]})
 
 
-def _clip_line_to_polygon(line: np.ndarray, poly: np.ndarray) -> str:
-    """LineString ∩ Polygon as WKT: per segment, Liang-Barsky parameter
-    intervals against each convex piece of the (possibly concave, ear-
-    clipped) polygon, merged by interval union — seam duplicates collapse
-    and adjacent triangle pieces rejoin, so single-segment results come
-    back unfragmented. Degenerate (single-point) touches are dropped
-    (documented difference from JTS, which returns POINT parts)."""
+def _poly_rings(g) -> list:
+    """Polygon/MultiPolygon parse -> list of exterior rings (float arrays)."""
+    parts = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
+    return [np.asarray(p[0], dtype=np.float64) for p in parts]
+
+
+def _clip_line_to_polygon(line: np.ndarray, rings) -> str:
+    """LineString ∩ (Multi)Polygon as WKT: per segment, Liang-Barsky
+    parameter intervals against each convex piece of each (possibly
+    concave, ear-clipped) component, merged by interval union — seam
+    duplicates collapse and adjacent triangle pieces rejoin, so
+    single-segment results come back unfragmented. Degenerate
+    (single-point) touches are dropped (documented difference from JTS,
+    which returns POINT parts)."""
     from geomesa_ray.geo.poly import _ccw, decompose_convex
     from geomesa_ray.geo.relate import _clip_param
 
-    pieces = [_ccw(p) for p in decompose_convex(poly)]
+    pieces = [_ccw(p) for ring in rings for p in decompose_convex(ring)]
     parts = []
     for s in range(len(line) - 1):
         p0, p1 = line[s], line[s + 1]
@@ -1390,30 +1397,34 @@ def f_st_intersection(values_a, values_b):
             out[i] = None
             continue
         kinds = (ga["type"], gb["type"])
-        if kinds == ("LineString", "Polygon") or kinds == ("Polygon", "LineString"):
+        polyish = ("Polygon", "MultiPolygon")
+        if (kinds[0] == "LineString" and kinds[1] in polyish) or \
+                (kinds[0] in polyish and kinds[1] == "LineString"):
             gl, gp = (ga, gb) if kinds[0] == "LineString" else (gb, ga)
             out[i] = _clip_line_to_polygon(
-                np.asarray(gl["coords"], dtype=np.float64),
-                np.asarray(gp["coords"][0], dtype=np.float64))
+                np.asarray(gl["coords"], dtype=np.float64), _poly_rings(gp))
             continue
-        if kinds != ("Polygon", "Polygon"):
+        if kinds[0] not in polyish or kinds[1] not in polyish:
             out[i] = None
             continue
-        sa = np.asarray(ga["coords"][0], dtype=np.float64)
-        sb = np.asarray(gb["coords"][0], dtype=np.float64)
-        if is_convex(sb):
-            r = convex_clip(sa, sb)
-            out[i] = ("POLYGON EMPTY" if len(r) < 3
-                      else format_wkt({"type": "Polygon", "coords": [_close(r)]}))
-        elif is_convex(sa):
-            r = convex_clip(sb, sa)
-            out[i] = ("POLYGON EMPTY" if len(r) < 3
-                      else format_wkt({"type": "Polygon", "coords": [_close(r)]}))
-        else:
-            pieces = [convex_clip(pa_, pb_)
-                      for pa_ in decompose_convex(sa)
-                      for pb_ in decompose_convex(sb)]
-            out[i] = _pieces_to_wkt(pieces)
+        if kinds == ("Polygon", "Polygon"):
+            sa = np.asarray(ga["coords"][0], dtype=np.float64)
+            sb = np.asarray(gb["coords"][0], dtype=np.float64)
+            if is_convex(sb):
+                r = convex_clip(sa, sb)
+                out[i] = ("POLYGON EMPTY" if len(r) < 3
+                          else format_wkt({"type": "Polygon", "coords": [_close(r)]}))
+                continue
+            if is_convex(sa):
+                r = convex_clip(sb, sa)
+                out[i] = ("POLYGON EMPTY" if len(r) < 3
+                          else format_wkt({"type": "Polygon", "coords": [_close(r)]}))
+                continue
+        # concave and/or multi: pairwise clips over convex decompositions
+        pieces = [convex_clip(pa_, pb_)
+                  for ra in _poly_rings(ga) for pa_ in decompose_convex(ra)
+                  for rb in _poly_rings(gb) for pb_ in decompose_convex(rb)]
+        out[i] = _pieces_to_wkt(pieces)
     return out
 
 
@@ -1430,20 +1441,28 @@ def f_st_difference(values_a, values_b):
     va = np.asarray(values_a, dtype=object)
     vb = np.asarray(values_b, dtype=object)
     out = np.empty(len(va), dtype=object)
+    polyish = ("Polygon", "MultiPolygon")
     for i in range(len(va)):
         ga, gb = _parse_or_none(va[i]), _parse_or_none(vb[i])
-        if ga is None or gb is None or ga["type"] != "Polygon" or gb["type"] != "Polygon":
+        if ga is None or gb is None or ga["type"] not in polyish \
+                or gb["type"] not in polyish:
             out[i] = None
             continue
-        sa = np.asarray(ga["coords"][0], dtype=np.float64)
-        sb = np.asarray(gb["coords"][0], dtype=np.float64)
-        if is_convex(sb):
-            out[i] = _pieces_to_wkt(convex_difference(sa, sb))
-            continue
-        parts = decompose_convex(sa)
-        for tb in decompose_convex(sb):
-            parts = [q for p in parts for q in convex_difference(p, tb)
-                     if len(q) >= 3]
+        if (ga["type"], gb["type"]) == ("Polygon", "Polygon"):
+            sa = np.asarray(ga["coords"][0], dtype=np.float64)
+            sb = np.asarray(gb["coords"][0], dtype=np.float64)
+            if is_convex(sb):
+                out[i] = _pieces_to_wkt(convex_difference(sa, sb))
+                continue
+        # general path (concave and/or multi components): subtract every
+        # convex piece of b from the convex pieces of a, sequentially
+        parts = [p for ra in _poly_rings(ga) for p in decompose_convex(ra)]
+        for rb in _poly_rings(gb):
+            for tb in decompose_convex(rb):
+                parts = [q for p in parts for q in convex_difference(p, tb)
+                         if len(q) >= 3]
+                if not parts:
+                    break
             if not parts:
                 break
         out[i] = _pieces_to_wkt(parts)

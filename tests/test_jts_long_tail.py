@@ -272,3 +272,41 @@ class TestLinePolygonClip:
                    np.array([sq], dtype=object))[0]
         assert got.startswith("MULTILINESTRING")
         assert got.count("(") == 3  # outer + two pieces
+
+
+class TestMultiPolygonSetOps:
+    """Round 4: set ops accept MultiPolygon on either side."""
+
+    MP = ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+          "((20 0, 30 0, 30 10, 20 10, 20 0)))")
+    B = "POLYGON ((5 2, 25 2, 25 8, 5 8, 5 2))"  # spans the gap
+
+    @staticmethod
+    def _area(wkt):
+        from geomesa_ray.geo.poly import signed_area
+        from geomesa_ray.geo.wkt import parse_wkt
+
+        if wkt.endswith("EMPTY"):
+            return 0.0
+        g = parse_wkt(wkt)
+        rings = [g["coords"][0]] if g["type"] == "Polygon" else [p[0] for p in g["coords"]]
+        return sum(abs(signed_area(np.asarray(r, dtype=float)[:-1])) for r in rings)
+
+    def test_intersection_area(self):
+        got = call("st_intersection", np.array([self.MP], dtype=object),
+                   np.array([self.B], dtype=object))[0]
+        assert abs(self._area(got) - 60.0) < 1e-9
+
+    def test_difference_both_directions(self):
+        d1 = call("st_difference", np.array([self.MP], dtype=object),
+                  np.array([self.B], dtype=object))[0]
+        d2 = call("st_difference", np.array([self.B], dtype=object),
+                  np.array([self.MP], dtype=object))[0]
+        assert abs(self._area(d1) - 140.0) < 1e-9
+        assert abs(self._area(d2) - 60.0) < 1e-9
+
+    def test_line_clip_across_gap(self):
+        got = call("st_intersection",
+                   np.array(["LINESTRING (-5 5, 35 5)"], dtype=object),
+                   np.array([self.MP], dtype=object))[0]
+        assert got == "MULTILINESTRING ((0.0 5.0, 10.0 5.0), (20.0 5.0, 30.0 5.0))"
