@@ -523,12 +523,25 @@ def relate(ga: dict, gb: dict) -> str:
         if g["type"] == "MultiLineString":
             return "line", [np.asarray(c, dtype=np.float64) for c in g["coords"]]
         if g["type"] in ("Polygon", "MultiPolygon"):
+            from geomesa_ray.geo.poly import is_convex
+
             raw = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
             rings = []
             for part in raw:
+                if len(part) > 1:
+                    # a hole makes the sign-consistency primitives silently
+                    # classify hole points as interior — refuse, don't lie
+                    raise ValueError(
+                        "st_relate: polygons with interior rings (holes) are "
+                        "not supported")
                 ring = np.asarray(part[0], dtype=np.float64)
                 if (ring[0] == ring[-1]).all():
                     ring = ring[:-1]
+                if not is_convex(ring):
+                    raise ValueError(
+                        "st_relate: concave polygon rings are not supported "
+                        "(the SAT/cross-sign primitives require convex "
+                        "components; decompose or use the named predicates)")
                 rings.append(ring)
             return "poly", rings
         raise ValueError(

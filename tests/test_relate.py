@@ -281,3 +281,26 @@ class TestMultiPolygonRelate:
         got = call("st_relate", np.array(["LINESTRING (5 5, 15 5)"], dtype=object),
                    np.array([self.MP], dtype=object))[0]
         assert got == "1010F0212"  # crosses out of comp 1; end in exterior
+
+
+class TestRelateInputGuards:
+    """Round 4: the convex/no-hole contract RAISES instead of silently
+    misclassifying (a concave ring breaks the cross-sign point test; a
+    hole point would report interior)."""
+
+    def test_concave_ring_raises(self):
+        from geomesa_ray.geo.relate import relate
+        from geomesa_ray.geo.wkt import parse_wkt
+
+        concave = "POLYGON ((0 0, 10 0, 10 10, 5 2, 0 10, 0 0))"
+        with pytest.raises(ValueError):
+            relate(parse_wkt(concave), parse_wkt("POINT (1 1)"))
+
+    def test_holed_polygon_raises(self):
+        from geomesa_ray.geo.relate import relate
+        from geomesa_ray.geo.wkt import parse_wkt
+
+        holed = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                 "(4 4, 6 4, 6 6, 4 6, 4 4))")
+        with pytest.raises(ValueError):
+            relate(parse_wkt(holed), parse_wkt("POINT (5 5)"))
