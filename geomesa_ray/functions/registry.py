@@ -1328,9 +1328,13 @@ def _pieces_to_wkt(pieces) -> str:
     return format_wkt({"type": "MultiPolygon", "coords": [[_close(p)] for p in keep]})
 
 
-def _poly_rings(g) -> list:
-    """Polygon/MultiPolygon parse -> list of exterior rings (float arrays)."""
+def _poly_rings(g):
+    """Polygon/MultiPolygon parse -> list of exterior rings (float arrays),
+    or None when any component carries interior rings — the clip kernels
+    would silently treat a holed polygon as solid (honest null instead)."""
     parts = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
+    if any(len(p) > 1 for p in parts):
+        return None
     return [np.asarray(p[0], dtype=np.float64) for p in parts]
 
 
@@ -1401,11 +1405,16 @@ def f_st_intersection(values_a, values_b):
         if (kinds[0] == "LineString" and kinds[1] in polyish) or \
                 (kinds[0] in polyish and kinds[1] == "LineString"):
             gl, gp = (ga, gb) if kinds[0] == "LineString" else (gb, ga)
-            out[i] = _clip_line_to_polygon(
-                np.asarray(gl["coords"], dtype=np.float64), _poly_rings(gp))
+            rp = _poly_rings(gp)
+            out[i] = None if rp is None else _clip_line_to_polygon(
+                np.asarray(gl["coords"], dtype=np.float64), rp)
             continue
         if kinds[0] not in polyish or kinds[1] not in polyish:
             out[i] = None
+            continue
+        ra_, rb_ = _poly_rings(ga), _poly_rings(gb)
+        if ra_ is None or rb_ is None:
+            out[i] = None  # interior rings (holes) unsupported
             continue
         if kinds == ("Polygon", "Polygon"):
             sa = np.asarray(ga["coords"][0], dtype=np.float64)
@@ -1422,8 +1431,8 @@ def f_st_intersection(values_a, values_b):
                 continue
         # concave and/or multi: pairwise clips over convex decompositions
         pieces = [convex_clip(pa_, pb_)
-                  for ra in _poly_rings(ga) for pa_ in decompose_convex(ra)
-                  for rb in _poly_rings(gb) for pb_ in decompose_convex(rb)]
+                  for ra in ra_ for pa_ in decompose_convex(ra)
+                  for rb in rb_ for pb_ in decompose_convex(rb)]
         out[i] = _pieces_to_wkt(pieces)
     return out
 
@@ -1448,6 +1457,10 @@ def f_st_difference(values_a, values_b):
                 or gb["type"] not in polyish:
             out[i] = None
             continue
+        ra_, rb_ = _poly_rings(ga), _poly_rings(gb)
+        if ra_ is None or rb_ is None:
+            out[i] = None  # interior rings (holes) unsupported
+            continue
         if (ga["type"], gb["type"]) == ("Polygon", "Polygon"):
             sa = np.asarray(ga["coords"][0], dtype=np.float64)
             sb = np.asarray(gb["coords"][0], dtype=np.float64)
@@ -1456,8 +1469,8 @@ def f_st_difference(values_a, values_b):
                 continue
         # general path (concave and/or multi components): subtract every
         # convex piece of b from the convex pieces of a, sequentially
-        parts = [p for ra in _poly_rings(ga) for p in decompose_convex(ra)]
-        for rb in _poly_rings(gb):
+        parts = [p for ra in ra_ for p in decompose_convex(ra)]
+        for rb in rb_:
             for tb in decompose_convex(rb):
                 parts = [q for p in parts for q in convex_difference(p, tb)
                          if len(q) >= 3]

@@ -155,6 +155,17 @@ class TestSetOps:
                    np.array([big], dtype=object))[0]
         assert out == "POLYGON EMPTY"
 
+    def test_holed_polygon_set_ops_return_null(self):
+        # interior rings would be silently treated as solid by the convex
+        # clip kernels — both set ops must return an honest null instead
+        holed = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                 "(4 4, 6 4, 6 6, 4 6, 4 4))")
+        for fn in ("st_intersection", "st_difference"):
+            assert call(fn, np.array([holed], dtype=object),
+                        np.array([SQ], dtype=object))[0] is None
+            assert call(fn, np.array([SQ], dtype=object),
+                        np.array([holed], dtype=object))[0] is None
+
     def test_concave_self_intersection_conserves_area(self):
         # round 4: concave x concave no longer null — ear-clip decomposition
         from geomesa_ray.geo.poly import signed_area
