@@ -1328,28 +1328,48 @@ def _pieces_to_wkt(pieces) -> str:
     return format_wkt({"type": "MultiPolygon", "coords": [[_close(p)] for p in keep]})
 
 
-def _poly_rings(g):
-    """Polygon/MultiPolygon parse -> list of exterior rings (float arrays),
-    or None when any component carries interior rings — the clip kernels
-    would silently treat a holed polygon as solid (honest null instead)."""
+def _has_holes(g) -> bool:
     parts = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
-    if any(len(p) > 1 for p in parts):
-        return None
-    return [np.asarray(p[0], dtype=np.float64) for p in parts]
+    return any(len(p) > 1 for p in parts)
 
 
-def _clip_line_to_polygon(line: np.ndarray, rings) -> str:
+def _convex_cover(g) -> list:
+    """Polygon/MultiPolygon parse -> interior-disjoint CONVEX open rings
+    covering (shell minus holes) of every component. Shells are ear-clipped
+    to convex pieces; each hole's convex pieces are then subtracted
+    sequentially — a convex subject stays convex under
+    ``convex_difference`` (every piece is the subject clipped inside a
+    prefix of halfplanes and outside one), so the cover is closed under
+    further convex clips/differences. This makes holed polygons a drop-in
+    for the piecewise set-op machinery."""
+    from geomesa_ray.geo.poly import convex_difference, decompose_convex
+
+    parts = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
+    cover: list = []
+    for rings in parts:
+        pieces = decompose_convex(np.asarray(rings[0], dtype=np.float64))
+        for hole in rings[1:]:
+            for th in decompose_convex(np.asarray(hole, dtype=np.float64)):
+                pieces = [q for p in pieces for q in convex_difference(p, th)
+                          if len(q) >= 3]
+            if not pieces:
+                break
+        cover.extend(pieces)
+    return cover
+
+
+def _clip_line_to_polygon(line: np.ndarray, cover) -> str:
     """LineString ∩ (Multi)Polygon as WKT: per segment, Liang-Barsky
-    parameter intervals against each convex piece of each (possibly
-    concave, ear-clipped) component, merged by interval union — seam
-    duplicates collapse and adjacent triangle pieces rejoin, so
-    single-segment results come back unfragmented. Degenerate
-    (single-point) touches are dropped (documented difference from JTS,
-    which returns POINT parts)."""
-    from geomesa_ray.geo.poly import _ccw, decompose_convex
+    parameter intervals against each convex piece of the polygon's convex
+    cover (``_convex_cover`` — honors interior rings), merged by interval
+    union — seam duplicates collapse and adjacent triangle pieces rejoin,
+    so single-segment results come back unfragmented, while a hole leaves
+    a genuine gap between intervals. Degenerate (single-point) touches are
+    dropped (documented difference from JTS, which returns POINT parts)."""
+    from geomesa_ray.geo.poly import _ccw
     from geomesa_ray.geo.relate import _clip_param
 
-    pieces = [_ccw(p) for ring in rings for p in decompose_convex(ring)]
+    pieces = [_ccw(p) for p in cover]
     parts = []
     for s in range(len(line) - 1):
         p0, p1 = line[s], line[s + 1]
@@ -1383,13 +1403,15 @@ def f_st_intersection(values_a, values_b):
     side-convex polygon pairs use one Sutherland-Hodgman clip (the convex
     side is the clipper); a concave x concave pair is handled by ear-clip
     convex decomposition of BOTH sides (geo/poly.ear_clip) and pairwise
-    convex clips. The concave result is a piecewise MULTIPOLYGON whose
-    pieces may share seam edges — area-exact and coverage-exact vs JTS,
-    but not the unioned topology JTS returns (documented; the
-    area-conservation oracle `concave_clip` verifies the piece sum).
-    Line x polygon clips by Liang-Barsky interval union (`line_clip`
-    oracle)."""
-    from geomesa_ray.geo.poly import convex_clip, decompose_convex, is_convex
+    convex clips. Interior rings are honored on both sides: a holed side
+    enters as its convex cover (shell pieces minus hole pieces,
+    `_convex_cover`). The general-path result is a piecewise MULTIPOLYGON
+    whose pieces may share seam edges — area-exact and coverage-exact vs
+    JTS, but not the unioned topology JTS returns (documented; the
+    area-conservation oracles `concave_clip`/`holed_clip` verify the piece
+    sum). Line x polygon clips by Liang-Barsky interval union (`line_clip`
+    oracle; holes leave genuine gaps)."""
+    from geomesa_ray.geo.poly import convex_clip, is_convex
     from geomesa_ray.geo.wkt import format_wkt
 
     va = np.asarray(values_a, dtype=object)
@@ -1405,18 +1427,14 @@ def f_st_intersection(values_a, values_b):
         if (kinds[0] == "LineString" and kinds[1] in polyish) or \
                 (kinds[0] in polyish and kinds[1] == "LineString"):
             gl, gp = (ga, gb) if kinds[0] == "LineString" else (gb, ga)
-            rp = _poly_rings(gp)
-            out[i] = None if rp is None else _clip_line_to_polygon(
-                np.asarray(gl["coords"], dtype=np.float64), rp)
+            out[i] = _clip_line_to_polygon(
+                np.asarray(gl["coords"], dtype=np.float64), _convex_cover(gp))
             continue
         if kinds[0] not in polyish or kinds[1] not in polyish:
             out[i] = None
             continue
-        ra_, rb_ = _poly_rings(ga), _poly_rings(gb)
-        if ra_ is None or rb_ is None:
-            out[i] = None  # interior rings (holes) unsupported
-            continue
-        if kinds == ("Polygon", "Polygon"):
+        if kinds == ("Polygon", "Polygon") and not _has_holes(ga) \
+                and not _has_holes(gb):
             sa = np.asarray(ga["coords"][0], dtype=np.float64)
             sb = np.asarray(gb["coords"][0], dtype=np.float64)
             if is_convex(sb):
@@ -1429,10 +1447,9 @@ def f_st_intersection(values_a, values_b):
                 out[i] = ("POLYGON EMPTY" if len(r) < 3
                           else format_wkt({"type": "Polygon", "coords": [_close(r)]}))
                 continue
-        # concave and/or multi: pairwise clips over convex decompositions
+        # concave / multi / holed: pairwise clips over the convex covers
         pieces = [convex_clip(pa_, pb_)
-                  for ra in ra_ for pa_ in decompose_convex(ra)
-                  for rb in rb_ for pb_ in decompose_convex(rb)]
+                  for pa_ in _convex_cover(ga) for pb_ in _convex_cover(gb)]
         out[i] = _pieces_to_wkt(pieces)
     return out
 
@@ -1442,10 +1459,13 @@ def f_st_difference(values_a, values_b):
     complement decomposition directly; a CONCAVE b is ear-clipped into
     convex triangles which are subtracted sequentially (a concave subject
     is first decomposed too, so every intermediate piece stays convex and
-    Sutherland-Hodgman never bridges components). POLYGON / MULTIPOLYGON /
-    'POLYGON EMPTY'; the concave result is piecewise (seam edges), area-
-    exact vs JTS."""
-    from geomesa_ray.geo.poly import convex_difference, decompose_convex, is_convex
+    Sutherland-Hodgman never bridges components). Interior rings are
+    honored on both sides via the convex covers (`_convex_cover`): a hole
+    in ``a`` is missing from its cover, a hole in ``b`` is missing from
+    the subtrahend so the covered region of ``a`` beneath it survives.
+    POLYGON / MULTIPOLYGON / 'POLYGON EMPTY'; the general result is
+    piecewise (seam edges), area-exact vs JTS."""
+    from geomesa_ray.geo.poly import convex_difference, is_convex
 
     va = np.asarray(values_a, dtype=object)
     vb = np.asarray(values_b, dtype=object)
@@ -1457,25 +1477,21 @@ def f_st_difference(values_a, values_b):
                 or gb["type"] not in polyish:
             out[i] = None
             continue
-        ra_, rb_ = _poly_rings(ga), _poly_rings(gb)
-        if ra_ is None or rb_ is None:
-            out[i] = None  # interior rings (holes) unsupported
-            continue
-        if (ga["type"], gb["type"]) == ("Polygon", "Polygon"):
+        if (ga["type"], gb["type"]) == ("Polygon", "Polygon") \
+                and not _has_holes(ga) and not _has_holes(gb):
             sa = np.asarray(ga["coords"][0], dtype=np.float64)
             sb = np.asarray(gb["coords"][0], dtype=np.float64)
             if is_convex(sb):
                 out[i] = _pieces_to_wkt(convex_difference(sa, sb))
                 continue
-        # general path (concave and/or multi components): subtract every
-        # convex piece of b from the convex pieces of a, sequentially
-        parts = [p for ra in ra_ for p in decompose_convex(ra)]
-        for rb in rb_:
-            for tb in decompose_convex(rb):
-                parts = [q for p in parts for q in convex_difference(p, tb)
-                         if len(q) >= 3]
-                if not parts:
-                    break
+        # general path (concave / multi / holed): subtract every convex
+        # piece of b's cover from a's cover pieces, sequentially. b's holes
+        # are simply absent from its cover, so the region under a hole of b
+        # survives the subtraction — exactly JTS difference semantics.
+        parts = _convex_cover(ga)
+        for tb in _convex_cover(gb):
+            parts = [q for p in parts for q in convex_difference(p, tb)
+                     if len(q) >= 3]
             if not parts:
                 break
         out[i] = _pieces_to_wkt(parts)

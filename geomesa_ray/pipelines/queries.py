@@ -1571,6 +1571,104 @@ def oracle_concave_clip() -> str:
     """
 
 
+def q_holed_clip(sf_dir: str):
+    """Interior-ring set ops end-to-end (`_convex_cover` path): polygon A
+    is an integer axis-aligned rectangle shell with a strictly interior
+    rectangular hole, B a solid rectangle, both derived from event_id. The
+    engine computes st_intersection(A,B), st_difference(A,B) and
+    st_difference(B,A) geometrically (shell ear-clip cover minus hole
+    pieces, pairwise convex kernels) and emits the shoelace area of each
+    result; rectilinear integer-vertex regions have INTEGER areas and the
+    cover pieces' areas are 0.5-multiples, so the sums are FP-exact int64.
+    The oracle re-derives all three areas INDEPENDENTLY by pure rectangle
+    interval algebra (|A∩B| = |sa∩b| − |hole∩b| since hole ⊂ sa) — the
+    b_minus_a column in particular proves the region of B beneath A's hole
+    SURVIVES the subtraction (JTS hole semantics)."""
+    from geomesa_ray.functions.registry import call
+    from geomesa_ray.geo.poly import signed_area
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    def area_int(wkt) -> np.int64:
+        if wkt is None or wkt == "POLYGON EMPTY":
+            return np.int64(0)
+        g = parse_wkt(wkt)
+        rings = [g["coords"][0]] if g["type"] == "Polygon" else \
+                [p[0] for p in g["coords"]]
+        a = sum(abs(signed_area(np.asarray(r, dtype=np.float64)[:-1]))
+                for r in rings)
+        return np.int64(round(a))
+
+    def clip(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        ax = (ids % 5).astype(np.int64)
+        ay = (ids % 7).astype(np.int64)
+        w = (ids % 3 + 4).astype(np.int64)
+        h = (ids % 4 + 4).astype(np.int64)
+        hw = (ids % 2 + 1).astype(np.int64)
+        hh = ((ids + 1) % 2 + 1).astype(np.int64)
+        bx = (ids % 6 - 1).astype(np.int64)
+        by = (ids % 4).astype(np.int64)
+        bw = (ids % 4 + 2).astype(np.int64)
+        bh = (ids % 5 + 2).astype(np.int64)
+        wa = np.array([
+            f"POLYGON (({x} {y}, {x + ww} {y}, {x + ww} {y + heh}, "
+            f"{x} {y + heh}, {x} {y}), "
+            f"({x + 1} {y + 1}, {x + 1 + hww} {y + 1}, "
+            f"{x + 1 + hww} {y + 1 + hhh}, {x + 1} {y + 1 + hhh}, "
+            f"{x + 1} {y + 1}))"
+            for x, y, ww, heh, hww, hhh in zip(ax, ay, w, h, hw, hh)],
+            dtype=object)
+        wb = np.array([
+            f"POLYGON (({x} {y}, {x + ww} {y}, {x + ww} {y + heh}, "
+            f"{x} {y + heh}, {x} {y}))"
+            for x, y, ww, heh in zip(bx, by, bw, bh)], dtype=object)
+        inter = call("st_intersection", wa, wb)
+        amb = call("st_difference", wa, wb)
+        bma = call("st_difference", wb, wa)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "inter_area": pa.array([area_int(x) for x in inter], pa.int64()),
+            "a_minus_b": pa.array([area_int(x) for x in amb], pa.int64()),
+            "b_minus_a": pa.array([area_int(x) for x in bma], pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(clip, batch_format="pyarrow")
+    )
+
+
+def oracle_holed_clip() -> str:
+    """Pure rectangle interval algebra: A = shell − hole with hole ⊂ shell,
+    so |A∩B| = |shell∩B| − |hole∩B|; |A−B| = |A| − |A∩B|;
+    |B−A| = |B| − |A∩B| (which exceeds |B| − |shell∩B| exactly when B
+    overlaps the hole — the surviving-hole check)."""
+    return """
+    WITH s AS (
+      SELECT event_id,
+             event_id % 5 AS ax, event_id % 7 AS ay,
+             event_id % 3 + 4 AS w, event_id % 4 + 4 AS h,
+             event_id % 2 + 1 AS hw, (event_id + 1) % 2 + 1 AS hh,
+             event_id % 6 - 1 AS bx, event_id % 4 AS by,
+             event_id % 4 + 2 AS bw, event_id % 5 + 2 AS bh
+      FROM events
+    ), t AS (
+      SELECT event_id,
+             GREATEST(0, LEAST(ax + w, bx + bw) - GREATEST(ax, bx)) *
+             GREATEST(0, LEAST(ay + h, by + bh) - GREATEST(ay, by)) AS sab,
+             GREATEST(0, LEAST(ax + 1 + hw, bx + bw) - GREATEST(ax + 1, bx)) *
+             GREATEST(0, LEAST(ay + 1 + hh, by + bh) - GREATEST(ay + 1, by)) AS hab,
+             w * h - hw * hh AS a_area, bw * bh AS b_area
+      FROM s
+    )
+    SELECT event_id,
+           CAST(sab - hab AS BIGINT) AS inter_area,
+           CAST(a_area - (sab - hab) AS BIGINT) AS a_minus_b,
+           CAST(b_area - (sab - hab) AS BIGINT) AS b_minus_a
+    FROM t
+    """
+
+
 def q_line_clip(sf_dir: str):
     """st_intersection(line, CONCAVE polygon) end-to-end: an integer
     horizontal segment clipped to the L-shaped hexagon (ear-clip pieces +
@@ -3604,6 +3702,7 @@ QUERIES = {
     "ttl_latest": q_ttl_latest,
     "expr_score": q_expr_score,
     # --- (b) new in round 4
+    "holed_clip": q_holed_clip,
     "relate_lines": q_relate_lines,
     "concave_clip": q_concave_clip,
     "geojson_roundtrip": q_geojson_roundtrip,
@@ -3735,6 +3834,7 @@ ORACLES = {
     "relate_rects": oracle_relate_rects(),
     "relate_lines": oracle_relate_lines(),
     "concave_clip": oracle_concave_clip(),
+    "holed_clip": oracle_holed_clip(),
     "geojson_roundtrip": oracle_geojson_roundtrip(),
     "line_clip": oracle_line_clip(),
     "relate_mls": oracle_relate_mls(),

@@ -155,16 +155,52 @@ class TestSetOps:
                    np.array([big], dtype=object))[0]
         assert out == "POLYGON EMPTY"
 
-    def test_holed_polygon_set_ops_return_null(self):
-        # interior rings would be silently treated as solid by the convex
-        # clip kernels — both set ops must return an honest null instead
+    def test_holed_polygon_set_ops(self):
+        # interior rings enter as the shell's convex cover minus the hole's
+        # pieces; integer rectilinear fixtures keep every area FP-exact
         holed = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
-                 "(4 4, 6 4, 6 6, 4 6, 4 4))")
-        for fn in ("st_intersection", "st_difference"):
-            assert call(fn, np.array([holed], dtype=object),
-                        np.array([SQ], dtype=object))[0] is None
-            assert call(fn, np.array([SQ], dtype=object),
-                        np.array([holed], dtype=object))[0] is None
+                 "(4 4, 6 4, 6 6, 4 6, 4 4))")          # area 100 - 4 = 96
+        big = "POLYGON ((-5 -5, 15 -5, 15 15, -5 15, -5 -5))"  # covers holed
+
+        def area_of(wkt):
+            from geomesa_ray.geo.poly import signed_area
+            from geomesa_ray.geo.wkt import parse_wkt
+            if wkt == "POLYGON EMPTY":
+                return 0.0
+            g = parse_wkt(wkt)
+            rings = [g["coords"][0]] if g["type"] == "Polygon" else \
+                    [p[0] for p in g["coords"]]
+            return sum(abs(signed_area(np.asarray(r)[:-1])) for r in rings)
+
+        one = lambda fn, a, b: call(fn, np.array([a], dtype=object),
+                                    np.array([b], dtype=object))[0]
+        # holed ∩ big = the holed polygon itself: area 96
+        assert area_of(one("st_intersection", holed, big)) == 96.0
+        assert area_of(one("st_intersection", big, holed)) == 96.0
+        # holed ∩ SQ (4x4 square at origin, touches the hole only at a
+        # corner): full 16, none lost to the hole
+        assert area_of(one("st_intersection", holed, SQ)) == 16.0
+        # square congruent to the hole intersects to empty
+        hole_sq = "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"
+        assert one("st_intersection", holed, hole_sq) == "POLYGON EMPTY"
+        # holed − SQ removes the 4x4 corner: 96 - 16
+        assert area_of(one("st_difference", holed, SQ)) == 80.0
+        # big − holed = frame around the shell + the hole region: 400-96
+        assert area_of(one("st_difference", big, holed)) == 304.0
+        # holed − big = empty
+        assert one("st_difference", holed, big) == "POLYGON EMPTY"
+        # holed ∩ holed (self) = 96; holed − holed = empty
+        assert area_of(one("st_intersection", holed, holed)) == 96.0
+        assert one("st_difference", holed, holed) == "POLYGON EMPTY"
+
+    def test_line_clip_through_hole_leaves_gap(self):
+        holed = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                 "(4 5, 6 5, 6 7, 4 7, 4 5))")
+        line = "LINESTRING (-2 6, 12 6)"  # crosses shell and the hole band
+        out = call("st_intersection", np.array([line], dtype=object),
+                   np.array([holed], dtype=object))[0]
+        assert out == ("MULTILINESTRING ((0.0 6.0, 4.0 6.0), "
+                       "(6.0 6.0, 10.0 6.0))")
 
     def test_concave_self_intersection_conserves_area(self):
         # round 4: concave x concave no longer null — ear-clip decomposition
