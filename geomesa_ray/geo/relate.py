@@ -1,4 +1,4 @@
-"""DE-9IM relate for points and convex polygons (pure numpy).
+"""DE-9IM relate for points, lines and polygons (pure numpy).
 
 Analog of the reference's ``st_relate`` / ``st_relateBool``
 (``geomesa-spark/geomesa-spark-jts/src/main/scala/org/locationtech/geomesa/
@@ -6,14 +6,20 @@ spark/jts/udf/SpatialRelationFunctions.scala:62-83``, which delegates to JTS
 ``Geometry.relate``). The matrix is the standard row-major 9 characters
 [II IB IE / BI BB BE / EI EB EE] with dims in {F, 0, 1, 2}.
 
-Supported pairs: every combination of Point, LineString and convex Polygon.
-Convexity (for polygons) lets every entry be derived from exact primitives —
-closed containment (sign-consistent cross products), strict-interior
-separation (SAT with touching allowed), and pairwise edge-intersection
-dimension — with no constructive geometry, so the results are exact for
-float-representable inputs. Line boundaries follow the JTS mod-2 rule (the
-two global endpoints; EMPTY for a closed ring). Concave rings raise
-``ValueError``.
+Supported pairs: every combination of Point, MultiPoint, (Multi)LineString
+and (Multi)Polygon, including CONCAVE polygons. A polygon is carried as
+(boundary rings, convex cover): the cover is the ring itself when convex,
+else its ear-clip triangles — whose vertices are all ORIGINAL input
+vertices, so interior tests stay exact; the boundary keeps the original
+rings, so cover seam edges never masquerade as boundary. Entries derive
+from exact primitives — closed containment (sign-consistent cross
+products), strict-interior separation (SAT with touching allowed),
+pairwise edge-intersection dimension, even-odd ray parity — with no
+constructive geometry. Line boundaries follow the JTS mod-2 rule (the two
+global endpoints; EMPTY for a closed ring). Polygons with interior rings
+(holes) are supported against Point/MultiPoint operands (exact even-odd
+parity); line/polygon operands against a holed polygon raise ``ValueError``
+(the hole cover would need constructed vertices, breaking exactness).
 """
 
 from __future__ import annotations
@@ -90,17 +96,6 @@ def _boundary_dim(a: np.ndarray, b: np.ndarray) -> int:
     return best
 
 
-def _point_in(poly: np.ndarray, x: float, y: float) -> str:
-    """'i' interior / 'b' boundary / 'e' exterior of a convex polygon."""
-    e = np.roll(poly, -1, axis=0) - poly
-    cross = e[:, 0] * (y - poly[:, 1]) - e[:, 1] * (x - poly[:, 0])
-    if (cross > 0).all() or (cross < 0).all():
-        return "i"
-    if (cross >= 0).all() or (cross <= 0).all():
-        return "b"
-    return "e"
-
-
 def _transpose(m: str) -> str:
     return "".join(m[j * 3 + i] for i in range(3) for j in range(3))
 
@@ -109,12 +104,39 @@ def _relate_point_point(pa, pb) -> str:
     return "0FFFFFFF2" if (pa == pb).all() else "FF0FFF0F2"
 
 
-def _point_in_mpoly(rings, x, y) -> str:
-    """'i'/'b'/'e' of a point vs a (Multi)Polygon of convex rings (valid
-    inputs: interior-disjoint components that touch at most at points)."""
+def _point_role_component(brings, x, y) -> str:
+    """'i'/'b'/'e' of a point vs ONE polygon component given its ORIGINAL
+    rings (shell first, then holes). Boundary first — exact closed-segment
+    containment on every ring edge — then even-odd ray parity over ALL
+    rings (a hole crossing flips parity, so hole interiors come back 'e').
+    Works for arbitrary simple rings: concave and holed."""
+    for r in brings:
+        x1, y1 = r[:, 0], r[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        cr = (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1)
+        on = ((cr == 0)
+              & (np.minimum(x1, x2) <= x) & (x <= np.maximum(x1, x2))
+              & (np.minimum(y1, y2) <= y) & (y <= np.maximum(y1, y2)))
+        if bool(on.any()):
+            return "b"
+    odd = False
+    for r in brings:
+        x1, y1 = r[:, 0], r[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        m = (y1 > y) != (y2 > y)  # half-open rule; on-edge already excluded
+        cross = (x2[m] - x1[m]) * (y - y1[m]) - (x - x1[m]) * (y2[m] - y1[m])
+        cnt = int(np.where(y2[m] > y1[m], cross > 0, cross < 0).sum())
+        odd ^= cnt % 2 == 1
+    return "i" if odd else "e"
+
+
+def _point_role_comps(comps, x, y) -> str:
+    """'i'/'b'/'e' vs a list of (boundary_rings, cover) components; a point
+    interior to ANY component wins over boundary-of-another (OGC union
+    semantics for valid interior-disjoint components)."""
     out = "e"
-    for r in rings:
-        w = _point_in(r, x, y)
+    for brings, _cov in comps:
+        w = _point_role_component(brings, x, y)
         if w == "i":
             return "i"
         if w == "b":
@@ -122,8 +144,8 @@ def _point_in_mpoly(rings, x, y) -> str:
     return out
 
 
-def _relate_point_poly(p, rings) -> str:
-    where = _point_in_mpoly(rings, p[0], p[1])
+def _relate_point_poly(p, comps) -> str:
+    where = _point_role_comps(comps, p[0], p[1])
     if where == "i":
         return "0FFFFF212"
     if where == "b":
@@ -141,12 +163,20 @@ def _dim_max(values) -> str:
     return best
 
 
-def _relate_poly_poly(rings_a, rings_b) -> str:
-    """(Multi)Polygon x (Multi)Polygon DE-9IM over convex components with
-    disjoint interiors (OGC-valid MultiPolygon). The I/B rows and columns
-    combine as the max over component pairs; the E row/column reduce to
-    containment — a CONNECTED convex component lies in the closure of an
-    interior-disjoint union iff it lies in ONE component."""
+def _relate_poly_poly(comps_a, comps_b) -> str:
+    """(Multi)Polygon x (Multi)Polygon DE-9IM. All-convex inputs keep the
+    fully exact SAT/containment reduction over component pairs (the
+    I/B rows combine as the max; the E row/column reduce to containment —
+    a CONNECTED convex component lies in the closure of an
+    interior-disjoint union iff it lies in ONE component). When either
+    side has a concave component, the matrix is assembled from boundary
+    probes instead: relate each side's boundary rings (as closed lines)
+    against the other polygon, take II from pairwise cover-piece interior
+    overlap (exact SAT over ear-clip triangles), and derive the E row/
+    column from the topological identity
+    int(A) ∩ ext(B) = ∅  ⟺  ∂A∩ext(B) = ∅  AND  ∂B∩int(A) = ∅
+    (valid for OGC-valid polygons: any interior point of A outside B
+    connects to ∂A through ext(B) or crosses ∂B inside A)."""
 
     def single(a, b) -> str:
         a_in_b = _closed_contains(b, a)
@@ -162,20 +192,49 @@ def _relate_poly_poly(rings_a, rings_b) -> str:
         eb = F if b_in_a else "1"
         return ii + ib + ie + bi + (str(bb) if bb >= 0 else F) + be + ei + eb + "2"
 
-    if len(rings_a) == 1 and len(rings_b) == 1:
-        return single(rings_a[0], rings_b[0])
-    ms = [single(a, b) for a in rings_a for b in rings_b]
-    a_cov = all(any(_closed_contains(b, a) for b in rings_b) for a in rings_a)
-    b_cov = all(any(_closed_contains(a, b) for a in rings_a) for b in rings_b)
+    def all_convex(comps):
+        return all(len(br) == 1 and len(cov) == 1 for br, cov in comps)
+
+    if all_convex(comps_a) and all_convex(comps_b):
+        rings_a = [cov[0] for _, cov in comps_a]
+        rings_b = [cov[0] for _, cov in comps_b]
+        if len(rings_a) == 1 and len(rings_b) == 1:
+            return single(rings_a[0], rings_b[0])
+        ms = [single(a, b) for a in rings_a for b in rings_b]
+        a_cov = all(any(_closed_contains(b, a) for b in rings_b) for a in rings_a)
+        b_cov = all(any(_closed_contains(a, b) for a in rings_a) for b in rings_b)
+        return (
+            _dim_max(m[0] for m in ms)
+            + _dim_max(m[1] for m in ms)
+            + (F if a_cov else "2")
+            + _dim_max(m[3] for m in ms)
+            + _dim_max(m[4] for m in ms)
+            + (F if a_cov else "1")
+            + (F if b_cov else "2")
+            + (F if b_cov else "1")
+            + "2"
+        )
+
+    # concave path: boundary probes + exact cover-piece interior overlap
+    cover_a = [p for _, cov in comps_a for p in cov]
+    cover_b = [p for _, cov in comps_b for p in cov]
+    chains_a = [np.vstack([r, r[:1]]) for br, _ in comps_a for r in br]
+    chains_b = [np.vstack([r, r[:1]]) for br, _ in comps_b for r in br]
+    lm_a = _relate_line_poly(chains_a, [], comps_b)  # ∂A vs B
+    lm_b = _relate_line_poly(chains_b, [], comps_a)  # ∂B vs A
+    ii = any(_interiors_overlap(a, b) for a in cover_a for b in cover_b)
+    bb = _dim_max((lm_a[1], lm_b[1]))
+    ie = F if (lm_a[2] == F and lm_b[0] == F) else "2"
+    ei = F if (lm_b[2] == F and lm_a[0] == F) else "2"
     return (
-        _dim_max(m[0] for m in ms)
-        + _dim_max(m[1] for m in ms)
-        + (F if a_cov else "2")
-        + _dim_max(m[3] for m in ms)
-        + _dim_max(m[4] for m in ms)
-        + (F if a_cov else "1")
-        + (F if b_cov else "2")
-        + (F if b_cov else "1")
+        ("2" if ii else F)  # II: open overlap of any cover-piece pair
+        + lm_b[0]           # IB = ∂B ∩ int(A)
+        + ie
+        + lm_a[0]           # BI = ∂A ∩ int(B)
+        + bb
+        + lm_a[2]           # BE = ∂A ∩ ext(B)
+        + ei
+        + lm_b[2]           # EB = ∂B ∩ ext(A)
         + "2"
     )
 
@@ -202,19 +261,6 @@ def _clip_param(p0: np.ndarray, d: np.ndarray, poly: np.ndarray):
             if t0 > t1:
                 return None
     return (t0, t1)
-
-
-def _on_boundary(poly: np.ndarray, x: float, y: float) -> bool:
-    return _point_in(poly, x, y) == "b"
-
-
-def _seg_on_edge(p0, p1, poly) -> bool:
-    """Is the (short) segment collinear with some polygon edge?"""
-    d = p1 - p0
-    e = np.roll(poly, -1, axis=0) - poly
-    cr = e[:, 0] * d[1] - e[:, 1] * d[0]
-    c0 = e[:, 0] * (p0[1] - poly[:, 1]) - e[:, 1] * (p0[0] - poly[:, 0])
-    return bool(((cr == 0) & (c0 == 0)).any())
 
 
 def _line_boundary(line: np.ndarray) -> list[np.ndarray]:
@@ -244,49 +290,69 @@ def _in_bnd(p, bnd) -> bool:
 
 
 def _relate_line_poly(chains: list[np.ndarray], bnd: list[np.ndarray],
-                      rings) -> str:
-    """(Multi)LineString x (Multi)Polygon-of-convex-components DE-9IM.
+                      comps) -> str:
+    """(Multi)LineString x (Multi)Polygon DE-9IM over (boundary rings,
+    convex cover) components — concave components enter as their ear-clip
+    triangle covers, so clips stay exact while seam edges never read as
+    boundary.
 
-    Each segment Liang-Barsky-clips against each closed component; a
-    clipped piece contributes to int(A)∩int(B) unless it runs ALONG an
-    edge (then it is interior∩boundary, dim 1); clip touch points that are
-    not boundary nodes of A contribute dim-0 interior∩boundary, classified
-    against the WHOLE multipolygon (a point on one component's edge may be
-    interior to another). The line∩exterior entry uses the per-segment
-    UNION of clip intervals — per-component outside flags are wrong for
-    multi-component B. ``bnd`` is the mod-2 boundary node set."""
-    ccw_rings = []
-    for poly in rings:
-        x, y = poly[:, 0], poly[:, 1]
-        if (x * np.roll(y, -1) - np.roll(x, -1) * y).sum() < 0:
-            poly = poly[::-1]
-        ccw_rings.append(poly)
+    Each segment Liang-Barsky-clips against each closed cover piece; a
+    clipped piece's collinear overlap with the TRUE boundary edges is
+    interval-unioned — full coverage is interior∩boundary (dim 1), partial
+    coverage contributes BOTH dim-1 boundary and interior, and the
+    uncovered remainder (inside a closed piece, off the boundary) is
+    int∩int. Clip touch points that are not boundary nodes of A contribute
+    dim-0 interior∩boundary, classified against the WHOLE polygon (a point
+    on one piece's edge may be a seam, interior overall). The
+    line∩exterior entry uses the per-segment UNION of clip intervals —
+    per-piece outside flags are wrong for multi-piece covers. ``bnd`` is
+    the mod-2 boundary node set."""
+    pieces = [p for _, cov in comps for p in cov]
+    bsegs = [(cl[s], cl[s + 1])
+             for br, _ in comps for r in br
+             for cl in (np.vstack([r, r[:1]]),) for s in range(len(r))]
+    eps = 1e-12
 
     def role_b(pt) -> str:
-        return _point_in_mpoly(ccw_rings, pt[0], pt[1])
+        return _point_role_comps(comps, pt[0], pt[1])
+
+    def boundary_cover(pa_, pb_):
+        """(full, any): interval-union of the piece's collinear overlaps
+        with the true boundary edges."""
+        ivs = []
+        for q0, q1 in bsegs:
+            iv = _seg_params_collinear(pa_, pb_, q0, q1)
+            if iv is not None:
+                ivs.append(iv)
+        if not ivs:
+            return False, False
+        ivs.sort()
+        reach = 0.0
+        for lo, hi in ivs:
+            if lo > reach + eps:
+                return False, True
+            reach = max(reach, hi)
+        return reach >= 1.0 - eps, True
 
     ii = ie = False
     ib_dim = -1
-    eps = 1e-12
     for line in chains:
         for s in range(len(line) - 1):
             p0, p1 = line[s], line[s + 1]
             d = p1 - p0
             ivs = []
-            for poly in ccw_rings:
+            for poly in pieces:
                 res = _clip_param(p0, d, poly)
                 if res is None:
                     continue
                 t0, t1 = res
                 ivs.append((t0, t1))
                 if t1 - t0 > eps:
-                    mid = p0 + 0.5 * (t0 + t1) * d
-                    if _seg_on_edge(p0 + t0 * d, p0 + t1 * d, poly):
-                        ib_dim = 1  # runs along this component's boundary
-                    elif _point_in(poly, mid[0], mid[1]) == "i":
-                        ii = True
-                    else:
-                        ib_dim = 1
+                    full, part = boundary_cover(p0 + t0 * d, p0 + t1 * d)
+                    if part:
+                        ib_dim = 1  # runs along true boundary (≥ in part)
+                    if not full:
+                        ii = True   # off-boundary remainder inside a piece
                 else:
                     tp = p0 + t0 * d
                     if not _in_bnd(tp, bnd) and role_b(tp) == "b":
@@ -295,7 +361,7 @@ def _relate_line_poly(chains: list[np.ndarray], bnd: list[np.ndarray],
                     pt = p0 + t * d
                     if not _in_bnd(pt, bnd) and role_b(pt) == "b":
                         ib_dim = max(ib_dim, 0)
-            # exterior coverage: union of the clip intervals over components
+            # exterior coverage: union of the clip intervals over pieces
             ivs.sort()
             reach = 0.0
             for lo, hi in ivs:
@@ -499,8 +565,8 @@ def _relate_mpoint_line(pts: np.ndarray, chains, bnd) -> str:
             + "FFF" + "1" + eb + "2")
 
 
-def _relate_mpoint_poly(pts: np.ndarray, rings) -> str:
-    where = [_point_in_mpoly(rings, p[0], p[1]) for p in pts]
+def _relate_mpoint_poly(pts: np.ndarray, comps) -> str:
+    where = [_point_role_comps(comps, p[0], p[1]) for p in pts]
     ii = "0" if "i" in where else F
     ib = "0" if "b" in where else F
     ie = "0" if "e" in where else F
@@ -509,7 +575,8 @@ def _relate_mpoint_poly(pts: np.ndarray, rings) -> str:
 
 def relate(ga: dict, gb: dict) -> str:
     """DE-9IM matrix for two parse_wkt geometries: Point / MultiPoint /
-    LineString / convex Polygon pair combinations (MultiPoint has no
+    (Multi)LineString / (Multi)Polygon pair combinations, concave polygons
+    included; holed polygons against points only (MultiPoint has no
     boundary — JTS mod-0 rule for puntal geometry)."""
 
     def classify(g):
@@ -523,33 +590,42 @@ def relate(ga: dict, gb: dict) -> str:
         if g["type"] == "MultiLineString":
             return "line", [np.asarray(c, dtype=np.float64) for c in g["coords"]]
         if g["type"] in ("Polygon", "MultiPolygon"):
-            from geomesa_ray.geo.poly import is_convex
+            from geomesa_ray.geo.poly import decompose_convex
 
             raw = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
-            rings = []
+            comps = []
             for part in raw:
-                if len(part) > 1:
-                    # a hole makes the sign-consistency primitives silently
-                    # classify hole points as interior — refuse, don't lie
-                    raise ValueError(
-                        "st_relate: polygons with interior rings (holes) are "
-                        "not supported")
-                ring = np.asarray(part[0], dtype=np.float64)
-                if (ring[0] == ring[-1]).all():
-                    ring = ring[:-1]
-                if not is_convex(ring):
-                    raise ValueError(
-                        "st_relate: concave polygon rings are not supported "
-                        "(the SAT/cross-sign primitives require convex "
-                        "components; decompose or use the named predicates)")
-                rings.append(ring)
-            return "poly", rings
+                brings = []
+                for raw_ring in part:
+                    ring = np.asarray(raw_ring, dtype=np.float64)
+                    if (ring[0] == ring[-1]).all():
+                        ring = ring[:-1]
+                    brings.append(ring)
+                if len(brings) > 1:
+                    # holed: the interior cover would need CONSTRUCTED
+                    # vertices (hole subtraction), breaking exactness — only
+                    # the even-odd point classification is offered; the
+                    # dispatcher raises for line/polygon operands
+                    cover = None
+                else:
+                    # concave shells ear-clip to triangles over ORIGINAL
+                    # vertices — exact; convex shells are their own cover
+                    cover = decompose_convex(brings[0])
+                comps.append((brings, cover))
+            return "poly", comps
         raise ValueError(
             "st_relate supports Point/MultiPoint/(Multi)LineString/"
             f"(Multi)Polygon, got {g['type']}")
 
     ka, va = classify(ga)
     kb, vb = classify(gb)
+    for k, v, other in ((ka, va, kb), (kb, vb, ka)):
+        if k == "poly" and other not in ("pt", "mpt") \
+                and any(cov is None for _, cov in v):
+            raise ValueError(
+                "st_relate: polygons with interior rings (holes) are only "
+                "supported against Point/MultiPoint operands (line/polygon "
+                "relate would need a constructed hole cover)")
     bnd_a = _mls_boundary(va) if ka == "line" else None
     bnd_b = _mls_boundary(vb) if kb == "line" else None
     if ka == "mpt" or kb == "mpt":

@@ -1669,6 +1669,94 @@ def oracle_holed_clip() -> str:
     """
 
 
+def q_relate_holed(sf_dir: str):
+    """DE-9IM point relate against a HOLED rectangle and a CONCAVE L-shape
+    (the round-4-late relate extension: even-odd parity for holes, ear-clip
+    cover for concave shells). Integer point/polygon fixtures from
+    event_id; the engine emits both full matrix strings; the oracle
+    re-derives the point's interior/boundary/exterior role with pure
+    rectangle membership algebra (boundary of a union = each rectangle's
+    boundary minus the other's open interior) and maps role -> matrix."""
+    from geomesa_ray.functions.registry import call
+
+    def rel(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        ax = (ids % 5).astype(np.int64)
+        ay = (ids % 7).astype(np.int64)
+        w = (ids % 3 + 4).astype(np.int64)
+        h = (ids % 4 + 4).astype(np.int64)
+        hw = (ids % 2 + 1).astype(np.int64)
+        hh = ((ids + 1) % 2 + 1).astype(np.int64)
+        px = (ids % 9 - 1).astype(np.int64)
+        py = (ids % 11 - 2).astype(np.int64)
+        holed = np.array([
+            f"POLYGON (({x} {y}, {x + ww} {y}, {x + ww} {y + heh}, "
+            f"{x} {y + heh}, {x} {y}), "
+            f"({x + 1} {y + 1}, {x + 1 + hww} {y + 1}, "
+            f"{x + 1 + hww} {y + 1 + hhh}, {x + 1} {y + 1 + hhh}, "
+            f"{x + 1} {y + 1}))"
+            for x, y, ww, heh, hww, hhh in zip(ax, ay, w, h, hw, hh)],
+            dtype=object)
+        lshape = np.array([_l_ring_wkt(x, y, ww, heh)
+                           for x, y, ww, heh in zip(ax, ay, w, h)],
+                          dtype=object)
+        pts = np.array([f"POINT ({x} {y})" for x, y in zip(px, py)],
+                       dtype=object)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "m_holed": pa.array(call("st_relate", pts, holed), pa.string()),
+            "m_lshape": pa.array(call("st_relate", pts, lshape), pa.string()),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(rel, batch_format="pyarrow")
+    )
+
+
+def oracle_relate_holed() -> str:
+    """Role via rectangle membership algebra, then role -> point-vs-area
+    DE-9IM matrix ('i' -> 0FFFFF212, 'b' -> F0FFFF212, 'e' -> FF0FFF212)."""
+    def on_rect(xl, xh, yl, yh):
+        return (f"((px BETWEEN {xl} AND {xh} AND (py = {yl} OR py = {yh})) OR "
+                f"(py BETWEEN {yl} AND {yh} AND (px = {xl} OR px = {xh})))")
+
+    def in_open(xl, xh, yl, yh):
+        return (f"(px > {xl} AND px < {xh} AND py > {yl} AND py < {yh})")
+
+    def in_closed(xl, xh, yl, yh):
+        return (f"(px >= {xl} AND px <= {xh} AND py >= {yl} AND py <= {yh})")
+
+    shell = ("ax", "ax + w", "ay", "ay + h")
+    hole = ("ax + 1", "ax + 1 + hw", "ay + 1", "ay + 1 + hh")
+    # L-shape = R1 (bottom arm) ∪ R2 (vertical arm), arm thickness 1
+    r1 = ("ax", "ax + w", "ay", "ay + 1")
+    r2 = ("ax", "ax + 1", "ay", "ay + h")
+    holed_b = f"({on_rect(*shell)} OR {on_rect(*hole)})"
+    holed_i = f"(NOT {holed_b} AND {in_closed(*shell)} AND NOT {in_open(*hole)})"
+    l_b = (f"(({on_rect(*r1)} AND NOT {in_open(*r2)}) OR "
+           f"({on_rect(*r2)} AND NOT {in_open(*r1)}))")
+    l_i = f"(NOT {l_b} AND ({in_closed(*r1)} OR {in_closed(*r2)}))"
+    return f"""
+    WITH s AS (
+      SELECT event_id,
+             event_id % 5 AS ax, event_id % 7 AS ay,
+             event_id % 3 + 4 AS w, event_id % 4 + 4 AS h,
+             event_id % 2 + 1 AS hw, (event_id + 1) % 2 + 1 AS hh,
+             event_id % 9 - 1 AS px, event_id % 11 - 2 AS py
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN {holed_b} THEN 'F0FFFF212'
+                WHEN {holed_i} THEN '0FFFFF212'
+                ELSE 'FF0FFF212' END AS m_holed,
+           CASE WHEN {l_b} THEN 'F0FFFF212'
+                WHEN {l_i} THEN '0FFFFF212'
+                ELSE 'FF0FFF212' END AS m_lshape
+    FROM s
+    """
+
+
 def q_line_clip(sf_dir: str):
     """st_intersection(line, CONCAVE polygon) end-to-end: an integer
     horizontal segment clipped to the L-shaped hexagon (ear-clip pieces +
@@ -3703,6 +3791,7 @@ QUERIES = {
     "expr_score": q_expr_score,
     # --- (b) new in round 4
     "holed_clip": q_holed_clip,
+    "relate_holed": q_relate_holed,
     "relate_lines": q_relate_lines,
     "concave_clip": q_concave_clip,
     "geojson_roundtrip": q_geojson_roundtrip,
@@ -3835,6 +3924,7 @@ ORACLES = {
     "relate_lines": oracle_relate_lines(),
     "concave_clip": oracle_concave_clip(),
     "holed_clip": oracle_holed_clip(),
+    "relate_holed": oracle_relate_holed(),
     "geojson_roundtrip": oracle_geojson_roundtrip(),
     "line_clip": oracle_line_clip(),
     "relate_mls": oracle_relate_mls(),

@@ -283,24 +283,97 @@ class TestMultiPolygonRelate:
         assert got == "1010F0212"  # crosses out of comp 1; end in exterior
 
 
-class TestRelateInputGuards:
-    """Round 4: the convex/no-hole contract RAISES instead of silently
-    misclassifying (a concave ring breaks the cross-sign point test; a
-    hole point would report interior)."""
+def _rel(a: str, b: str) -> str:
+    from geomesa_ray.geo.relate import relate
+    from geomesa_ray.geo.wkt import parse_wkt
 
-    def test_concave_ring_raises(self):
-        from geomesa_ray.geo.relate import relate
-        from geomesa_ray.geo.wkt import parse_wkt
+    return relate(parse_wkt(a), parse_wkt(b))
 
-        concave = "POLYGON ((0 0, 10 0, 10 10, 5 2, 0 10, 0 0))"
+
+class TestRelateConcave:
+    """Round 4 (late): concave shells relate via (boundary rings, ear-clip
+    cover) — interior probes over original-vertex triangles stay exact
+    while seam edges never read as boundary."""
+
+    # V-notched square: notch dips to (5, 2) from the top edge
+    V = "POLYGON ((0 0, 10 0, 10 10, 5 2, 0 10, 0 0))"
+    # L-shape: bottom arm [0,4]x[0,1] + vertical arm [0,1]x[0,4]
+    L = "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))"
+
+    def test_point_roles(self):
+        assert _rel(self.V, "POINT (1 1)") == "0F2FF1FF2"   # transpose
+        assert _rel("POINT (1 1)", self.V) == "0FFFFF212"   # interior
+        assert _rel("POINT (5 2)", self.V) == "F0FFFF212"   # reflex vertex
+        assert _rel("POINT (5 5)", self.V) == "FF0FFF212"   # inside notch
+        assert _rel("POINT (5 0)", self.V) == "F0FFFF212"   # on bottom edge
+        # L-shape: (2, 2) is OUTSIDE the L (above the bottom arm)
+        assert _rel("POINT (2 2)", self.L) == "FF0FFF212"
+        assert _rel("POINT (2 0.5)", self.L) == "0FFFFF212"
+
+    def test_line_vs_concave(self):
+        # horizontal line straight through the notch: enters left lobe,
+        # exits into the notch (exterior), re-enters right lobe; both
+        # endpoints sit in the exterior
+        got = _rel("LINESTRING (-1 5, 11 5)", self.V)
+        assert got == "101FF0212"
+        # segment fully inside the left lobe
+        assert _rel("LINESTRING (1 1, 2 1)", self.V) == "1FF0FF212"
+        # segment running along the bottom edge only
+        assert _rel("LINESTRING (2 0, 8 0)", self.V) == "F1FF0F212"
+        # segment lying on the notch edge (10 10)-(5 2): boundary run
+        assert _rel("LINESTRING (10 10, 5 2)", self.V)[1] == "1"
+
+    def test_concave_x_convex_polygon(self):
+        # square sitting inside the notch: touches nothing interior
+        notch_sq = "POLYGON ((4 6, 6 6, 6 8, 4 8, 4 6))"
+        assert _rel(self.V, notch_sq) == "FF2FF1212"  # disjoint
+        # square overlapping the left lobe
+        over = "POLYGON ((-1 0, 2 0, 2 2, -1 2, -1 0))"
+        got = _rel(self.V, over)
+        assert got[0] == "2" and got[2] == "2" and got[6] == "2"
+        # V contains a small square deep in the left lobe
+        small = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+        assert _rel(self.V, small) == "212FF1FF2"  # JTS contains (B inside A)
+        assert _rel(small, self.V) == "2FF1FF212"  # within
+
+    def test_concave_x_concave(self):
+        # two interlocking Ls that overlap in the unit square [0,1]^2
+        l2 = "POLYGON ((0 0, 1 0, 1 4, 4 4, 4 5, 0 5, 0 0))"
+        got = _rel(self.L, l2)
+        assert got[0] == "2"          # interiors overlap
+        assert got[2] == "2" and got[6] == "2"  # neither contains the other
+        # identical concave polygons -> JTS equals matrix
+        assert _rel(self.V, self.V) == "2FFF1FFF2"
+        assert _rel(self.L, self.L) == "2FFF1FFF2"
+
+    def test_disjoint_touch_cases(self):
+        # triangle inside the notch wedge (|x-5| <= 5/8*(y-2)), touching V
+        # only at the reflex vertex (5, 2)
+        touch = "POLYGON ((5 2, 6 4, 4 4, 5 2))"
+        got = _rel(self.V, touch)
+        assert got[0] == "F" and got[4] == "0"
+
+
+class TestRelateHoled:
+    """Holed polygons relate against points via exact even-odd parity."""
+
+    H = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+         "(4 4, 6 4, 6 6, 4 6, 4 4))")
+
+    def test_point_roles(self):
+        assert _rel("POINT (1 1)", self.H) == "0FFFFF212"   # in the ring
+        assert _rel("POINT (5 5)", self.H) == "FF0FFF212"   # inside hole
+        assert _rel("POINT (4 5)", self.H) == "F0FFFF212"   # on hole ring
+        assert _rel("POINT (0 5)", self.H) == "F0FFFF212"   # on shell
+        assert _rel("POINT (-1 5)", self.H) == "FF0FFF212"  # outside
+        assert _rel(self.H, "POINT (5 5)") == "FF2FF10F2"  # transpose
+
+    def test_multipoint_mixed(self):
+        got = _rel("MULTIPOINT (1 1, 5 5, 4 5)", self.H)
+        assert got == "000FFF212"  # interior + exterior(hole) + boundary
+
+    def test_line_vs_holed_still_raises(self):
         with pytest.raises(ValueError):
-            relate(parse_wkt(concave), parse_wkt("POINT (1 1)"))
-
-    def test_holed_polygon_raises(self):
-        from geomesa_ray.geo.relate import relate
-        from geomesa_ray.geo.wkt import parse_wkt
-
-        holed = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
-                 "(4 4, 6 4, 6 6, 4 6, 4 4))")
+            _rel("LINESTRING (0 5, 10 5)", self.H)
         with pytest.raises(ValueError):
-            relate(parse_wkt(holed), parse_wkt("POINT (5 5)"))
+            _rel(self.H, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
