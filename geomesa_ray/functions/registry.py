@@ -786,23 +786,100 @@ def f_z3_uuid(lon, lat, epoch_ms, content):
     return out
 
 
+def _offset_ring(ring: np.ndarray, dist: float) -> np.ndarray:
+    """Round-join offset curve of a CCW open ring (the raw offset — simple
+    only while ``dist`` stays under the ring's minimum clearance). Each
+    edge offsets outward along its normal; CONVEX vertices get a circular
+    arc (pi/16 max step ~ JTS quadrantSegments=8), REFLEX vertices the
+    exact offset-edge intersection."""
+    step = np.pi / 16.0
+    e = np.roll(ring, -1, axis=0) - ring
+    nrm = np.stack([e[:, 1], -e[:, 0]], axis=1)
+    nrm = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
+    nprev = np.roll(nrm, 1, axis=0)
+    eprev = np.roll(e, 1, axis=0)
+    # turn direction at vertex k between edge k-1 and edge k
+    cross = eprev[:, 0] * e[:, 1] - eprev[:, 1] * e[:, 0]
+    pts: list[tuple[float, float]] = []
+    for k in range(len(ring)):
+        vx, vy = ring[k]
+        if cross[k] > 1e-12:  # convex (left turn, CCW): round join
+            a0 = np.arctan2(nprev[k, 1], nprev[k, 0])
+            a1 = np.arctan2(nrm[k, 1], nrm[k, 0])
+            sweep = (a1 - a0) % (2.0 * np.pi)
+            n_seg = max(1, int(np.ceil(sweep / step)))
+            for a in np.linspace(a0, a0 + sweep, n_seg + 1):
+                pts.append((vx + dist * np.cos(a), vy + dist * np.sin(a)))
+        elif cross[k] < -1e-12:  # reflex: offset-edge intersection (exact)
+            p_prev = ring[k] + dist * nprev[k]
+            p_cur = ring[k] + dist * nrm[k]
+            d = p_prev - p_cur
+            det = eprev[k, 0] * (-e[k, 1]) - eprev[k, 1] * (-e[k, 0])
+            if abs(det) < 1e-300:
+                pts.append((p_cur[0], p_cur[1]))
+            else:
+                t = (d[1] * (-e[k, 0]) - d[0] * (-e[k, 1])) / det
+                pts.append((p_prev[0] + t * eprev[k, 0], p_prev[1] + t * eprev[k, 1]))
+        else:  # collinear: pass through the offset point
+            pts.append((vx + dist * nrm[k, 0], vy + dist * nrm[k, 1]))
+    arr = np.asarray(pts, dtype=np.float64)
+    # drop consecutive duplicates (tiny arc sweeps emit coincident points;
+    # zero-length segments would confuse the simplicity test downstream)
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = (arr[1:] != arr[:-1]).any(axis=1)
+    arr = arr[keep]
+    if len(arr) > 1 and (arr[0] == arr[-1]).all():
+        arr = arr[:-1]
+    return arr
+
+
+def _ring_is_simple(pts: np.ndarray) -> bool:
+    """No two non-adjacent closed-ring segments intersect (vectorized
+    orientation straddle tests per segment)."""
+    n = len(pts)
+    if n < 4:
+        return True
+    a0 = pts
+    a1 = np.roll(pts, -1, axis=0)
+    for i in range(n - 2):
+        # candidates: j > i, non-adjacent (skip i+1 and, for i=0, the last)
+        j0 = i + 2
+        j1 = n if i > 0 else n - 1
+        if j0 >= j1:
+            continue
+        b0, b1 = a0[j0:j1], a1[j0:j1]
+        p, q = a0[i], a1[i]
+        d = q - p
+        c0 = d[0] * (b0[:, 1] - p[1]) - d[1] * (b0[:, 0] - p[0])
+        c1 = d[0] * (b1[:, 1] - p[1]) - d[1] * (b1[:, 0] - p[0])
+        e = b1 - b0
+        f0 = e[:, 0] * (p[1] - b0[:, 1]) - e[:, 1] * (p[0] - b0[:, 0])
+        f1 = e[:, 0] * (q[1] - b0[:, 1]) - e[:, 1] * (q[0] - b0[:, 0])
+        hit = ((np.minimum(c0, c1) <= 0) & (np.maximum(c0, c1) >= 0)
+               & (np.minimum(f0, f1) <= 0) & (np.maximum(f0, f1) >= 0))
+        if bool(hit.any()):
+            return False
+    return True
+
+
 def f_st_buffer(wkt_values, dist):
     """st_buffer for points (16-gon circles, degrees) and simple polygons,
-    CONCAVE INCLUDED: each edge offsets outward by ``dist`` along its
-    normal; at REFLEX vertices adjacent offset edges intersect (the exact
-    buffer boundary there), at CONVEX vertices a circular arc of radius
-    ``dist`` joins them (JTS round-join semantics, pi/16 max step ~
-    quadrantSegments=8). Valid while ``dist`` stays below the polygon's
-    minimum clearance (the offset curve is then simple — no global
-    self-intersection removal pass, which is the documented difference
-    from JTS for extreme radii). Negative distances raise."""
+    CONCAVE INCLUDED at any radius: the round-join offset curve is used
+    while it stays simple (dist under the minimum clearance — exact reflex
+    miters, JTS round joins); beyond that the buffer falls back to the
+    MINKOWSKI-UNION decomposition — dist distributes over a union, so the
+    buffer equals the union of the (always convex) buffered ear-clip
+    pieces, emitted as interior-disjoint pieces via sequential convex
+    differences (piecewise MULTIPOLYGON, coverage-exact up to the same arc
+    approximation; seam edges documented like the set ops). Negative
+    distances raise."""
+    from geomesa_ray.geo.poly import convex_difference, decompose_convex
     from geomesa_ray.geo.wkt import parse_wkt
 
     dist = float(dist)
     vals = np.asarray(wkt_values, dtype=object)
     out = np.empty(len(vals), dtype=object)
     ang = np.linspace(0, 2 * np.pi, 17)
-    step = np.pi / 16.0
     for i, w in enumerate(vals):
         g = parse_wkt(str(w))
         if g["type"] == "Point":
@@ -824,37 +901,24 @@ def f_st_buffer(wkt_values, dist):
         area2 = (x * np.roll(y, -1) - np.roll(x, -1) * y).sum()
         if area2 < 0:
             ring = ring[::-1]
-        e = np.roll(ring, -1, axis=0) - ring
-        nrm = np.stack([e[:, 1], -e[:, 0]], axis=1)
-        nrm = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
-        nprev = np.roll(nrm, 1, axis=0)
-        eprev = np.roll(e, 1, axis=0)
-        # turn direction at vertex k between edge k-1 and edge k
-        cross = eprev[:, 0] * e[:, 1] - eprev[:, 1] * e[:, 0]
-        pts: list[tuple[float, float]] = []
-        for k in range(len(ring)):
-            vx, vy = ring[k]
-            if cross[k] > 1e-12:  # convex (left turn, CCW): round join
-                a0 = np.arctan2(nprev[k, 1], nprev[k, 0])
-                a1 = np.arctan2(nrm[k, 1], nrm[k, 0])
-                sweep = (a1 - a0) % (2.0 * np.pi)
-                n_seg = max(1, int(np.ceil(sweep / step)))
-                for a in np.linspace(a0, a0 + sweep, n_seg + 1):
-                    pts.append((vx + dist * np.cos(a), vy + dist * np.sin(a)))
-            elif cross[k] < -1e-12:  # reflex: offset-edge intersection (exact)
-                p_prev = ring[k] + dist * nprev[k]
-                p_cur = ring[k] + dist * nrm[k]
-                d = p_prev - p_cur
-                det = eprev[k, 0] * (-e[k, 1]) - eprev[k, 1] * (-e[k, 0])
-                if abs(det) < 1e-300:
-                    pts.append((p_cur[0], p_cur[1]))
-                else:
-                    t = (d[1] * (-e[k, 0]) - d[0] * (-e[k, 1])) / det
-                    pts.append((p_prev[0] + t * eprev[k, 0], p_prev[1] + t * eprev[k, 1]))
-            else:  # collinear: pass through the offset point
-                pts.append((vx + dist * nrm[k, 0], vy + dist * nrm[k, 1]))
-        closed = pts + pts[:1]
-        out[i] = "POLYGON ((" + ", ".join(f"{a} {b}" for a, b in closed) + "))"
+        pts = _offset_ring(ring, dist)
+        if _ring_is_simple(pts):
+            closed = np.vstack([pts, pts[:1]])
+            out[i] = "POLYGON ((" + ", ".join(
+                f"{a} {b}" for a, b in closed) + "))"
+            continue
+        # beyond the minimum clearance: Minkowski-union fallback
+        bufs = [_offset_ring(piece, dist) for piece in decompose_convex(ring)]
+        disjoint: list[np.ndarray] = []
+        for bi, b in enumerate(bufs):
+            parts = [b]
+            for prev in bufs[:bi]:
+                parts = [q for p in parts for q in convex_difference(p, prev)
+                         if len(q) >= 3]
+                if not parts:
+                    break
+            disjoint.extend(parts)
+        out[i] = _pieces_to_wkt(disjoint)
     return out
 
 

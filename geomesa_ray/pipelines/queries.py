@@ -1757,6 +1757,85 @@ def oracle_relate_holed() -> str:
     """
 
 
+def q_buffer_far(sf_dir: str):
+    """st_buffer BEYOND the minimum clearance (the Minkowski-union
+    fallback): a U-shaped polygon whose slot is narrower than 2r forces
+    the offset curve to self-intersect, so the engine unions the buffered
+    convex pieces. Correctness is checked by MEMBERSHIP PROBES: integer
+    probe points classified against the buffered geometry (even-odd point
+    role over the emitted pieces) vs the oracle's exact distance field
+    over the U's three-rectangle decomposition. r = 2.5 keeps 4*dist^2
+    (integer) never equal to 25, so every probe is strictly inside or
+    outside the true circle by more than the arc sagitta — the
+    approximation band can never flip a verdict."""
+    from geomesa_ray.functions.registry import call
+    from geomesa_ray.geo.poly import points_in_convex
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    def probe(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        sw = (ids % 2 + 2).astype(np.int64)   # slot width 2..3 < 2r = 5
+        h = (ids % 3 + 3).astype(np.int64)
+        px = (ids % 11 - 3).astype(np.float64)
+        py = (ids % 13 - 4).astype(np.float64)
+        inside = np.zeros(len(ids), dtype=np.int64)
+        for s_ in (2, 3):
+            for h_ in (3, 4, 5):
+                sel = np.nonzero((sw == s_) & (h == h_))[0]
+                if len(sel) == 0:
+                    continue
+                u = (f"POLYGON ((0 0, {2 + s_} 0, {2 + s_} {h_}, "
+                     f"{1 + s_} {h_}, {1 + s_} 1, 1 1, 1 {h_}, 0 {h_}, 0 0))")
+                w = call("st_buffer", np.array([u], dtype=object),
+                         np.array([2.5]))[0]
+                g = parse_wkt(w)
+                parts = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
+                hit = np.zeros(len(sel), dtype=bool)
+                for part in parts:
+                    ring = np.asarray(part[0], dtype=np.float64)[:-1]
+                    # all emitted pieces are convex: closed membership is
+                    # one vectorized sign-consistency pass per piece
+                    P = np.broadcast_to(ring, (len(sel),) + ring.shape)
+                    hit |= points_in_convex(P, px[sel], py[sel])
+                inside[sel] = hit.astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "inside": pa.array(inside),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(probe, batch_format="pyarrow")
+    )
+
+
+def oracle_buffer_far() -> str:
+    """Exact distance field of the U's three rectangles (left wall, right
+    wall, bottom arm); inside ⟺ 4*min_dist^2 < 25 (all-integer)."""
+    return """
+    WITH s AS (
+      SELECT event_id,
+             event_id % 2 + 2 AS sw, event_id % 3 + 3 AS h,
+             event_id % 11 - 3 AS px, event_id % 13 - 4 AS py
+      FROM events
+    ), t AS (
+      SELECT event_id,
+             GREATEST(0 - px, 0, px - 1) AS lx,
+             GREATEST(1 + sw - px, 0, px - (2 + sw)) AS rx,
+             GREATEST(0 - py, 0, py - h) AS wy,
+             GREATEST(0 - px, 0, px - (2 + sw)) AS bx,
+             GREATEST(0 - py, 0, py - 1) AS by_
+      FROM s
+    )
+    SELECT event_id,
+           CAST(CASE WHEN LEAST(lx * lx + wy * wy,
+                                rx * rx + wy * wy,
+                                bx * bx + by_ * by_) * 4 < 25
+                     THEN 1 ELSE 0 END AS BIGINT) AS inside
+    FROM t
+    """
+
+
 def q_line_clip(sf_dir: str):
     """st_intersection(line, CONCAVE polygon) end-to-end: an integer
     horizontal segment clipped to the L-shaped hexagon (ear-clip pieces +
@@ -3792,6 +3871,7 @@ QUERIES = {
     # --- (b) new in round 4
     "holed_clip": q_holed_clip,
     "relate_holed": q_relate_holed,
+    "buffer_far": q_buffer_far,
     "relate_lines": q_relate_lines,
     "concave_clip": q_concave_clip,
     "geojson_roundtrip": q_geojson_roundtrip,
@@ -3925,6 +4005,7 @@ ORACLES = {
     "concave_clip": oracle_concave_clip(),
     "holed_clip": oracle_holed_clip(),
     "relate_holed": oracle_relate_holed(),
+    "buffer_far": oracle_buffer_far(),
     "geojson_roundtrip": oracle_geojson_roundtrip(),
     "line_clip": oracle_line_clip(),
     "relate_mls": oracle_relate_mls(),

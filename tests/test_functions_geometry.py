@@ -184,6 +184,39 @@ def test_st_buffer_concave_polygon_distance_field():
     assert not got[definitely_out].any()
 
 
+def test_st_buffer_beyond_clearance_minkowski_union():
+    # U-shape with a 3-wide slot; r=2 exceeds the minimum clearance (the
+    # slot's opposing offset walls cross), forcing the Minkowski-union
+    # fallback: union of buffered convex pieces as disjoint MULTIPOLYGON.
+    # Verify by membership probes against the exact distance field of the
+    # U's three-rectangle decomposition (slot fully absorbed, JTS-style).
+    from geomesa_ray.geo.relate import relate
+    from geomesa_ray.geo.wkt import parse_wkt
+
+    U = "POLYGON ((0 0, 7 0, 7 5, 5 5, 5 2, 2 2, 2 5, 0 5, 0 0))"
+    out = call("st_buffer", np.array([U], dtype=object), 2.0)[0]
+    assert out.startswith("MULTIPOLYGON")
+    g = parse_wkt(out)
+
+    def dist2(px, py):
+        def d2(xl, xh, yl, yh):
+            dx = max(xl - px, 0.0, px - xh)
+            dy = max(yl - py, 0.0, py - yh)
+            return dx * dx + dy * dy
+        return min(d2(0, 2, 0, 5), d2(5, 7, 0, 5), d2(0, 7, 0, 2))
+
+    checked = 0
+    for px in np.arange(-3.5, 10.6, 0.5):
+        for py in np.arange(-3.5, 8.6, 0.5):
+            d2v = dist2(px, py)
+            if abs(d2v - 4.0) < 0.05:  # skip the arc-sagitta band
+                continue
+            m = relate(parse_wkt(f"POINT ({px} {py})"), g)
+            assert (m[:2] != "FF") == (d2v < 4.0), (px, py, d2v, m)
+            checked += 1
+    assert checked > 600
+
+
 def test_st_buffer_negative_polygon_raises():
     with pytest.raises(ValueError):
         call("st_buffer", np.array([SQ], dtype=object), -1.0)
