@@ -104,12 +104,14 @@ class MediaDecode:
             decode_wav,
             image_features,
         )
+        from geomesa_ray.stages.png import decode_png
 
         self.dim = dim
         self.grid = max(2, int(np.sqrt(dim)))
         self.payload_col = payload_col
         self.ref_col = ref_col
         self._decode_ppm = decode_ppm
+        self._decode_png = decode_png
         self._decode_wav = decode_wav
         self._image_features = image_features
         self._audio_features = audio_features
@@ -143,8 +145,11 @@ class MediaDecode:
         for i, blob in enumerate(payloads):
             blob = bytes(blob) if blob is not None else b""
             try:
-                if blob.startswith((b"P6", b"P5")):
-                    img = self._decode_ppm(blob)
+                if blob.startswith((b"P6", b"P5", b"\x89PNG")):
+                    if blob.startswith(b"\x89PNG"):
+                        img = self._decode_png(blob)
+                    else:
+                        img = self._decode_ppm(blob)
                     f = self._image_features(img, grid=self.grid)
                     feats[i, : len(f)] = f[: self.dim]
                     kinds[i], decoded[i] = "image", True

