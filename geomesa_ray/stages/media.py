@@ -104,6 +104,7 @@ class MediaDecode:
             decode_wav,
             image_features,
         )
+        from geomesa_ray.stages.gifbmp import decode_bmp, decode_gif
         from geomesa_ray.stages.png import decode_png
 
         self.dim = dim
@@ -112,6 +113,8 @@ class MediaDecode:
         self.ref_col = ref_col
         self._decode_ppm = decode_ppm
         self._decode_png = decode_png
+        self._decode_bmp = decode_bmp
+        self._decode_gif = decode_gif
         self._decode_wav = decode_wav
         self._image_features = image_features
         self._audio_features = audio_features
@@ -145,9 +148,13 @@ class MediaDecode:
         for i, blob in enumerate(payloads):
             blob = bytes(blob) if blob is not None else b""
             try:
-                if blob.startswith((b"P6", b"P5", b"\x89PNG")):
+                if blob.startswith((b"P6", b"P5", b"\x89PNG", b"BM", b"GIF8")):
                     if blob.startswith(b"\x89PNG"):
                         img = self._decode_png(blob)
+                    elif blob.startswith(b"BM"):
+                        img = self._decode_bmp(blob)
+                    elif blob.startswith(b"GIF8"):
+                        img = self._decode_gif(blob)
                     else:
                         img = self._decode_ppm(blob)
                     f = self._image_features(img, grid=self.grid)

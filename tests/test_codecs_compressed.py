@@ -124,6 +124,29 @@ class TestPng:
         with pytest.raises(ValueError, match="16-bit"):
             decode_png(png16)
 
+    def test_media_decode_stage_compressed(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.gifbmp import encode_bmp, encode_gif
+        from geomesa_ray.stages.media import decode_media
+        from geomesa_ray.stages.png import encode_png
+
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 6, (12, 10, 3), dtype=np.uint8) * 42
+        rows = [
+            {"media_ref": "img://png", "payload": encode_png(img)},
+            {"media_ref": "img://bmp", "payload": encode_bmp(img)},
+            {"media_ref": "img://gif", "payload": encode_gif(img)},
+        ]
+        out = decode_media(rd.from_items(rows), dim=64).to_pandas().set_index("media_ref")
+        assert out["decoded"].all() and (out["media_kind"] == "image").all()
+        assert (out["width"] == 10).all() and (out["height"] == 12).all()
+        s = int(img.astype(np.int64).sum())
+        assert out.loc["img://png", "px_sum"] == s
+        assert out.loc["img://bmp", "px_sum"] == s
+        # GIF decodes to RGBA: + opaque alpha plane
+        assert out.loc["img://gif", "px_sum"] == s + 255 * 12 * 10
+
     def test_media_decode_stage_png(self, ray_session):
         import ray.data as rd
 
@@ -141,3 +164,94 @@ class TestPng:
         assert r["px_sum"] == int(img.astype(np.int64).sum())
         np.testing.assert_allclose(np.asarray(r["features"])[:64],
                                    image_features(img, grid=8), rtol=1e-6)
+
+
+class TestBmp:
+    @pytest.mark.parametrize("w", [7, 8, 13])
+    def test_roundtrip_padding(self, w):
+        from geomesa_ray.stages.gifbmp import decode_bmp, encode_bmp
+
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, (11, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    def test_topdown_32bpp_and_palette(self):
+        from geomesa_ray.stages.gifbmp import decode_bmp
+
+        rng = np.random.default_rng(13)
+        # hand-built top-down 32-bit BMP
+        img = rng.integers(0, 256, (3, 2, 4), dtype=np.uint8)
+        body = img[:, :, [2, 1, 0, 3]].tobytes()  # RGBA -> BGRA, top-down
+        dib = struct.pack("<IiiHHIIiiII", 40, 2, -3, 1, 32, 0, len(body),
+                          0, 0, 0, 0)
+        head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+        assert np.array_equal(decode_bmp(head + dib + body), img)
+        # hand-built bottom-up 8-bit palette BMP (width 3 -> stride 4)
+        pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        idx = rng.integers(0, 4, (2, 3), dtype=np.uint8)
+        rows = np.zeros((2, 4), dtype=np.uint8)
+        rows[:, :3] = idx[::-1]
+        quads = np.zeros((4, 4), dtype=np.uint8)
+        quads[:, :3] = pal[:, ::-1]  # RGB -> BGRX
+        body = rows.tobytes()
+        dib = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(body),
+                          0, 0, 4, 0)
+        off = 14 + 40 + 16
+        head = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        out = decode_bmp(head + dib + quads.tobytes() + body)
+        assert np.array_equal(out, pal[idx])
+
+
+class TestGif:
+    def test_lzw_roundtrip_with_table_overflow(self):
+        from geomesa_ray.stages.gifbmp import _lzw_decode, _lzw_encode
+
+        rng = np.random.default_rng(14)
+        for n, mcs in [(10, 2), (1000, 4), (60000, 8)]:
+            idx = rng.integers(0, 1 << mcs, n, dtype=np.uint8)
+            assert np.array_equal(_lzw_decode(_lzw_encode(idx, mcs), mcs, n), idx)
+
+    def test_roundtrip_rgb(self):
+        from geomesa_ray.stages.gifbmp import decode_gif, encode_gif
+
+        rng = np.random.default_rng(15)
+        img = rng.integers(0, 6, (23, 31, 3), dtype=np.uint8) * 42
+        out = decode_gif(encode_gif(img))
+        assert np.array_equal(out[:, :, :3], img) and (out[:, :, 3] == 255).all()
+
+    def test_multiframe_transparency_and_interlace(self):
+        from geomesa_ray.stages.gifbmp import (_lzw_encode, decode_gif,
+                                               decode_gif_frames)
+
+        def sub(b):
+            o = bytearray()
+            for off in range(0, len(b), 255):
+                p = b[off:off + 255]
+                o += bytes([len(p)]) + p
+            return bytes(o) + b"\x00"
+
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+        f1 = np.zeros((4, 4), dtype=np.uint8)
+        f2 = np.array([[1, 0], [0, 1]], dtype=np.uint8)
+        gif = (b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x81, 0, 0) + pal.tobytes()
+               + b"\x2C" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + bytes([2])
+               + sub(_lzw_encode(f1.ravel(), 2))
+               + b"\x21\xF9\x04" + struct.pack("<BHB", 0b101, 10, 0) + b"\x00"
+               + b"\x2C" + struct.pack("<HHHHB", 1, 1, 2, 2, 0) + bytes([2])
+               + sub(_lzw_encode(f2.ravel(), 2))
+               + b"\x3B")
+        frames = decode_gif_frames(gif)
+        assert len(frames) == 2
+        assert (frames[0][:, :, :3] == pal[0]).all()
+        exp = frames[0].copy()
+        exp[1, 1, :3] = pal[1]
+        exp[2, 2, :3] = pal[1]
+        assert np.array_equal(frames[1], exp)
+
+        rng = np.random.default_rng(16)
+        idx = rng.integers(0, 4, (8, 5), dtype=np.uint8)
+        inter = np.concatenate([idx[0::8], idx[4::8], idx[2::4], idx[1::2]])
+        gif2 = (b"GIF89a" + struct.pack("<HHBBB", 5, 8, 0x81, 0, 0) + pal.tobytes()
+                + b"\x2C" + struct.pack("<HHHHB", 0, 0, 5, 8, 0x40) + bytes([2])
+                + sub(_lzw_encode(inter.ravel(), 2)) + b"\x3B")
+        assert np.array_equal(decode_gif(gif2)[:, :, :3], pal[idx])
