@@ -105,6 +105,7 @@ class MediaDecode:
             image_features,
         )
         from geomesa_ray.stages.gifbmp import decode_bmp, decode_gif
+        from geomesa_ray.stages.jpeg import decode_jpeg
         from geomesa_ray.stages.png import decode_png
 
         self.dim = dim
@@ -115,6 +116,7 @@ class MediaDecode:
         self._decode_png = decode_png
         self._decode_bmp = decode_bmp
         self._decode_gif = decode_gif
+        self._decode_jpeg = decode_jpeg
         self._decode_wav = decode_wav
         self._image_features = image_features
         self._audio_features = audio_features
@@ -148,13 +150,16 @@ class MediaDecode:
         for i, blob in enumerate(payloads):
             blob = bytes(blob) if blob is not None else b""
             try:
-                if blob.startswith((b"P6", b"P5", b"\x89PNG", b"BM", b"GIF8")):
+                if blob.startswith((b"P6", b"P5", b"\x89PNG", b"BM", b"GIF8",
+                                    b"\xFF\xD8")):
                     if blob.startswith(b"\x89PNG"):
                         img = self._decode_png(blob)
                     elif blob.startswith(b"BM"):
                         img = self._decode_bmp(blob)
                     elif blob.startswith(b"GIF8"):
                         img = self._decode_gif(blob)
+                    elif blob.startswith(b"\xFF\xD8"):
+                        img = self._decode_jpeg(blob)
                     else:
                         img = self._decode_ppm(blob)
                     f = self._image_features(img, grid=self.grid)

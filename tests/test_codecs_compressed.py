@@ -202,6 +202,90 @@ class TestBmp:
         assert np.array_equal(out, pal[idx])
 
 
+class TestJpeg:
+    """The entropy-layer bit-exactness contract: decode(encode(x)) must
+    EQUAL the shared-math reconstruction with no bitstream in between, so
+    Huffman/DC-diff/marker bugs cannot hide behind JPEG's lossy-ness."""
+
+    @staticmethod
+    def _psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return np.inf if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+    @pytest.mark.parametrize("subsample", ["420", "444"])
+    @pytest.mark.parametrize("quality", [50, 75, 95])
+    def test_entropy_layer_bit_exact(self, subsample, quality):
+        from geomesa_ray.stages.jpeg import (decode_jpeg, encode_jpeg,
+                                             jpeg_reference_reconstruct)
+
+        rng = np.random.default_rng(21)
+        yy, xx = np.mgrid[0:37, 0:53]
+        grad = np.dstack([(yy * 3 + xx * 2) % 256, (xx * 5) % 256,
+                          (yy * 4) % 256]).astype(np.uint8)
+        noise = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+        for img in (grad, noise):
+            dec = decode_jpeg(encode_jpeg(img, quality, subsample))
+            ref = jpeg_reference_reconstruct(img, quality, subsample)
+            assert dec.shape == img.shape
+            assert np.array_equal(dec, ref)
+
+    def test_gray_and_quality_ladder(self):
+        from geomesa_ray.stages.jpeg import (decode_jpeg, encode_jpeg,
+                                             jpeg_reference_reconstruct)
+
+        yy, xx = np.mgrid[0:40, 0:40]
+        gray = ((yy + xx) * 2 % 256).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(gray, quality=85))
+        assert np.array_equal(dec, jpeg_reference_reconstruct(gray, 85))
+        assert self._psnr(gray, dec) > 40
+        grad = np.dstack([(yy * 3 + xx) % 256, (xx * 5) % 256,
+                          (yy * 4) % 256]).astype(np.uint8)
+        p50 = self._psnr(grad, decode_jpeg(encode_jpeg(grad, 50, "444")))
+        p95 = self._psnr(grad, decode_jpeg(encode_jpeg(grad, 95, "444")))
+        assert p95 > p50 > 25  # quality knob is monotone and sane
+
+    @pytest.mark.parametrize("restart_interval", [1, 2, 5])
+    def test_restart_markers(self, restart_interval):
+        from geomesa_ray.stages.jpeg import (decode_jpeg, encode_jpeg,
+                                             jpeg_reference_reconstruct)
+
+        yy, xx = np.mgrid[0:41, 0:57]
+        img = np.dstack([(yy * 3 + xx * 2) % 256, (xx * 5) % 256,
+                         (yy * 4) % 256]).astype(np.uint8)
+        for sub in ("420", "444"):
+            dec = decode_jpeg(encode_jpeg(img, 75, sub,
+                                          restart_interval=restart_interval))
+            assert np.array_equal(dec, jpeg_reference_reconstruct(img, 75, sub))
+
+    def test_rejects_progressive(self):
+        from geomesa_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:16, 0:16]
+        img = (yy * xx % 256).astype(np.uint8)
+        data = bytearray(encode_jpeg(img))
+        i = data.find(b"\xFF\xC0")
+        data[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(data))
+
+    def test_media_decode_stage_jpeg(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.jpeg import encode_jpeg, jpeg_reference_reconstruct
+        from geomesa_ray.stages.media import decode_media
+
+        yy, xx = np.mgrid[0:20, 0:24]
+        img = np.dstack([(yy * 7) % 256, (xx * 3) % 256,
+                         (yy + xx) % 256]).astype(np.uint8)
+        rows = [{"media_ref": "img://jpg", "payload": encode_jpeg(img, 90)}]
+        out = decode_media(rd.from_items(rows), dim=64).to_pandas().set_index("media_ref")
+        r = out.loc["img://jpg"]
+        assert r["media_kind"] == "image" and r["decoded"]
+        assert (r["width"], r["height"]) == (24, 20)
+        exp = jpeg_reference_reconstruct(img, 90)
+        assert r["px_sum"] == int(exp.astype(np.int64).sum())
+
+
 class TestGif:
     def test_lzw_roundtrip_with_table_overflow(self):
         from geomesa_ray.stages.gifbmp import _lzw_decode, _lzw_encode
