@@ -74,29 +74,47 @@ def image_features(img: np.ndarray, grid: int = 8) -> np.ndarray:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 -> ((n_samples, channels) int16, sample_rate)."""
+    """RIFF/WAVE -> ((n_samples, channels) int16, sample_rate).
+
+    Format tags: 0x0001 PCM16, 0x0006 A-law, 0x0007 mu-law, 0x0011 IMA
+    ADPCM (compressed tags decode through stages/audio.py — pure numpy)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i = 12
-    fmt = None
-    samples = None
-    rate = None
+    audio_fmt = channels = rate = block_align = None
+    raw = None
+    n_samples = None
     while i + 8 <= len(data):
         cid = data[i:i + 4]
         size = struct.unpack("<I", data[i + 4:i + 8])[0]
         body = data[i + 8:i + 8 + size]
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError("only PCM16 WAV supported")
-            fmt = channels
+            if audio_fmt == 1 and bits != 16:
+                raise ValueError("only 16-bit PCM WAV supported")
+        elif cid == b"fact":
+            n_samples = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
-            samples = np.frombuffer(body, dtype="<i2")
+            raw = bytes(body)
         i += 8 + size + (size & 1)
-    if fmt is None or samples is None:
+    if audio_fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
-    return samples.reshape(-1, fmt), int(rate)
+    if audio_fmt == 1:
+        samples = np.frombuffer(raw, dtype="<i2").reshape(-1, channels)
+    elif audio_fmt in (6, 7):
+        from geomesa_ray.stages.audio import alaw_decode, ulaw_decode
+
+        dec = ulaw_decode if audio_fmt == 7 else alaw_decode
+        samples = dec(np.frombuffer(raw, dtype=np.uint8)).reshape(-1, channels)
+    elif audio_fmt == 0x11:
+        from geomesa_ray.stages.audio import adpcm_decode_blocks
+
+        samples = adpcm_decode_blocks(raw, channels, block_align, n_samples)
+    else:
+        raise ValueError(f"unsupported WAV format tag 0x{audio_fmt:04x}")
+    return samples, int(rate)
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -109,6 +127,40 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
     out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(body)) + body)
+    return out
+
+
+def encode_wav_compressed(samples: np.ndarray, rate: int = 8000,
+                          codec: str = "ulaw",
+                          block_align: int = 1024) -> bytes:
+    """(n[, channels]) int16 -> compressed WAV (mu-law / A-law / IMA
+    ADPCM). Fixture generator + export path for the compressed tags
+    ``decode_wav`` reads."""
+    from geomesa_ray.stages.audio import (adpcm_encode_blocks, alaw_encode,
+                                          ulaw_encode)
+
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if codec in ("ulaw", "alaw"):
+        tag = 7 if codec == "ulaw" else 6
+        enc = ulaw_encode if codec == "ulaw" else alaw_encode
+        body = enc(samples.reshape(-1)).tobytes()
+        ba, bits = ch, 8
+    elif codec == "adpcm":
+        tag, bits, ba = 0x11, 4, block_align
+        body = adpcm_encode_blocks(samples, block_align)
+    else:
+        raise ValueError("codec must be ulaw / alaw / adpcm")
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ba, ba, bits)
+    fact = struct.pack("<I", n)
+    out = (b"RIFF"
+           + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(body))
+           + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"fact" + struct.pack("<I", len(fact)) + fact
            + b"data" + struct.pack("<I", len(body)) + body)
     return out
 

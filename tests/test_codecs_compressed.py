@@ -166,6 +166,75 @@ class TestPng:
                                    image_features(img, grid=8), rtol=1e-6)
 
 
+class TestCompressedAudio:
+    """G.711 mu-law / A-law + IMA ADPCM, and the WAV container dispatch."""
+
+    def test_g711_code_roundtrip_exact(self):
+        """encode(decode(c)) == c for every 8-bit code — the canonical
+        G.711 table property (mu-law excludes 0x7F, the -0 alias)."""
+        from geomesa_ray.stages.audio import (alaw_decode, alaw_encode,
+                                              ulaw_decode, ulaw_encode)
+
+        codes = np.arange(256, dtype=np.uint8)
+        bad = codes[ulaw_encode(ulaw_decode(codes)) != codes]
+        assert set(bad.tolist()) <= {0x7F}
+        assert (alaw_encode(alaw_decode(codes)) == codes).all()
+
+    def test_g711_quantization_bound(self):
+        from geomesa_ray.stages.audio import (alaw_decode, alaw_encode,
+                                              ulaw_decode, ulaw_encode)
+
+        rng = np.random.default_rng(30)
+        x = rng.integers(-32000, 32000, 50000).astype(np.int16)
+        for enc, dec in ((ulaw_encode, ulaw_decode), (alaw_encode, alaw_decode)):
+            err = np.abs(dec(enc(x)).astype(np.int32) - x)
+            bound = (np.abs(x.astype(np.int32)) + 200) / 16 + 16
+            assert (err <= bound).all()
+
+    @staticmethod
+    def _snr(ref, out):
+        ref = ref.astype(np.float64)
+        return 10 * np.log10(ref.var() / np.mean((ref - out) ** 2))
+
+    def test_adpcm_mono_stereo(self):
+        from geomesa_ray.stages.audio import (adpcm_decode_blocks,
+                                              adpcm_encode_blocks)
+
+        t = np.arange(5000)
+        sine = (np.sin(t / 30) * 8000).astype(np.int16)
+        dec = adpcm_decode_blocks(adpcm_encode_blocks(sine, 256), 1, 256,
+                                  len(sine))[:, 0]
+        assert self._snr(sine, dec) > 25
+        st = np.stack([sine, (np.cos(t / 25) * 6000).astype(np.int16)], axis=1)
+        dec2 = adpcm_decode_blocks(adpcm_encode_blocks(st, 512), 2, 512, len(st))
+        assert dec2.shape == st.shape and self._snr(st, dec2) > 25
+
+    @pytest.mark.parametrize("codec", ["ulaw", "alaw", "adpcm"])
+    def test_wav_container_dispatch(self, codec):
+        from geomesa_ray.stages.codecs import decode_wav, encode_wav_compressed
+
+        sine = (np.sin(np.arange(4000) / 20) * 9000).astype(np.int16)
+        out, rate = decode_wav(encode_wav_compressed(sine, 8000, codec))
+        assert rate == 8000 and out.shape == (4000, 1)
+        assert self._snr(sine, out[:, 0]) > 25
+
+    def test_media_decode_stage_compressed_wav(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.codecs import decode_wav, encode_wav_compressed
+        from geomesa_ray.stages.media import decode_media
+
+        sine = (np.sin(np.arange(3000) / 15) * 7000).astype(np.int16)
+        wav = encode_wav_compressed(sine, 8000, "ulaw")
+        exp, _ = decode_wav(wav)
+        rows = [{"media_ref": "aud://ulaw", "payload": wav}]
+        out = decode_media(rd.from_items(rows), dim=64).to_pandas().set_index("media_ref")
+        r = out.loc["aud://ulaw"]
+        assert r["media_kind"] == "audio" and r["decoded"]
+        assert r["n_samples"] == 3000 and r["sample_rate"] == 8000
+        assert r["sample_sum"] == int(exp.astype(np.int64).sum())
+
+
 class TestBmp:
     @pytest.mark.parametrize("w", [7, 8, 13])
     def test_roundtrip_padding(self, w):
