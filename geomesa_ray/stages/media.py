@@ -4,13 +4,16 @@ Media rides in the corpus as opaque references inside ``kind == "media"``
 spans (``media_ref`` like ``img://<hash>``); payload bytes travel as a
 ``binary`` column keyed by media_ref. Decode tiers:
 
-- ``MediaDecode`` (REAL): PPM/PGM images and PCM16 WAV audio decode with
-  pure numpy (``stages/codecs.py`` — plain-byte public formats need no
-  library) into block-mean / RMS-envelope feature vectors.
-- compressed formats (jpeg/png/mp3/mp4): no codec libraries exist in this
-  container — rows fall back to deterministic ref-hash features with
-  ``decoded=False`` so downstream filters can route them (the documented
-  integration point for a real codec).
+- ``MediaDecode`` (REAL): images decode via in-repo pure-numpy codecs —
+  PPM/PGM (``stages/codecs.py``), PNG (``stages/png.py``, stdlib zlib),
+  BMP + GIF/LZW (``stages/gifbmp.py``), baseline JPEG
+  (``stages/jpeg.py``); audio via RIFF/WAVE with PCM16, G.711 mu-law /
+  A-law and IMA ADPCM tags (``stages/audio.py``); video via YUV4MPEG2
+  and MJPEG-AVI frame sampling (``stages/video.py``).
+- anything else (e.g. mp3/h264 — entropy formats with no pure-math
+  spec path here): rows fall back to deterministic ref-hash features
+  with ``decoded=False`` so downstream filters can route them (the
+  documented integration point for an external codec).
 - ``MediaFeatureExtract`` with ``fake=True``: span-explode plumbing with
   hash features only (bench/tests without payloads).
 
@@ -107,6 +110,7 @@ class MediaDecode:
         from geomesa_ray.stages.gifbmp import decode_bmp, decode_gif
         from geomesa_ray.stages.jpeg import decode_jpeg
         from geomesa_ray.stages.png import decode_png
+        from geomesa_ray.stages.video import video_frame_features
 
         self.dim = dim
         self.grid = max(2, int(np.sqrt(dim)))
@@ -118,6 +122,7 @@ class MediaDecode:
         self._decode_gif = decode_gif
         self._decode_jpeg = decode_jpeg
         self._decode_wav = decode_wav
+        self._video_features = video_frame_features
         self._image_features = image_features
         self._audio_features = audio_features
 
@@ -167,12 +172,21 @@ class MediaDecode:
                     kinds[i], decoded[i] = "image", True
                     height[i], width[i] = img.shape[0], img.shape[1]
                     px_sum[i] = int(img.astype(np.int64).sum())
-                elif blob.startswith(b"RIFF"):
+                elif blob.startswith(b"RIFF") and blob[8:12] == b"WAVE":
                     samples, rate = self._decode_wav(blob)
                     feats[i] = self._audio_features(samples, dim=self.dim)
                     kinds[i], decoded[i] = "audio", True
                     n_samples[i], sample_rate[i] = samples.shape[0], rate
                     sample_sum[i] = int(samples.astype(np.int64).sum())
+                elif (blob.startswith(b"YUV4MPEG2")
+                      or (blob.startswith(b"RIFF") and blob[8:12] == b"AVI ")):
+                    f, vw, vh, nf, px = self._video_features(
+                        blob, dim=self.dim, sample_every=4, max_frames=16)
+                    feats[i, : len(f)] = f[: self.dim]
+                    kinds[i], decoded[i] = "video", True
+                    width[i], height[i] = vw, vh
+                    n_samples[i] = nf  # frame count rides the sample column
+                    px_sum[i] = px
                 else:
                     raise ValueError("unknown container")
             except Exception:

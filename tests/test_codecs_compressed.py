@@ -166,6 +166,61 @@ class TestPng:
                                    image_features(img, grid=8), rtol=1e-6)
 
 
+class TestVideo:
+    @staticmethod
+    def _frames(n=6, h=18, w=22):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return [np.dstack([(yy * 3 + xx * 2 + t * 10) % 256, (xx * 5 + t) % 256,
+                           (yy * 4 + t * 3) % 256]).astype(np.uint8)
+                for t in range(n)]
+
+    def test_y4m_444_near_lossless(self):
+        from geomesa_ray.stages.video import decode_y4m_frames, encode_y4m
+
+        frames = self._frames()
+        out, w, h, n = decode_y4m_frames(encode_y4m(frames, fmt="444"))
+        assert (w, h, n) == (22, 18, 6) and len(out) == 6
+        err = max(np.abs(o.astype(int) - f.astype(int)).max()
+                  for o, f in zip(out, frames))
+        assert err <= 2  # YCbCr round-trip rounding only
+
+    def test_y4m_420_frame_sampling(self):
+        from geomesa_ray.stages.video import decode_y4m_frames, encode_y4m
+
+        frames = self._frames()
+        out, w, h, n = decode_y4m_frames(encode_y4m(frames, fmt="420"),
+                                         sample_every=2)
+        assert n == 6 and len(out) == 3 and out[0].shape == (18, 22, 3)
+
+    def test_avi_mjpeg_roundtrip(self):
+        from geomesa_ray.stages.video import (decode_avi_mjpeg_frames,
+                                              encode_avi_mjpeg)
+
+        frames = self._frames()
+        out, w, h, n = decode_avi_mjpeg_frames(encode_avi_mjpeg(frames, quality=90))
+        assert (w, h, n) == (22, 18, 6) and len(out) == 6
+        for o, f in zip(out, frames):
+            mse = np.mean((o.astype(np.float64) - f.astype(np.float64)) ** 2)
+            assert 10 * np.log10(255 ** 2 / mse) > 25
+
+    def test_media_decode_stage_video(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.media import decode_media
+        from geomesa_ray.stages.video import encode_avi_mjpeg, encode_y4m
+
+        frames = self._frames()
+        rows = [
+            {"media_ref": "vid://y4m", "payload": encode_y4m(frames)},
+            {"media_ref": "vid://avi", "payload": encode_avi_mjpeg(frames)},
+        ]
+        out = decode_media(rd.from_items(rows), dim=64).to_pandas().set_index("media_ref")
+        assert (out["media_kind"] == "video").all() and out["decoded"].all()
+        assert (out["width"] == 22).all() and (out["height"] == 18).all()
+        assert (out["n_samples"] == 6).all()  # frame count
+        assert (out["px_sum"] > 0).all()
+
+
 class TestCompressedAudio:
     """G.711 mu-law / A-law + IMA ADPCM, and the WAV container dispatch."""
 
