@@ -3559,30 +3559,42 @@ def oracle_media_features() -> str:
 
 
 def q_media_decode(sf_dir: str):
-    """REAL native-format media decode (PPM images + PCM16 WAV audio, pure
-    numpy codecs) over deterministic payloads; compressed formats fall back
-    with decoded=False. Payload content is generated from a splitmix64
-    counter chain (NOT an opaque RNG), so the SQL oracle regenerates the
-    expected decoded-content checksums independently — if the decoder
-    misreads a header offset or endianness, px_sum/sample_sum mismatch."""
+    """REAL media decode over deterministic payloads, now covering the
+    compressed codecs too: PPM + PNG + BMP + GIF images (PNG/BMP/GIF are
+    LOSSLESS, so the decoded-pixel checksum equals the source-pixel
+    checksum the oracle regenerates; a container/filter/LZW bug breaks it),
+    PCM16 + G.711 mu-law WAV audio (the oracle replays the mu-law
+    encode/decode quantization as exact integer arithmetic in SQL), and an
+    undecodable payload exercising the honest fallback. Payload content is
+    a splitmix64 counter chain (NOT an opaque RNG), so the SQL oracle
+    regenerates expected decoded-content checksums independently — if a
+    decoder misreads a header offset, endianness, scanline filter, or LZW
+    code width, px_sum/sample_sum mismatch."""
     import ray.data as rd
 
     from geomesa_ray.cells.shard import mix64
-    from geomesa_ray.stages.codecs import encode_ppm, encode_wav
+    from geomesa_ray.stages.codecs import (encode_ppm, encode_wav,
+                                           encode_wav_compressed)
+    from geomesa_ray.stages.gifbmp import encode_bmp, encode_gif
     from geomesa_ray.stages.media import decode_media
+    from geomesa_ray.stages.png import encode_png
 
     P = 1000003
     rows = []
     for i in range(300):
-        kind = i % 3
-        if kind == 0:
+        kind = i % 7
+        if kind in (0, 2, 3, 4):
             x = mix64(np.uint64(i * P + 1) + np.arange(768, dtype=np.uint64))
             px = (x % np.uint64(256)).astype(np.uint8).reshape(16, 16, 3)
-            rows.append({"media_ref": f"img://{i:04d}", "payload": encode_ppm(px)})
-        elif kind == 1:
+            enc = {0: encode_ppm, 2: encode_png, 3: encode_bmp,
+                   4: encode_gif}[kind]
+            rows.append({"media_ref": f"img://{i:04d}", "payload": enc(px)})
+        elif kind in (1, 5):
             x = mix64(np.uint64(i * P + 1) + np.arange(2000, dtype=np.uint64))
             s = ((x % np.uint64(65536)).astype(np.int64) - 32768).astype(np.int16)
-            rows.append({"media_ref": f"aud://{i:04d}", "payload": encode_wav(s)})
+            payload = (encode_wav(s) if kind == 1
+                       else encode_wav_compressed(s, rate=8000, codec="ulaw"))
+            rows.append({"media_ref": f"aud://{i:04d}", "payload": payload})
         else:
             rows.append({"media_ref": f"vid://{i:04d}", "payload": b"\x00compressed"})
     out = decode_media(rd.from_items(rows), dim=16)
@@ -3595,26 +3607,53 @@ def q_media_decode(sf_dir: str):
 def oracle_media_decode() -> str:
     """Regenerates the payload content (pixel/sample values = splitmix64 of
     a counter) and aggregates the same checksums the decoder computes from
-    the DECODED arrays."""
+    the DECODED arrays. PNG/BMP/GIF are lossless, so their decoded-pixel
+    sum equals the regenerated source-pixel sum (GIF adds the opaque RGBA
+    alpha plane: +255*256). The mu-law rows replay ITU G.711 companding as
+    exact integer arithmetic: mag = min(|s|,32635)+132; exponent by segment
+    threshold; mantissa = (mag >> (exp+3)) & 15; decoded = +/-(((mant*8
+    +132) << exp) - 132)."""
     px = _sql_mix64_steps("img_src", "CAST(i * 1000003 + p + 1 AS HUGEINT)", "xo", ["i"], "px")
     au = _sql_mix64_steps("aud_src", "CAST(i * 1000003 + p + 1 AS HUGEINT)", "xo", ["i"], "au")
+    ulaw = """
+    samp AS (SELECT i, CAST(xo % 65536 - 32768 AS BIGINT) AS s FROM au_3),
+    umag AS (SELECT i, s, LEAST(ABS(s), 32635) + 132 AS mag FROM samp WHERE i % 7 = 5),
+    uexp AS (SELECT i, s, mag,
+                    CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+                         WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+                         WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+                         WHEN mag < 16384 THEN 6 ELSE 7 END AS e FROM umag),
+    udec AS (SELECT i,
+                    (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                    * ((((mag // (8 * (1 << e))) % 16) * 8 + 132) * (1 << e) - 132)
+                    AS dec FROM uexp)
+    """
     return f"""
     WITH ids AS (SELECT unnest(range(0, 300)) AS i),
-    img_src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 768)) AS p) WHERE i % 3 = 0),
-    aud_src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 2000)) AS p) WHERE i % 3 = 1),
+    img_src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 768)) AS p) WHERE i % 7 IN (0, 2, 3, 4)),
+    aud_src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 2000)) AS p) WHERE i % 7 IN (1, 5)),
     {',    '.join(px)},
     {',    '.join(au)},
-    imgs AS (SELECT i, CAST(SUM(xo % 256) AS BIGINT) AS px_sum FROM px_3 GROUP BY i),
-    auds AS (SELECT i, CAST(SUM(xo % 65536 - 32768) AS BIGINT) AS sample_sum FROM au_3 GROUP BY i)
-    SELECT printf(CASE i % 3 WHEN 0 THEN 'img://%04d' WHEN 1 THEN 'aud://%04d' ELSE 'vid://%04d' END, CAST(i AS INTEGER)) AS media_ref,
-           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'unknown' END AS media_kind,
-           (i % 3) < 2 AS decoded,
+    imgs AS (SELECT i, CAST(SUM(xo % 256) AS BIGINT)
+                       + CASE WHEN i % 7 = 4 THEN 65280 ELSE 0 END AS px_sum
+             FROM px_3 GROUP BY i),
+    pcms AS (SELECT i, CAST(SUM(xo % 65536 - 32768) AS BIGINT) AS sample_sum
+             FROM au_3 WHERE i % 7 = 1 GROUP BY i),
+    {ulaw},
+    ulaws AS (SELECT i, CAST(SUM(dec) AS BIGINT) AS sample_sum FROM udec GROUP BY i),
+    auds AS (SELECT * FROM pcms UNION ALL SELECT * FROM ulaws)
+    SELECT printf(CASE WHEN i % 7 IN (0, 2, 3, 4) THEN 'img://%04d'
+                       WHEN i % 7 IN (1, 5) THEN 'aud://%04d'
+                       ELSE 'vid://%04d' END, CAST(i AS INTEGER)) AS media_ref,
+           CASE WHEN i % 7 IN (0, 2, 3, 4) THEN 'image'
+                WHEN i % 7 IN (1, 5) THEN 'audio' ELSE 'unknown' END AS media_kind,
+           (i % 7) < 6 AS decoded,
            CAST(16 AS INTEGER) AS feature_dim,
-           CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS INTEGER) AS width,
-           CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS INTEGER) AS height,
+           CAST(CASE WHEN i % 7 IN (0, 2, 3, 4) THEN 16 ELSE 0 END AS INTEGER) AS width,
+           CAST(CASE WHEN i % 7 IN (0, 2, 3, 4) THEN 16 ELSE 0 END AS INTEGER) AS height,
            COALESCE(imgs.px_sum, 0) AS px_sum,
-           CAST(CASE WHEN i % 3 = 1 THEN 2000 ELSE 0 END AS BIGINT) AS n_samples,
-           CAST(CASE WHEN i % 3 = 1 THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN i % 7 IN (1, 5) THEN 2000 ELSE 0 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN i % 7 = 1 THEN 16000 WHEN i % 7 = 5 THEN 8000 ELSE 0 END AS INTEGER) AS sample_rate,
            COALESCE(auds.sample_sum, 0) AS sample_sum
     FROM ids LEFT JOIN imgs USING (i) LEFT JOIN auds USING (i)
     """
