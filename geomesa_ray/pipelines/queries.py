@@ -3659,6 +3659,82 @@ def oracle_media_decode() -> str:
     """
 
 
+def q_media_pipeline(sf_dir: str):
+    """END-TO-END multimodal path over the interleaved corpus: explode
+    ``kind == "media"`` spans -> attach PNG payloads by media_ref (bucketed
+    co-group join; binary payloads stay out of acero) -> actor-pool decode
+    -> per-doc integer rollup. Payload pixels are a splitmix64 chain seeded
+    by fnv1a(media_ref), and PNG is lossless, so the oracle regenerates the
+    expected per-doc decoded-pixel totals from the corpus spans alone —
+    proving the explode, the join (no lost/duplicated refs), the PNG
+    decode, and the rollup in one gate."""
+    import ray.data as rd
+
+    from geomesa_ray.cells.shard import fnv1a_str, mix64
+    from geomesa_ray.sources.synth import synthesize_corpus
+    from geomesa_ray.stages.dedup import exact_dedup
+    from geomesa_ray.stages.media import explode_media_refs, media_pipeline
+    from geomesa_ray.stages.png import encode_png
+
+    corpus = synthesize_corpus(5000, seed=42, n_shards=4)
+    docs = rd.read_parquet(corpus)
+    refs = explode_media_refs(docs)
+    uniq = exact_dedup(refs, content_col="media_ref",
+                       id_col="doc_id").select_columns(["media_ref"])
+
+    def build(t: pa.Table) -> pa.Table:
+        rs = t.column("media_ref").to_numpy(zero_copy_only=False).astype(object)
+        h = fnv1a_str(rs)
+        payloads = []
+        for j in range(len(rs)):
+            x = mix64(h[j] + np.arange(1, 193, dtype=np.uint64))
+            px = (x % np.uint64(256)).astype(np.uint8).reshape(8, 8, 3)
+            payloads.append(encode_png(px))
+        return pa.table({"media_ref": pa.array(rs.astype(str)),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    payloads = uniq.map_batches(build, batch_format="pyarrow")
+    return media_pipeline(rd.read_parquet(corpus), payloads, dim=16)
+
+
+def oracle_media_pipeline() -> str:
+    """Regenerates per-doc decoded-pixel totals from the corpus spans:
+    seed = fnv1a(media_ref) (22 ASCII chars, unrolled CTE chain like
+    oracle_media_features), pixel_p = mix64(seed + p + 1) % 256 for
+    p < 192, rolled up per doc. PNG decode is lossless, so any join
+    duplication/loss, scanline-filter or zlib bug mismatches px_total."""
+    prime = 1099511628211
+    ctes = []
+    for k in range(22):
+        src = "media" if k == 0 else f"fs{k}"
+        s_in = "CAST(14695981039346656037 AS HUGEINT)" if k == 0 else "__s"
+        b = f"ascii(substr(media_ref, {k + 1}, 1))"
+        nh = (f"((({s_in} - ({s_in} % 256) + xor(CAST({s_in} % 256 AS BIGINT), {b})) * {prime})"
+              f" % 18446744073709551616)")
+        ctes.append(f"fs{k + 1} AS MATERIALIZED (SELECT doc_id, media_ref, "
+                    f"CASE WHEN length(media_ref) > {k} THEN {nh} ELSE {s_in} END AS __s FROM {src})")
+    ctes.append("pixsrc AS (SELECT doc_id, media_ref, __s, p FROM fs22, "
+                "(SELECT unnest(range(0, 192)) AS p))")
+    ctes += _sql_mix64_steps(
+        "pixsrc", "(__s + p + 1) % 18446744073709551616", "xo",
+        ["doc_id", "media_ref"], "pm")
+    return f"""
+    WITH media AS (
+      SELECT doc_id, s.media_ref AS media_ref
+      FROM read_parquet('/tmp/graft_corpus/n5000_s42_p4/shard-*.parquet'),
+           unnest(list_filter(spans, x -> x.kind = 'media')) AS t(s)
+    ),
+    {',    '.join(ctes)},
+    per_ref AS (SELECT doc_id, media_ref, SUM(xo % 256) AS ps
+                FROM pm_3 GROUP BY doc_id, media_ref)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(*) AS BIGINT) AS n_decoded,
+           CAST(SUM(ps) AS BIGINT) AS px_total
+    FROM per_ref GROUP BY doc_id
+    """
+
+
 def q_bin_export(sf_dir: str):
     """Packed 16-byte BIN records over events, verified against a SQL
     oracle that rebuilds the FNV track hash and IEEE-754 float32 bit
@@ -3908,6 +3984,7 @@ QUERIES = {
     "ttl_latest": q_ttl_latest,
     "expr_score": q_expr_score,
     # --- (b) new in round 4
+    "media_pipeline": q_media_pipeline,
     "holed_clip": q_holed_clip,
     "relate_holed": q_relate_holed,
     "buffer_far": q_buffer_far,
@@ -4027,6 +4104,7 @@ ORACLES = {
     "stats_sketches": oracle_stats_sketches(),
     "media_features": oracle_media_features(),
     "media_decode": oracle_media_decode(),
+    "media_pipeline": oracle_media_pipeline(),
     "lang_quality": oracle_lang_quality(),
     "simhash_pairs_docs": oracle_simhash_pairs(),
     "jaccard_pairs_docs": oracle_jaccard_pairs(),

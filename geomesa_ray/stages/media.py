@@ -196,7 +196,7 @@ class MediaDecode:
                 kinds[i] = "unknown"
         offsets = pa.array(np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int32))
         features = pa.ListArray.from_arrays(offsets, pa.array(feats.ravel(), type=pa.float32()))
-        return pa.table({
+        out = pa.table({
             self.ref_col: pa.array(refs.astype(str)),
             "features": features,
             "feature_dim": pa.array(np.full(n, self.dim, dtype=np.int32)),
@@ -209,6 +209,12 @@ class MediaDecode:
             "sample_rate": pa.array(sample_rate),
             "sample_sum": pa.array(sample_sum),
         })
+        # carry non-media columns through one-to-one (e.g. doc_id in the
+        # end-to-end pipeline) so the rollup never needs a second join
+        for name in batch.column_names:
+            if name not in (self.ref_col, self.payload_col) and name not in out.column_names:
+                out = out.append_column(name, batch.column(name))
+        return out
 
 
 def decode_media(ds, dim: int = 64, batch_size: int = 64, concurrency=None,
@@ -224,6 +230,89 @@ def decode_media(ds, dim: int = 64, batch_size: int = 64, concurrency=None,
         batch_size=batch_size,
         concurrency=concurrency or default_concurrency(),
     )
+
+
+def explode_media_refs(ds, spans_col: str = "spans", id_col: str = "doc_id"):
+    """Interleaved docs -> one row per ``kind == "media"`` span:
+    (doc_id, media_ref). Vectorized Arrow list-flatten, no row loop."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans = batch.column(spans_col)
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        keep = pa.array(np.nonzero(
+            pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False))[0])
+        return pa.table({
+            id_col: batch.column(id_col).take(parents.take(keep)),
+            "media_ref": flat.field("media_ref").take(keep),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def media_pipeline(docs_ds, payloads_ds, dim: int = 16, batch_size: int = 64,
+                   concurrency=None, id_col: str = "doc_id"):
+    """End-to-end multimodal path over interleaved documents: explode media
+    spans -> bucketed payload attach (binary payloads stay out of acero;
+    ``joins.attach_wide`` co-groups on coarse hash buckets) -> actor-pool
+    decode -> per-doc integer rollup.
+
+    Returns Dataset[(doc_id, n_media, n_decoded, px_total)] — all-integer
+    columns so the SQL oracle comparison is FP-exact. Scale shape: one
+    coarse-bucket shuffle for the attach, one for the rollup merge; decode
+    runs in small batches (payloads are the large side); nothing
+    materializes on the driver."""
+    from geomesa_ray.cells.shard import fnv1a_str
+    from geomesa_ray.stages.joins import attach_wide
+
+    refs = explode_media_refs(docs_ds, id_col=id_col)
+    withp = attach_wide(refs, payloads_ds, on="media_ref")
+    decoded = decode_media(withp, dim=dim, batch_size=batch_size,
+                           concurrency=concurrency)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table({
+            id_col: t.column(id_col),
+            "decoded": t.column("decoded"),
+            "px_sum": t.column("px_sum"),
+        }).to_pandas()
+        g = (df.groupby(id_col, sort=False)
+               .agg(n_media=("px_sum", "size"),
+                    n_decoded=("decoded", "sum"),
+                    px_total=("px_sum", "sum"))
+               .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    B = _rollup_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = fnv1a_str(t.column(id_col).to_numpy(zero_copy_only=False).astype(object))
+        return t.append_column("__b", pa.array((h % np.uint64(B)).astype(np.int32)))
+
+    def merge(g):
+        out = (g.groupby(id_col, sort=False)
+                .agg(n_media=("n_media", "sum"),
+                     n_decoded=("n_decoded", "sum"),
+                     px_total=("px_total", "sum"))
+                .reset_index())
+        return out
+
+    return (decoded.map_batches(partial, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(merge, batch_format="pandas"))
+
+
+def _rollup_buckets() -> int:
+    try:
+        import ray
+
+        return max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 32
 
 
 def media_features(ds, dim: int = 64, fake: bool = True, batch_size: int = 256,

@@ -166,6 +166,43 @@ class TestPng:
                                    image_features(img, grid=8), rtol=1e-6)
 
 
+class TestMediaPipeline:
+    def test_end_to_end_rollup(self, ray_session):
+        """explode -> payload attach -> decode -> per-doc rollup equals a
+        directly-computed expectation on a tiny hand corpus."""
+        import ray.data as rd
+
+        from geomesa_ray.stages.media import media_pipeline
+        from geomesa_ray.stages.png import encode_png
+
+        rng = np.random.default_rng(40)
+        imgs = {f"img://{i}": rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                for i in range(4)}
+        docs = rd.from_items([
+            {"doc_id": "a", "spans": [
+                {"kind": "text", "text": "x", "media_ref": "", "offset": 0},
+                {"kind": "media", "text": "", "media_ref": "img://0", "offset": 1},
+                {"kind": "media", "text": "", "media_ref": "img://1", "offset": 2},
+            ]},
+            {"doc_id": "b", "spans": [
+                {"kind": "media", "text": "", "media_ref": "img://2", "offset": 0},
+            ]},
+            {"doc_id": "c", "spans": [
+                {"kind": "text", "text": "no media", "media_ref": "", "offset": 0},
+            ]},
+        ])
+        payloads = rd.from_items([
+            {"media_ref": k, "payload": encode_png(v)} for k, v in imgs.items()
+        ])
+        out = media_pipeline(docs, payloads, dim=16).to_pandas().set_index("doc_id")
+        assert set(out.index) == {"a", "b"}  # doc c has no media spans
+        assert out.loc["a", "n_media"] == 2 and out.loc["a", "n_decoded"] == 2
+        exp_a = int(imgs["img://0"].astype(np.int64).sum()
+                    + imgs["img://1"].astype(np.int64).sum())
+        assert out.loc["a", "px_total"] == exp_a
+        assert out.loc["b", "px_total"] == int(imgs["img://2"].astype(np.int64).sum())
+
+
 class TestVideo:
     @staticmethod
     def _frames(n=6, h=18, w=22):
