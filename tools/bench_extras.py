@@ -408,13 +408,110 @@ def bench_ann(n_vecs: int = 1_000_000, dim: int = 64, n_queries: int = 4,
     }
 
 
+def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
+    """Multimodal decode throughput: a mixed-format payload corpus (PNG /
+    JPEG / BMP / GIF / PPM images at 64x64, PCM16 / mu-law / IMA-ADPCM WAV
+    at 8k samples, 4-frame 32x32 Y4M video) decoded by the actor-pool
+    ``decode_media`` stage. Reports overall payloads/s + MB/s and a timed
+    per-format pass, so a slow codec (e.g. the serial JPEG entropy loop)
+    is visible instead of averaged away."""
+    import shutil
+
+    _init(num_cpus)
+    import ray.data as rd
+
+    from geomesa_ray.stages.media import decode_media
+
+    FORMATS = ["png", "jpeg", "bmp", "gif", "ppm", "wav", "ulaw", "adpcm", "y4m"]
+
+    def mk(batch: pa.Table) -> pa.Table:
+        from geomesa_ray.cells.shard import mix64
+        from geomesa_ray.stages.codecs import (encode_ppm, encode_wav,
+                                               encode_wav_compressed)
+        from geomesa_ray.stages.gifbmp import encode_bmp, encode_gif
+        from geomesa_ray.stages.jpeg import encode_jpeg
+        from geomesa_ray.stages.png import encode_png
+        from geomesa_ray.stages.video import encode_y4m
+
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        refs, fmts, payloads = [], [], []
+        for i in ids.tolist():
+            fmt = FORMATS[i % len(FORMATS)]
+            x = mix64(np.uint64(i * 1_000_003 + 1)
+                      + np.arange(64 * 64 * 3, dtype=np.uint64))
+            if fmt in ("png", "jpeg", "bmp", "ppm"):
+                px = (x % np.uint64(256)).astype(np.uint8).reshape(64, 64, 3)
+                enc = {"png": encode_png, "jpeg": encode_jpeg,
+                       "bmp": encode_bmp, "ppm": encode_ppm}[fmt]
+                payloads.append(enc(px))
+            elif fmt == "gif":
+                px = ((x % np.uint64(6)).astype(np.uint8) * 42).reshape(64, 64, 3)
+                payloads.append(encode_gif(px))
+            elif fmt in ("wav", "ulaw", "adpcm"):
+                s = ((x[:8000] % np.uint64(65536)).astype(np.int64) - 32768).astype(np.int16)
+                payloads.append(encode_wav(s) if fmt == "wav"
+                                else encode_wav_compressed(s, 8000, fmt))
+            else:  # y4m: 4 smooth frames (video payloads are frame stacks)
+                base = (x[:32 * 32 * 3] % np.uint64(256)).astype(np.uint8).reshape(32, 32, 3)
+                frames = [((base.astype(np.int32) + 9 * t) % 256).astype(np.uint8)
+                          for t in range(4)]
+                payloads.append(encode_y4m(frames))
+            refs.append(f"{fmt}://{i:08d}")
+            fmts.append(fmt)
+        return pa.table({"media_ref": pa.array(refs), "fmt": pa.array(fmts),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    corpus_dir = f"/tmp/graft_media_bench_{n_media}"
+    if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        rd.range(n_media).map_batches(mk, batch_format="pyarrow",
+                                      batch_size=256).write_parquet(corpus_dir)
+        open(os.path.join(corpus_dir, "_DONE"), "w").write("1")
+
+    import glob
+    total_bytes = sum(os.path.getsize(p)
+                      for p in glob.glob(os.path.join(corpus_dir, "*.parquet")))
+
+    def timed(ds, n):
+        t0 = time.time()
+        decoded = decode_media(ds, dim=16, batch_size=64)
+        ok = decoded.map_batches(
+            lambda t: pa.table({"d": pa.array([int(t.column("decoded").to_numpy(
+                zero_copy_only=False).sum())])}),
+            batch_format="pyarrow").sum("d")
+        dt = time.time() - t0
+        return dt, ok
+
+    # warmup + timed mixed pass
+    timed(rd.read_parquet(corpus_dir), n_media)
+    t_all, n_ok = timed(rd.read_parquet(corpus_dir), n_media)
+
+    per_format = {}
+    for fmt in FORMATS:
+        ds = rd.read_parquet(corpus_dir).filter(
+            expr=f"fmt == '{fmt}'")
+        cnt = n_media // len(FORMATS)
+        dt, _ = timed(ds, cnt)
+        per_format[fmt] = round(cnt / dt, 1)
+
+    return {
+        "metric": "multimodal decode throughput (payloads/sec)",
+        "payloads": n_media, "decoded_ok": int(n_ok),
+        "corpus_mb": round(total_bytes / 1e6, 1),
+        "mixed_payloads_per_sec": round(n_media / t_all, 1),
+        "mixed_mb_per_sec": round(total_bytes / 1e6 / t_all, 1),
+        "per_format_payloads_per_sec": per_format,
+        "num_cpus": num_cpus,
+    }
+
+
 if __name__ == "__main__":
     import ray
 
     mode = sys.argv[1]
     defaults = {"dedup": 6_000_000, "extent": 3_000_000, "windows": 48_000_000,
                 "jaccard_hot": 4096, "knn_many": 6_000_000, "stats": 48_000_000,
-                "ann": 1_000_000}
+                "ann": 1_000_000, "media": 18_000}
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 1_000_000)
     if mode == "dedup":
         out = bench_dedup(n)
@@ -430,6 +527,8 @@ if __name__ == "__main__":
         out = bench_stats(n)
     elif mode == "ann":
         out = bench_ann(n)
+    elif mode == "media":
+        out = bench_media(n)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(json.dumps(out))
