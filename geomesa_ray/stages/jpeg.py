@@ -409,89 +409,135 @@ def encode_jpeg(img: np.ndarray, quality: int = 75, subsample: str = "420",
 
 # -------------------------------------------------------------- decoder --
 
-class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 unstuffing and RSTn stops."""
+def _split_entropy(data: bytes, pos: int) -> list[bytes]:
+    """The scan's entropy bytes -> unstuffed segments split at RSTn
+    markers (numpy scan — one pass over the buffer instead of per-byte
+    Python stuffing checks in the hot bit reader)."""
+    arr = np.frombuffer(data, dtype=np.uint8, offset=pos)
+    ff = np.nonzero(arr == 0xFF)[0]
+    segments: list[bytes] = []
+    seg_start = 0
+    drop: list[int] = []  # stuffed 0x00 positions within the current segment
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+    def flush(end_):
+        keep = np.ones(end_ - seg_start, dtype=bool)
+        for d in drop:
+            keep[d - seg_start] = False
+        segments.append(arr[seg_start:end_][keep].tobytes())
+        drop.clear()
+
+    i = 0
+    while i < len(ff):
+        p = int(ff[i])
+        nxt = int(arr[p + 1]) if p + 1 < len(arr) else 0xD9
+        if nxt == 0x00:
+            drop.append(p + 1)
+            # consecutive 0xFF? the next 0xFF position is independent
+        elif 0xD0 <= nxt <= 0xD7:
+            flush(p)
+            seg_start = p + 2
+        else:  # a real marker (EOI / next scan) ends the entropy data
+            flush(p)
+            return segments
+        i += 1
+    flush(len(arr))
+    return segments
+
+
+class _BitReader:
+    """Bit reader over pre-unstuffed entropy segments; `align_restart`
+    advances to the next RSTn segment."""
+
+    def __init__(self, segments: list[bytes]):
+        self.segments = segments
+        self.seg = 0
+        self.data = segments[0] if segments else b""
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
-        self.marker = None
 
-    def _fill(self):
+    def _fill(self, need: int):
         d = self.data
-        while self.nbits <= 24:
-            if self.pos >= len(d):
-                self.acc = (self.acc << 8) & 0xFFFFFFFF
-                self.nbits += 8
-                continue
-            byte = d[self.pos]
-            if byte == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                else:  # a real marker terminates the segment
-                    self.marker = nxt
-                    self.acc = (self.acc << 8) & 0xFFFFFFFF
-                    self.nbits += 8
-                    continue
-            else:
+        n = len(d)
+        while self.nbits < need:
+            if self.pos < n:
+                self.acc = (self.acc << 8) | d[self.pos]
                 self.pos += 1
-            self.acc = ((self.acc << 8) | byte) & 0xFFFFFFFF
+            else:
+                self.acc <<= 8  # zero padding past segment end
             self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int):
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
         if self.nbits < n:
-            self._fill()
+            self._fill(n)
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
         return v
 
     def align_restart(self):
-        """Skip to just past the next RSTn marker (byte-aligned)."""
+        """Jump to the start of the next restart segment."""
+        self.seg += 1
+        self.data = (self.segments[self.seg]
+                     if self.seg < len(self.segments) else b"")
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
-        self.marker = None
-        d = self.data
-        i = self.pos
-        while i + 1 < len(d):
-            if d[i] == 0xFF and 0xD0 <= d[i + 1] <= 0xD7:
-                self.pos = i + 2
-                return
-            i += 1
-        self.pos = len(d)
+
+
+_HUFF_CACHE: dict = {}
+
+
+def _huff_table(bits, vals) -> "_HuffTable":
+    """LUT construction is ~40% of a small-image decode; identical (bits,
+    vals) — e.g. the Annex-K tables every encoder here emits — hit a
+    module-level cache."""
+    key = (bytes(bits), bytes(vals))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        t = _HUFF_CACHE[key] = _HuffTable(bits, vals)
+    return t
 
 
 class _HuffTable:
+    """Canonical Huffman with a 16-bit lookahead LUT: one list index per
+    symbol instead of a per-bit tree walk."""
+
     def __init__(self, bits, vals):
-        self.maxcode = [-1] * 17
-        self.mincode = [0] * 17
-        self.valptr = [0] * 17
-        self.vals = list(vals)
+        sym = np.zeros(1 << 16, dtype=np.int32)
+        ln_ = np.zeros(1 << 16, dtype=np.int32)
         code = 0
         k = 0
-        for ln in range(1, 17):
-            if bits[ln - 1]:
-                self.valptr[ln] = k
-                self.mincode[ln] = code
-                code += bits[ln - 1]
-                k += bits[ln - 1]
-                self.maxcode[ln] = code - 1
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                sym[lo:hi] = vals[k]
+                ln_[lo:hi] = length
+                code += 1
+                k += 1
             code <<= 1
+        self.sym = sym.tolist()
+        self.len = ln_.tolist()
 
     def decode(self, br: _BitReader) -> int:
-        code = br.read(1)
-        ln = 1
-        while code > self.maxcode[ln] or self.maxcode[ln] < 0:
-            ln += 1
-            if ln > 16:
-                raise ValueError("corrupt Huffman stream")
-            code = (code << 1) | br.read(1)
-        return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+        v = br.peek16()
+        length = self.len[v]
+        if length == 0:
+            raise ValueError("corrupt Huffman stream")
+        br.skip(length)
+        return self.sym[v]
 
 
 def _extend(v: int, s: int) -> int:
@@ -499,26 +545,73 @@ def _extend(v: int, s: int) -> int:
 
 
 def _decode_block(br: _BitReader, dc: _HuffTable, ac: _HuffTable,
-                  pred: int) -> tuple[np.ndarray, int]:
-    out = np.zeros(64, dtype=np.int32)
-    s = dc.decode(br)
-    diff = _extend(br.read(s), s) if s else 0
+                  pred: int) -> tuple[list, int]:
+    """One 8x8 block's Huffman symbols -> zigzag coefficient list.
+
+    The bit-reader state is manipulated locally (acc/nbits/pos as plain
+    ints, LUTs as lists) — the entropy loop is the decoder's only serial
+    hot path, and Python attribute/method dispatch per symbol costs more
+    than the arithmetic itself (measured ~2x)."""
+    out = [0] * 64
+    acc, nbits = br.acc, br.nbits
+    data, pos, n = br.data, br.pos, len(br.data)
+    # DC symbol
+    while nbits < 16:
+        acc = (acc << 8) | data[pos] if pos < n else acc << 8
+        pos += 1 if pos < n else 0
+        nbits += 8
+    v16 = (acc >> (nbits - 16)) & 0xFFFF
+    s = dc.sym[v16]
+    nbits -= dc.len[v16]
+    if dc.len[v16] == 0:
+        raise ValueError("corrupt Huffman stream")
+    acc &= (1 << nbits) - 1
+    if s:
+        while nbits < s:
+            acc = (acc << 8) | data[pos] if pos < n else acc << 8
+            pos += 1 if pos < n else 0
+            nbits += 8
+        nbits -= s
+        v = (acc >> nbits) & ((1 << s) - 1)
+        acc &= (1 << nbits) - 1
+        diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+    else:
+        diff = 0
     val = pred + diff
     out[0] = val
+    asym, alen = ac.sym, ac.len
     k = 1
     while k < 64:
-        rs = ac.decode(br)
-        r, s = rs >> 4, rs & 0xF
+        while nbits < 16:
+            acc = (acc << 8) | data[pos] if pos < n else acc << 8
+            pos += 1 if pos < n else 0
+            nbits += 8
+        v16 = (acc >> (nbits - 16)) & 0xFFFF
+        rs = asym[v16]
+        ln = alen[v16]
+        if ln == 0:
+            raise ValueError("corrupt Huffman stream")
+        nbits -= ln
+        acc &= (1 << nbits) - 1
+        s = rs & 0xF
         if s == 0:
-            if r == 15:
+            if rs == 0xF0:
                 k += 16
                 continue
             break  # EOB
-        k += r
+        k += rs >> 4
         if k > 63:
             raise ValueError("corrupt AC run")
-        out[k] = _extend(br.read(s), s)
+        while nbits < s:
+            acc = (acc << 8) | data[pos] if pos < n else acc << 8
+            pos += 1 if pos < n else 0
+            nbits += 8
+        nbits -= s
+        v = (acc >> nbits) & ((1 << s) - 1)
+        acc &= (1 << nbits) - 1
+        out[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         k += 1
+    br.acc, br.nbits, br.pos = acc, nbits, pos
     return out, val
 
 
@@ -562,7 +655,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[j + 1:j + 17])
                 n = sum(bits)
                 vals = list(body[j + 17:j + 17 + n])
-                htabs[(cls, tid)] = _HuffTable(bits, vals)
+                htabs[(cls, tid)] = _huff_table(bits, vals)
                 j += 17 + n
         elif marker == 0xC0 or marker == 0xC1:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -608,7 +701,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         ph = mcus_y * 8 * cv
         planes[cid] = np.zeros(((ph // 8) * (pw // 8), 64), dtype=np.int32)
 
-    br = _BitReader(data, entropy_pos)
+    br = _BitReader(_split_entropy(data, entropy_pos))
     preds = {cid: 0 for cid, *_ in comps}
     mcu_count = 0
     for my in range(mcus_y):
