@@ -113,6 +113,43 @@ class TestPng:
                + _chunk(b"IEND", b""))
         assert np.array_equal(decode_png(png), g * scale)
 
+    def test_fuzz_random_filters_vs_reference(self):
+        """Random filter type per row (hits the wavefront path whenever a
+        3/4 row appears) vs an independently-filtered bitstream."""
+        from geomesa_ray.stages.png import decode_png
+
+        rng = np.random.default_rng(70)
+        for _ in range(20):
+            h = int(rng.integers(1, 20))
+            w = int(rng.integers(1, 20))
+            nch = int(rng.choice([1, 2, 3, 4]))
+            img = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+            rows = []
+            prev = np.zeros(w * nch, dtype=np.int32)
+            for y in range(h):
+                curr = img[y].reshape(-1).astype(np.int32)
+                a = np.zeros_like(curr)
+                a[nch:] = curr[:-nch]
+                c = np.zeros_like(prev)
+                c[nch:] = prev[:-nch]
+                f = int(rng.integers(0, 5))
+                if f == 4:
+                    p = a + prev - c
+                    pred = np.where((abs(p - a) <= abs(p - prev))
+                                    & (abs(p - a) <= abs(p - c)), a,
+                                    np.where(abs(p - prev) <= abs(p - c), prev, c))
+                else:
+                    pred = [0 * a, a, prev, (a + prev) >> 1][f]
+                rows.append(bytes([f]) + bytes(((curr - pred) & 0xFF).astype(np.uint8)))
+                prev = curr
+            ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+            png = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0))
+                   + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                   + _chunk(b"IEND", b""))
+            out = decode_png(png)
+            ref = img if nch > 1 else img[:, :, 0]
+            assert np.array_equal(out, ref)
+
     def test_rejects(self):
         from geomesa_ray.stages.png import decode_png
 

@@ -448,7 +448,13 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
                 px = ((x % np.uint64(6)).astype(np.uint8) * 42).reshape(64, 64, 3)
                 payloads.append(encode_gif(px))
             elif fmt in ("wav", "ulaw", "adpcm"):
-                s = ((x[:8000] % np.uint64(65536)).astype(np.int64) - 32768).astype(np.int16)
+                # ~10 s of 8 kHz audio: long enough that the ADPCM block
+                # loop (serial per position, vectorized ACROSS blocks) has
+                # blocks to vectorize over
+                t_ = np.arange(80_000, dtype=np.float64)
+                s = (np.sin(t_ / 29.0) * 7000
+                     + (x[t_.astype(np.int64) % len(x)] % np.uint64(512)).astype(np.float64)
+                     - 256.0).astype(np.int16)
                 payloads.append(encode_wav(s) if fmt == "wav"
                                 else encode_wav_compressed(s, 8000, fmt))
             else:  # y4m: 4 smooth frames (video payloads are frame stacks)
@@ -461,7 +467,7 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
         return pa.table({"media_ref": pa.array(refs), "fmt": pa.array(fmts),
                          "payload": pa.array(payloads, type=pa.binary())})
 
-    corpus_dir = f"/tmp/graft_media_bench_{n_media}"
+    corpus_dir = f"/tmp/graft_media_bench_v2_{n_media}"
     if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
         shutil.rmtree(corpus_dir, ignore_errors=True)
         rd.range(n_media).map_batches(mk, batch_format="pyarrow",
