@@ -136,8 +136,12 @@ def adpcm_decode_blocks(data: bytes, channels: int,
 
 
 def adpcm_encode_blocks(samples: np.ndarray, block_align: int = 1024) -> bytes:
-    """(n, channels) int16 -> IMA ADPCM block bytes (fixture generator;
-    channels must divide the nibble groups — mono or stereo)."""
+    """(n, channels) int16 -> IMA ADPCM block bytes.
+
+    The step-index resets per block (spec-legal: every block header carries
+    predictor + index), which makes blocks independent — the encoder loop
+    runs over the <=``spb`` sample positions of a block while staying
+    vectorized ACROSS all blocks x channels, mirroring the decoder."""
     samples = np.asarray(samples, dtype=np.int16)
     if samples.ndim == 1:
         samples = samples[:, None]
@@ -148,37 +152,35 @@ def adpcm_encode_blocks(samples: np.ndarray, block_align: int = 1024) -> bytes:
         samples = np.vstack([samples, np.repeat(samples[-1:], pad, axis=0)])
     n = len(samples)
     n_blocks = n // spb
-    out = bytearray()
-    idx = np.zeros(ch, dtype=np.int32)
-    for b in range(n_blocks):
-        seg = samples[b * spb:(b + 1) * spb]
-        if len(seg) < spb:
-            seg = np.vstack([seg, np.repeat(seg[-1:], spb - len(seg), axis=0)])
-        pred = seg[0].astype(np.int32)
-        for c in range(ch):
-            out += int(pred[c] & 0xFFFF).to_bytes(2, "little")
-            out += bytes([int(idx[c]), 0])
-        nibs = np.empty((ch, spb - 1), dtype=np.uint8)
-        p = pred.copy()
-        ix = idx.copy()
-        for s in range(spb - 1):
-            target = seg[s + 1].astype(np.int32)
-            step = _STEP_TABLE[ix]
-            diff = target - p
-            nib = np.where(diff < 0, 8, 0)
-            ad = np.abs(diff)
-            n4 = np.where(ad >= step, 4, 0)
-            ad = ad - np.where(n4 > 0, step, 0)
-            n2 = np.where(ad >= step >> 1, 2, 0)
-            ad = ad - np.where(n2 > 0, step >> 1, 0)
-            n1 = np.where(ad >= step >> 2, 1, 0)
-            nib = (nib | n4 | n2 | n1).astype(np.uint8)
-            p, ix = _adpcm_step(nib, p, ix)
-            nibs[:, s] = nib
-        idx = ix
-        groups = nibs.reshape(ch, -1, 8)
-        packed = np.empty((groups.shape[1], ch, 4), dtype=np.uint8)
-        for g in range(4):
-            packed[:, :, g] = (groups[:, :, 2 * g] | (groups[:, :, 2 * g + 1] << 4)).T
-        out += packed.tobytes()
-    return bytes(out)
+    segs = samples.reshape(n_blocks, spb, ch).astype(np.int32)
+    pred = segs[:, 0, :].copy()          # (n_blocks, ch)
+    ix = np.zeros((n_blocks, ch), dtype=np.int32)
+    nibs = np.empty((n_blocks, ch, spb - 1), dtype=np.uint8)
+    for s in range(spb - 1):
+        target = segs[:, s + 1, :]
+        step = _STEP_TABLE[ix]
+        diff = target - pred
+        nib = np.where(diff < 0, 8, 0)
+        ad = np.abs(diff)
+        n4 = np.where(ad >= step, 4, 0)
+        ad = ad - np.where(n4 > 0, step, 0)
+        n2 = np.where(ad >= step >> 1, 2, 0)
+        ad = ad - np.where(n2 > 0, step >> 1, 0)
+        n1 = np.where(ad >= step >> 2, 1, 0)
+        nib = (nib | n4 | n2 | n1).astype(np.uint8)
+        pred, ix = _adpcm_step(nib, pred, ix)
+        nibs[:, :, s] = nib
+    # headers: per block, per channel: int16 predictor, uint8 index, pad
+    first = segs[:, 0, :].astype(np.int16)
+    hdr = np.zeros((n_blocks, ch, 4), dtype=np.uint8)
+    hdr[:, :, 0] = (first & 0xFF).astype(np.uint8)
+    hdr[:, :, 1] = ((first.astype(np.int32) >> 8) & 0xFF).astype(np.uint8)
+    # nibble payload: 4-byte groups interleaved by channel
+    groups = nibs.reshape(n_blocks, ch, -1, 8)
+    packed = np.empty((n_blocks, groups.shape[2], ch, 4), dtype=np.uint8)
+    for g in range(4):
+        packed[:, :, :, g] = (groups[:, :, :, 2 * g]
+                              | (groups[:, :, :, 2 * g + 1] << 4)).transpose(0, 2, 1)
+    blocks = np.concatenate(
+        [hdr.reshape(n_blocks, -1), packed.reshape(n_blocks, -1)], axis=1)
+    return blocks.tobytes()
