@@ -342,6 +342,61 @@ class TransverseMercator:
         return np.degrees(lam + self.lon0), np.degrees(phi)
 
 
+class PolarStereographic:
+    """Ellipsoidal Polar Stereographic, Snyder PP1395 eqs. 21-33..21-41.
+
+    Variant B (standard parallel ``lat_ts``: EPSG 3031/3413) or variant A
+    (scale ``k0`` at the pole: UPS). ``south=True`` mirrors the aspect.
+    Conventions match EPSG: for the north aspect y points from the pole
+    toward ``lon0 + 180``; for the south aspect toward ``lon0``."""
+
+    def __init__(self, lat_ts: float | None, lon0: float,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 south: bool = False, k0: float | None = None,
+                 a: float = _WGS84_A, f: float = _WGS84_F):
+        self.a, self.e = a, np.sqrt(f * (2.0 - f))
+        self.south = south
+        self.lon0 = np.radians(lon0)
+        self.fe, self.fn = false_e, false_n
+        e = self.e
+        if k0 is not None:  # variant A: rho = 2 a k0 t / sqrt(...)
+            self.rho_per_t = (2.0 * a * k0
+                              / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)))
+        else:  # variant B: k = 1 at lat_ts (eq. 21-34)
+            pc = np.radians(abs(lat_ts))
+            self.rho_per_t = a * _m(pc, e) / _t(pc, e)
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        if self.south:
+            phi, lam = -phi, -lam
+        rho = self.rho_per_t * _t(phi, self.e)
+        dl = lam - (-self.lon0 if self.south else self.lon0)
+        x = rho * np.sin(dl)
+        y = -rho * np.cos(dl)
+        if self.south:
+            x, y = -x, -y
+        return x + self.fe, y + self.fn
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        if self.south:
+            x, y = -x, -y
+        rho = np.hypot(x, y)
+        t = rho / self.rho_per_t
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):  # Snyder 7-9 fixed point
+            s = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0))
+        lam = (-self.lon0 if self.south else self.lon0) + np.arctan2(x, -y)
+        if self.south:
+            phi, lam = -phi, -lam
+        return np.degrees(lam), np.degrees(phi)
+
+
 class _ScaledCRS:
     """Unit adapter: publishes a projection whose axis unit is not the
     meter (US survey foot state-plane zones)."""
@@ -401,6 +456,15 @@ PROJECTED_CRS = {
     "EPSG:26985": lambda: LambertConformalConic(
         38.3, 39.45, 37.0 + 40 / 60, -77.0,
         400_000.0, 0.0, a=_GRS80_A, f=_GRS80_F),
+    # Antarctic Polar Stereographic (WGS84, lat_ts -71, lon0 0)
+    "EPSG:3031": lambda: PolarStereographic(-71.0, 0.0, 0.0, 0.0, south=True),
+    # NSIDC Sea Ice Polar Stereographic North (WGS84, lat_ts 70, lon0 -45)
+    "EPSG:3413": lambda: PolarStereographic(70.0, -45.0, 0.0, 0.0),
+    # Universal Polar Stereographic North / South (variant A, k0 0.994)
+    "EPSG:32661": lambda: PolarStereographic(
+        None, 0.0, 2_000_000.0, 2_000_000.0, k0=0.994),
+    "EPSG:32761": lambda: PolarStereographic(
+        None, 0.0, 2_000_000.0, 2_000_000.0, south=True, k0=0.994),
     # US State Plane NAD27 Texas South Central (LCC, US survey feet —
     # Snyder PP1395's state-plane parameter set): SP 28°23'/30°17',
     # origin 27°50'N 99°W, FE 2,000,000 ftUS

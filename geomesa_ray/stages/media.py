@@ -36,9 +36,9 @@ class MediaFeatureExtract:
                  id_col: str = "doc_id"):
         if not fake:
             raise NotImplementedError(
-                "span-explode with inline decode is not wired; decode real "
-                "payloads with stages.media.decode_media (PPM/PGM/WAV native; "
-                "compressed formats need codec libraries absent here)"
+                "span-explode with inline decode is not wired here; use "
+                "stages.media.media_pipeline (explode -> payload attach -> "
+                "decode_media -> rollup) for the real end-to-end path"
             )
         self.dim = dim
         self.spans_col = spans_col

@@ -94,6 +94,58 @@ class TestConicProjections:
         lo, la = p.inverse(x, y)
         assert abs(lo[0] - 3.0) < 1e-8 and abs(la[0] - 48.0) < 1e-8
 
+    def test_ups_epsg_worked_example(self):
+        """EPSG Guidance Note 7-2's UPS North example: 73N 44E ->
+        E 3320416.75, N 632668.43 — independent published ground truth."""
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import get_projection
+
+        p = get_projection("EPSG:32661")
+        x, y = p.forward(np.array([44.0]), np.array([73.0]))
+        assert abs(x[0] - 3_320_416.75) < 0.01
+        assert abs(y[0] - 632_668.43) < 0.01
+        lo, la = p.inverse(x, y)
+        assert abs(lo[0] - 44.0) < 1e-9 and abs(la[0] - 73.0) < 1e-9
+
+    def test_polar_stereographic_invariants(self):
+        """Variant B definition checks: k = 1 exactly at the standard
+        parallel (measured numerically along the parallel), the pole maps
+        to the false origin, the EPSG axis conventions hold, and the
+        inverse is machine-exact."""
+        import numpy as np
+
+        from geomesa_ray.geo.reproject import get_projection
+
+        a = 6378137.0
+        e = np.sqrt((1 / 298.257223563) * (2 - 1 / 298.257223563))
+        for code, lat_ts, south in [("EPSG:3031", -71.0, True),
+                                    ("EPSG:3413", 70.0, False)]:
+            p = get_projection(code)
+            x, y = p.forward(np.array([123.0]), np.array([-90.0 if south else 90.0]))
+            assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+            rng = np.random.default_rng(3)
+            lon = rng.uniform(-180, 180, 200)
+            lat = (rng.uniform(-89.9, -55, 200) if south
+                   else rng.uniform(55, 89.9, 200))
+            X, Y = p.forward(lon, lat)
+            lo, la = p.inverse(X, Y)
+            dl = (lo - lon + 180) % 360 - 180
+            assert np.abs(dl).max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+            ln = np.array([10.0, 10.0 + 1e-6])
+            X, Y = p.forward(ln, np.array([lat_ts, lat_ts]))
+            s = np.sin(np.radians(lat_ts))
+            ds_true = (a * np.cos(np.radians(lat_ts))
+                       / np.sqrt(1 - e * e * s * s) * np.radians(1e-6))
+            k = np.hypot(X[1] - X[0], Y[1] - Y[0]) / ds_true
+            assert abs(k - 1.0) < 1e-7, (code, k)
+        # axis conventions: 3413 y points pole->135E, so (lon0, 75N) has y<0;
+        # 3031 (south aspect) y points pole->lon0, so (0E, 75S) has y>0
+        x, y = get_projection("EPSG:3413").forward(np.array([-45.0]), np.array([75.0]))
+        assert abs(x[0]) < 1e-6 and y[0] < 0
+        x, y = get_projection("EPSG:3031").forward(np.array([0.0]), np.array([-75.0]))
+        assert abs(x[0]) < 1e-6 and y[0] > 0
+
     def test_unknown_code(self):
         import pytest
 
