@@ -695,10 +695,10 @@ def f_st_crosses(wkt_line, wkt_poly):
 
 def f_st_relate(wkt_a, wkt_b):
     """st_relate: DE-9IM matrix strings for any Point/MultiPoint/
-    (Multi)LineString/(Multi)Polygon pair, concave polygons included
-    (ear-clip cover probes); holed polygons vs points via even-odd
-    parity (SpatialRelationFunctions.scala:62-83 -> JTS
-    Geometry.relate)."""
+    (Multi)LineString/(Multi)Polygon pair — concave shells (ear-clip
+    cover probes) AND interior rings (hole-subtracted convex cover;
+    boundary tests stay on the original ring edges) included
+    (SpatialRelationFunctions.scala:62-83 -> JTS Geometry.relate)."""
     from geomesa_ray.geo.relate import relate
     from geomesa_ray.geo.wkt import parse_wkt
 

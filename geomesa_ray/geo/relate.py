@@ -17,9 +17,13 @@ products), strict-interior separation (SAT with touching allowed),
 pairwise edge-intersection dimension, even-odd ray parity — with no
 constructive geometry. Line boundaries follow the JTS mod-2 rule (the two
 global endpoints; EMPTY for a closed ring). Polygons with interior rings
-(holes) are supported against Point/MultiPoint operands (exact even-odd
-parity); line/polygon operands against a holed polygon raise ``ValueError``
-(the hole cover would need constructed vertices, breaking exactness).
+(holes) are supported against EVERY operand kind: points classify by exact
+even-odd parity over all rings; line/polygon operands probe the
+hole-subtracted convex cover (``convex_difference`` pieces) for INTERIOR
+membership only — the constructed seam vertices never participate in a
+boundary test, which always reads the original ring edges. The poly x poly
+exterior row adds a per-part interior-witness probe (the pure boundary
+identity fails when one part exactly fills the other's hole).
 """
 
 from __future__ import annotations
@@ -224,8 +228,27 @@ def _relate_poly_poly(comps_a, comps_b) -> str:
     lm_b = _relate_line_poly(chains_b, [], comps_a)  # ∂B vs A
     ii = any(_interiors_overlap(a, b) for a in cover_a for b in cover_b)
     bb = _dim_max((lm_a[1], lm_b[1]))
-    ie = F if (lm_a[2] == F and lm_b[0] == F) else "2"
-    ei = F if (lm_b[2] == F and lm_a[0] == F) else "2"
+
+    def ext_probe(comps_x, comps_other) -> bool:
+        """Does some part of X have interior in the OTHER's exterior, given
+        the boundary identities came back empty? Under those premises each
+        part's interior never meets the other's boundary, so it lies
+        entirely inside or entirely outside — ONE interior witness per
+        part decides it. (The witness is needed at all because the
+        boundary identity fails when a part fills a HOLE with its ring on
+        the other's boundary — e.g. B equal to A's hole.)"""
+        for _, cov in comps_x:
+            if not cov:
+                continue
+            w = cov[0].mean(axis=0)  # strictly interior to the convex piece
+            if _point_role_comps(comps_other, w[0], w[1]) == "e":
+                return True
+        return False
+
+    ie = ("2" if not (lm_a[2] == F and lm_b[0] == F)
+          or ext_probe(comps_a, comps_b) else F)
+    ei = ("2" if not (lm_b[2] == F and lm_a[0] == F)
+          or ext_probe(comps_b, comps_a) else F)
     return (
         ("2" if ii else F)  # II: open overlap of any cover-piece pair
         + lm_b[0]           # IB = ∂B ∩ int(A)
@@ -575,9 +598,8 @@ def _relate_mpoint_poly(pts: np.ndarray, comps) -> str:
 
 def relate(ga: dict, gb: dict) -> str:
     """DE-9IM matrix for two parse_wkt geometries: Point / MultiPoint /
-    (Multi)LineString / (Multi)Polygon pair combinations, concave polygons
-    included; holed polygons against points only (MultiPoint has no
-    boundary — JTS mod-0 rule for puntal geometry)."""
+    (Multi)LineString / (Multi)Polygon pair combinations — concave shells
+    and interior rings (holes) included for every operand kind."""
 
     def classify(g):
         if g["type"] == "Point":
@@ -590,7 +612,7 @@ def relate(ga: dict, gb: dict) -> str:
         if g["type"] == "MultiLineString":
             return "line", [np.asarray(c, dtype=np.float64) for c in g["coords"]]
         if g["type"] in ("Polygon", "MultiPolygon"):
-            from geomesa_ray.geo.poly import decompose_convex
+            from geomesa_ray.geo.poly import convex_difference, decompose_convex
 
             raw = [g["coords"]] if g["type"] == "Polygon" else g["coords"]
             comps = []
@@ -601,16 +623,22 @@ def relate(ga: dict, gb: dict) -> str:
                     if (ring[0] == ring[-1]).all():
                         ring = ring[:-1]
                     brings.append(ring)
-                if len(brings) > 1:
-                    # holed: the interior cover would need CONSTRUCTED
-                    # vertices (hole subtraction), breaking exactness — only
-                    # the even-odd point classification is offered; the
-                    # dispatcher raises for line/polygon operands
-                    cover = None
-                else:
-                    # concave shells ear-clip to triangles over ORIGINAL
-                    # vertices — exact; convex shells are their own cover
-                    cover = decompose_convex(brings[0])
+                # concave shells ear-clip to triangles over ORIGINAL
+                # vertices — exact; convex shells are their own cover
+                cover = decompose_convex(brings[0])
+                # holes subtract convexly from the cover (the same
+                # shell-minus-holes covering the set ops use). Seam/
+                # constructed vertices only partition the INTERIOR — every
+                # boundary classification below reads the ORIGINAL ring
+                # edges (bsegs / _point_role_comps), so exactness of the
+                # boundary tests is unaffected.
+                for hole in brings[1:]:
+                    for th in decompose_convex(hole):
+                        cover = [q for p in cover
+                                 for q in convex_difference(p, th)
+                                 if len(q) >= 3]
+                    if not cover:
+                        break
                 comps.append((brings, cover))
             return "poly", comps
         raise ValueError(
@@ -619,13 +647,6 @@ def relate(ga: dict, gb: dict) -> str:
 
     ka, va = classify(ga)
     kb, vb = classify(gb)
-    for k, v, other in ((ka, va, kb), (kb, vb, ka)):
-        if k == "poly" and other not in ("pt", "mpt") \
-                and any(cov is None for _, cov in v):
-            raise ValueError(
-                "st_relate: polygons with interior rings (holes) are only "
-                "supported against Point/MultiPoint operands (line/polygon "
-                "relate would need a constructed hole cover)")
     bnd_a = _mls_boundary(va) if ka == "line" else None
     bnd_b = _mls_boundary(vb) if kb == "line" else None
     if ka == "mpt" or kb == "mpt":

@@ -372,8 +372,26 @@ class TestRelateHoled:
         got = _rel("MULTIPOINT (1 1, 5 5, 4 5)", self.H)
         assert got == "000FFF212"  # interior + exterior(hole) + boundary
 
-    def test_line_vs_holed_still_raises(self):
-        with pytest.raises(ValueError):
-            _rel("LINESTRING (0 5, 10 5)", self.H)
-        with pytest.raises(ValueError):
-            _rel(self.H, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    def test_line_vs_holed(self):
+        """Round 4 (late): line/polygon operands vs holed polygons relate
+        via the hole-subtracted convex cover (boundary tests stay on the
+        ORIGINAL ring edges, so constructed seam vertices never classify
+        as boundary)."""
+        # spans the ring solid and the hole; endpoints ON the shell
+        assert _rel("LINESTRING (0 5, 10 5)", self.H) == "101F0F212"
+        # solid part of the ring contains a small square
+        assert _rel(self.H, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") == "212FF1FF2"
+        # line entirely inside the hole is DISJOINT from the polygon
+        assert _rel(self.H, "LINESTRING (4.5 5, 5.5 5)") == "FF2FF1102"
+        # line along a hole edge touches (dim-1 boundary run, no interior)
+        assert _rel(self.H, "LINESTRING (4 4, 6 4)") == "FF2101FF2"
+        # polygon EQUAL to the hole: boundaries coincide, interiors disjoint
+        hole = "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"
+        assert _rel(self.H, hole) == "FF2F112F2"
+        # polygon strictly inside the hole is disjoint
+        assert _rel(self.H, "POLYGON ((4.5 4.5, 5.5 4.5, 5.5 5.5, 4.5 5.5, 4.5 4.5))") == "FF2FF1212"
+        # holed polygon equals itself
+        assert _rel(self.H, self.H) == "2FFF1FFF2"
+        # polygon overlapping shell, solid ring and hole at once
+        got = _rel(self.H, "POLYGON ((5 -2, 12 -2, 12 5, 5 5, 5 -2))")
+        assert got == "212101212"
