@@ -1669,6 +1669,96 @@ def oracle_holed_clip() -> str:
     """
 
 
+def q_relate_holed_lines(sf_dir: str):
+    """DE-9IM LINE x HOLED-polygon relate (the round-4-late extension:
+    line/polygon operands against interior rings via the hole-subtracted
+    convex cover). Horizontal integer segments from event_id against the
+    fixed holed square shell [0,10]^2 / hole [4,6]^2 hit every regime:
+    through the solid ring, through the hole (disjoint!), along shell and
+    hole edges, crossing both ring families, fully outside. The oracle
+    re-derives each matrix from pure 1-D interval algebra."""
+    from geomesa_ray.functions.registry import call
+
+    HOLED = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+             "(4 4, 6 4, 6 6, 4 6, 4 4))")
+
+    def rel(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        y = (ids % 13).astype(np.int64) - 1
+        x0 = (ids % 7).astype(np.int64) - 2
+        x1 = x0 + 1 + (ids % 11).astype(np.int64)
+        wa = np.array([f"LINESTRING ({a} {yy}, {b} {yy})"
+                       for a, yy, b in zip(x0, y, x1)], dtype=object)
+        wb = np.full(len(ids), HOLED, dtype=object)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "matrix": pa.array(call("st_relate", wa, wb), type=pa.string()),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_id"])
+        .map_batches(rel, batch_format="pyarrow")
+    )
+
+
+def oracle_relate_holed_lines() -> str:
+    """Interval-algebra derivation for a horizontal segment (x0, y)-(x1, y)
+    vs shell [0,10]^2 minus hole [4,6]^2: interior length = shell overlap
+    minus the hole band's overlap when the row meets the closed hole box;
+    exterior length adds back the OPEN hole band; a dim-1 boundary run is
+    overlap along one of the four horizontal ring edges; dim-0 is a strict
+    crossing of a vertical ring edge; endpoint roles by rectangle
+    membership (hole ring = boundary, open hole = exterior)."""
+    role = lambda X: (
+        f"CASE WHEN (({X} = 0 OR {X} = 10) AND y >= 0 AND y <= 10)"
+        f"       OR ({X} >= 0 AND {X} <= 10 AND (y = 0 OR y = 10))"
+        f"       OR (({X} = 4 OR {X} = 6) AND y >= 4 AND y <= 6)"
+        f"       OR ({X} >= 4 AND {X} <= 6 AND (y = 4 OR y = 6)) THEN 'b' "
+        f"     WHEN {X} > 0 AND {X} < 10 AND y > 0 AND y < 10 "
+        f"          AND NOT ({X} >= 4 AND {X} <= 6 AND y >= 4 AND y <= 6) THEN 'i' "
+        f"     ELSE 'e' END")
+    return f"""
+    WITH src AS (
+      SELECT event_id,
+             CAST(event_id % 13 AS BIGINT) - 1 AS y,
+             CAST(event_id % 7 AS BIGINT) - 2 AS x0,
+             (CAST(event_id % 7 AS BIGINT) - 2) + 1 + CAST(event_id % 11 AS BIGINT) AS x1
+      FROM events
+    ),
+    d AS (
+      SELECT *,
+             GREATEST(0, LEAST(x1, 10) - GREATEST(x0, 0)) AS sov,
+             GREATEST(0, LEAST(x1, 6) - GREATEST(x0, 4)) AS qov
+      FROM src
+    ),
+    e AS (
+      SELECT *,
+        CASE WHEN y > 0 AND y < 10
+             THEN sov - (CASE WHEN y >= 4 AND y <= 6 THEN qov ELSE 0 END)
+             ELSE 0 END AS len_int,
+        (x1 - x0) - (CASE WHEN y >= 0 AND y <= 10 THEN sov ELSE 0 END)
+                  + (CASE WHEN y > 4 AND y < 6 THEN qov ELSE 0 END) AS len_ext,
+        CASE WHEN (y = 0 OR y = 10) AND sov > 0 THEN 1
+             WHEN (y = 4 OR y = 6) AND qov > 0 THEN 1 ELSE 0 END AS ib1,
+        CASE WHEN (y >= 0 AND y <= 10 AND ((x0 < 0 AND 0 < x1) OR (x0 < 10 AND 10 < x1)))
+               OR (y >= 4 AND y <= 6 AND ((x0 < 4 AND 4 < x1) OR (x0 < 6 AND 6 < x1)))
+             THEN 1 ELSE 0 END AS ib0,
+        {role('x0')} AS r0,
+        {role('x1')} AS r1
+      FROM d
+    )
+    SELECT event_id,
+      (CASE WHEN len_int > 0 THEN '1' ELSE 'F' END)
+      || (CASE WHEN ib1 = 1 THEN '1' WHEN ib0 = 1 THEN '0' ELSE 'F' END)
+      || (CASE WHEN len_ext > 0 THEN '1' ELSE 'F' END)
+      || (CASE WHEN r0 = 'i' OR r1 = 'i' THEN '0' ELSE 'F' END)
+      || (CASE WHEN r0 = 'b' OR r1 = 'b' THEN '0' ELSE 'F' END)
+      || (CASE WHEN r0 = 'e' OR r1 = 'e' THEN '0' ELSE 'F' END)
+      || '212' AS matrix
+    FROM e
+    """
+
+
 def q_relate_holed(sf_dir: str):
     """DE-9IM point relate against a HOLED rectangle and a CONCAVE L-shape
     (the round-4-late relate extension: even-odd parity for holes, ear-clip
@@ -3985,6 +4075,7 @@ QUERIES = {
     "expr_score": q_expr_score,
     # --- (b) new in round 4
     "media_pipeline": q_media_pipeline,
+    "relate_holed_lines": q_relate_holed_lines,
     "holed_clip": q_holed_clip,
     "relate_holed": q_relate_holed,
     "buffer_far": q_buffer_far,
@@ -4105,6 +4196,7 @@ ORACLES = {
     "media_features": oracle_media_features(),
     "media_decode": oracle_media_decode(),
     "media_pipeline": oracle_media_pipeline(),
+    "relate_holed_lines": oracle_relate_holed_lines(),
     "lang_quality": oracle_lang_quality(),
     "simhash_pairs_docs": oracle_simhash_pairs(),
     "jaccard_pairs_docs": oracle_jaccard_pairs(),
