@@ -1759,6 +1759,57 @@ def oracle_relate_holed_lines() -> str:
     """
 
 
+def q_raster_tiles(sf_dir: str):
+    """Raster -> vector tile assignment over REAL GeoTIFF payloads: 60
+    georeferenced 16x16 rasters (pixel 0.25 deg, integer origins) cycling
+    through every decode path — uncompressed, LZW, LZW+horizontal-
+    differencing predictor, PackBits — decode to per-pixel features and
+    roll up into 1-degree cells, all inside one shuffle-free map_batches.
+    Pixel values are a splitmix64 counter chain, so the oracle regenerates
+    every per-cell sum without touching TIFF bytes: a strip-offset, LZW
+    width, predictor or georeferencing bug mismatches value_sum."""
+    import ray.data as rd
+
+    from geomesa_ray.cells.shard import mix64
+    from geomesa_ray.sources.geotiff import encode_geotiff
+    from geomesa_ray.stages.raster import raster_cell_sums
+
+    P = 1000003
+    rows = []
+    for i in range(60):
+        x = mix64(np.uint64(i * P + 1) + np.arange(256, dtype=np.uint64))
+        px = (x % np.uint64(256)).astype(np.uint8).reshape(16, 16)
+        comp = (1, 5, 32773)[i % 3]
+        pred = 2 if comp == 5 and i % 2 == 0 else 1
+        blob = encode_geotiff(px, origin_x=float(i % 20 - 10),
+                              origin_y=float(i % 11), pixel_w=0.25,
+                              pixel_h=0.25, compression=comp,
+                              predictor=pred, rows_per_strip=5)
+        rows.append({"media_ref": f"tif://{i:04d}", "payload": blob})
+    return raster_cell_sums(rd.from_items(rows), cell_deg=1.0)
+
+
+def oracle_raster_tiles() -> str:
+    """Replays the pixel chain and the north-up affine in integer math:
+    val_p = mix64(i*1000003 + p + 1) % 256; pixel (r, c) = (p // 16,
+    p % 16); its 1-degree cell is (origin_x + c//4, origin_y - 1 - r//4)
+    because the half-pixel center offset (c+0.5)/4 is never an integer."""
+    px = _sql_mix64_steps("src", "CAST(i * 1000003 + p + 1 AS HUGEINT)",
+                          "xo", ["i", "p"], "rt")
+    return f"""
+    WITH ids AS (SELECT unnest(range(0, 60)) AS i),
+    src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 256)) AS p)),
+    {',    '.join(px)}
+    SELECT printf('tif://%04d', CAST(i AS INTEGER)) AS media_ref,
+           CAST((i % 20 - 10) + (p % 16) // 4 AS BIGINT) AS cell_lon,
+           CAST((i % 11) - 1 - (p // 16) // 4 AS BIGINT) AS cell_lat,
+           CAST(SUM(xo % 256) AS BIGINT) AS value_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM rt_3
+    GROUP BY 1, 2, 3
+    """
+
+
 def q_relate_holed(sf_dir: str):
     """DE-9IM point relate against a HOLED rectangle and a CONCAVE L-shape
     (the round-4-late relate extension: even-odd parity for holes, ear-clip
@@ -4076,6 +4127,7 @@ QUERIES = {
     # --- (b) new in round 4
     "media_pipeline": q_media_pipeline,
     "relate_holed_lines": q_relate_holed_lines,
+    "raster_tiles": q_raster_tiles,
     "holed_clip": q_holed_clip,
     "relate_holed": q_relate_holed,
     "buffer_far": q_buffer_far,
@@ -4197,6 +4249,7 @@ ORACLES = {
     "media_decode": oracle_media_decode(),
     "media_pipeline": oracle_media_pipeline(),
     "relate_holed_lines": oracle_relate_holed_lines(),
+    "raster_tiles": oracle_raster_tiles(),
     "lang_quality": oracle_lang_quality(),
     "simhash_pairs_docs": oracle_simhash_pairs(),
     "jaccard_pairs_docs": oracle_jaccard_pairs(),

@@ -156,7 +156,7 @@ class MediaDecode:
             blob = bytes(blob) if blob is not None else b""
             try:
                 if blob.startswith((b"P6", b"P5", b"\x89PNG", b"BM", b"GIF8",
-                                    b"\xFF\xD8")):
+                                    b"\xFF\xD8", b"II*\x00", b"MM\x00*")):
                     if blob.startswith(b"\x89PNG"):
                         img = self._decode_png(blob)
                     elif blob.startswith(b"BM"):
@@ -165,6 +165,10 @@ class MediaDecode:
                         img = self._decode_gif(blob)
                     elif blob.startswith(b"\xFF\xD8"):
                         img = self._decode_jpeg(blob)
+                    elif blob.startswith((b"II*\x00", b"MM\x00*")):
+                        from geomesa_ray.sources.geotiff import decode_geotiff
+
+                        img, _ = decode_geotiff(blob)
                     else:
                         img = self._decode_ppm(blob)
                     f = self._image_features(img, grid=self.grid)

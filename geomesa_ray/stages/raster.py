@@ -1,0 +1,108 @@
+"""Raster -> vector: GeoTIFF payloads to per-pixel (lon, lat, value)
+features, the ingest direction of the "raster-to-vector tile assignment"
+target (the reference's DensityScan renders the OTHER direction — vectors
+into grids; see stages/density.py).
+
+Shape: one vectorized meshgrid per raster inside ``map_batches`` (payloads
+are the large side — small batches), no Python per-pixel loop; the
+per-raster cell rollup happens inside the same batch because a raster's
+pixels never span batches, so the stage needs NO shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _pixel_features(blob: bytes):
+    from geomesa_ray.sources.geotiff import decode_geotiff
+
+    img, tr = decode_geotiff(bytes(blob))
+    if tr is None:
+        raise ValueError("raster payload has no georeferencing tags")
+    ox, oy, sx, sy = tr
+    if img.ndim == 3:
+        val = img.astype(np.int64).sum(axis=2)  # integer band sum (FP-safe)
+    else:
+        val = img.astype(np.int64)
+    h, w = val.shape
+    rr, cc = np.mgrid[0:h, 0:w]
+    lon = ox + (cc + 0.5) * sx
+    lat = oy - (rr + 0.5) * sy
+    return lon.ravel(), lat.ravel(), val.ravel(), rr.ravel(), cc.ravel()
+
+
+def raster_to_features(ds, payload_col: str = "payload",
+                       ref_col: str = "media_ref", batch_size: int = 16):
+    """Dataset[(media_ref, payload: GeoTIFF)] -> one row per pixel:
+    (media_ref, row, col, lon, lat, value)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        refs, lons, lats, vals, rows_, cols = [], [], [], [], [], []
+        payloads = t.column(payload_col).to_pylist()
+        names = t.column(ref_col).to_pylist()
+        for ref, blob in zip(names, payloads):
+            lon, lat, val, rr, cc = _pixel_features(blob)
+            refs.append(np.full(len(val), ref, dtype=object))
+            lons.append(lon)
+            lats.append(lat)
+            vals.append(val)
+            rows_.append(rr)
+            cols.append(cc)
+        if not refs:
+            return pa.table({ref_col: pa.array([], pa.string()),
+                             "row": pa.array([], pa.int32()),
+                             "col": pa.array([], pa.int32()),
+                             "lon": pa.array([], pa.float64()),
+                             "lat": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.int64())})
+        return pa.table({
+            ref_col: pa.array(np.concatenate(refs), pa.string()),
+            "row": pa.array(np.concatenate(rows_).astype(np.int32)),
+            "col": pa.array(np.concatenate(cols).astype(np.int32)),
+            "lon": pa.array(np.concatenate(lons)),
+            "lat": pa.array(np.concatenate(lats)),
+            "value": pa.array(np.concatenate(vals)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def raster_cell_sums(ds, payload_col: str = "payload",
+                     ref_col: str = "media_ref", cell_deg: float = 1.0,
+                     batch_size: int = 16):
+    """Dataset[(media_ref, payload: GeoTIFF)] -> per-raster per-cell value
+    sums: (media_ref, cell_lon, cell_lat, value_sum, n_px). A raster's
+    pixels never span batches, so the rollup is shuffle-FREE — per-batch
+    bincount only (cross-raster cell merges, when wanted, ride the normal
+    density/groupby stages downstream)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_ref, out_cx, out_cy, out_sum, out_n = [], [], [], [], []
+        payloads = t.column(payload_col).to_pylist()
+        names = t.column(ref_col).to_pylist()
+        for ref, blob in zip(names, payloads):
+            lon, lat, val, _, _ = _pixel_features(blob)
+            cx = np.floor(lon / cell_deg).astype(np.int64)
+            cy = np.floor(lat / cell_deg).astype(np.int64)
+            key = (cx - cx.min()) * (cy.max() - cy.min() + 1) + (cy - cy.min())
+            uniq, inv = np.unique(key, return_inverse=True)
+            sums = np.bincount(inv, weights=val.astype(np.float64)).astype(np.int64)
+            cnts = np.bincount(inv)
+            first = np.zeros(len(uniq), dtype=np.int64)
+            first[inv[::-1]] = np.arange(len(key) - 1, -1, -1)
+            out_ref.append(np.full(len(uniq), ref, dtype=object))
+            out_cx.append(cx[first])
+            out_cy.append(cy[first])
+            out_sum.append(sums)
+            out_n.append(cnts.astype(np.int64))
+        return pa.table({
+            ref_col: pa.array(np.concatenate(out_ref), pa.string()),
+            "cell_lon": pa.array(np.concatenate(out_cx)),
+            "cell_lat": pa.array(np.concatenate(out_cy)),
+            "value_sum": pa.array(np.concatenate(out_sum)),
+            "n_px": pa.array(np.concatenate(out_n)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

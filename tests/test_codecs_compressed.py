@@ -203,6 +203,63 @@ class TestPng:
                                    image_features(img, grid=8), rtol=1e-6)
 
 
+class TestGeoTiff:
+    @pytest.mark.parametrize("shape", [(16, 16), (13, 17, 3), (40, 9)])
+    @pytest.mark.parametrize("comp,pred", [(1, 1), (5, 1), (5, 2), (32773, 1)])
+    def test_roundtrip(self, shape, comp, pred):
+        from geomesa_ray.sources.geotiff import decode_geotiff, encode_geotiff
+
+        rng = np.random.default_rng(80)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        blob = encode_geotiff(img, 12.0, 55.0, 0.25, 0.25, compression=comp,
+                              predictor=pred, rows_per_strip=7)
+        out, tr = decode_geotiff(blob)
+        assert np.array_equal(out, img)
+        assert tr == (12.0, 55.0, 0.25, 0.25)
+
+    def test_tiff_lzw_early_change_and_reset(self):
+        from geomesa_ray.sources.geotiff import (_lzw_decode_tiff,
+                                                 _lzw_encode_tiff)
+
+        rng = np.random.default_rng(81)
+        for n in (10, 600, 50000, 200000):  # 600 straddles the 9->10 bump
+            d = rng.integers(0, 256, n, dtype=np.uint8)
+            assert np.array_equal(_lzw_decode_tiff(_lzw_encode_tiff(d), n), d)
+        pat = np.tile(rng.integers(0, 4, 100, dtype=np.uint8), 3000)
+        assert np.array_equal(
+            _lzw_decode_tiff(_lzw_encode_tiff(pat), len(pat)), pat)
+
+    def test_predictor_improves_smooth_compression(self):
+        from geomesa_ray.sources.geotiff import decode_geotiff, encode_geotiff
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        smooth = (yy + xx).astype(np.uint8)
+        b1 = encode_geotiff(smooth, compression=5, predictor=1)
+        b2 = encode_geotiff(smooth, compression=5, predictor=2)
+        assert len(b2) < len(b1)
+        out, _ = decode_geotiff(b2)
+        assert np.array_equal(out, smooth)
+
+    def test_raster_cell_sums(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.sources.geotiff import encode_geotiff
+        from geomesa_ray.stages.raster import raster_cell_sums
+
+        rng = np.random.default_rng(82)
+        px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        blob = encode_geotiff(px, origin_x=3.0, origin_y=7.0,
+                              pixel_w=0.25, pixel_h=0.25, compression=5)
+        out = raster_cell_sums(
+            rd.from_items([{"media_ref": "tif://t", "payload": blob}]),
+            cell_deg=1.0).to_pandas()
+        assert len(out) == 4  # 8x8 @ 0.25 deg = 2x2 degree cells
+        assert out["value_sum"].sum() == int(px.astype(np.int64).sum())
+        exp = int(px[:4, :4].astype(np.int64).sum())  # top-left cell
+        got = out[(out.cell_lon == 3) & (out.cell_lat == 6)]["value_sum"].iloc[0]
+        assert got == exp
+
+
 class TestMediaPipeline:
     def test_end_to_end_rollup(self, ray_session):
         """explode -> payload attach -> decode -> per-doc rollup equals a
