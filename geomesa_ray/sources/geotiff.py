@@ -222,8 +222,11 @@ def _packbits_encode(row: np.ndarray) -> bytes:
 
 
 def decode_geotiff(data: bytes):
-    """GeoTIFF bytes -> ((H, W) or (H, W, 3) uint8,
-    (origin_x, origin_y, pixel_w, pixel_h) or None)."""
+    """GeoTIFF bytes -> ((H, W) or (H, W, C) array,
+    (origin_x, origin_y, pixel_w, pixel_h) or None).
+
+    Sample types: uint8 / uint16 / float32 (SampleFormat 1 or 3) — the DEM
+    shapes. Layout: strips OR tiles (TileWidth/TileLength 322/323)."""
     if data[:2] == b"II" and data[2:4] == b"*\x00":
         bo = "<"
     elif data[:2] == b"MM" and data[2:4] == b"\x00*":
@@ -235,32 +238,67 @@ def decode_geotiff(data: bytes):
     h = tags[257][0]
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8])
-    if any(b != 8 for b in bps):
-        raise ValueError("only 8-bit samples supported")
+    fmt = tags.get(339, [1])[0]
+    depth = bps[0]
+    if any(b != depth for b in bps):
+        raise ValueError("mixed bits-per-sample not supported")
+    if (depth, fmt) == (8, 1):
+        dtype = np.dtype(np.uint8)
+    elif (depth, fmt) == (16, 1):
+        dtype = np.dtype(bo + "u2")
+    elif (depth, fmt) == (32, 3):
+        dtype = np.dtype(bo + "f4")
+    else:
+        raise ValueError(f"unsupported sample type ({depth} bits, format {fmt})")
     comp = tags.get(259, [1])[0]
-    rows_per_strip = tags.get(278, [h])[0]
-    offs = tags[273]
-    cnts = tags[279]
     predictor = tags.get(317, [1])[0]
-    stride = w * spp
-    img = np.empty((h, stride), dtype=np.uint8)
-    for s, (o, c) in enumerate(zip(offs, cnts)):
-        r0 = s * rows_per_strip
-        r1 = min(r0 + rows_per_strip, h)
-        n_bytes = (r1 - r0) * stride
-        blob = data[o:o + c]
+    bpp = depth // 8
+
+    def decompress(blob: bytes, n_bytes: int) -> np.ndarray:
         if comp == 1:
-            rows = np.frombuffer(blob, np.uint8, n_bytes)
-        elif comp == 5:
-            rows = _lzw_decode_tiff(blob, n_bytes)
-        elif comp == 32773:
-            rows = _packbits_decode(blob, n_bytes)
-        else:
-            raise ValueError(f"unsupported TIFF compression {comp}")
-        img[r0:r1] = rows.reshape(r1 - r0, stride)
-    if predictor == 2:  # horizontal differencing: modular row cumsum per channel
-        lanes = img.reshape(h, w, spp)
-        np.add.accumulate(lanes, axis=1, dtype=np.uint8, out=lanes)
+            return np.frombuffer(blob, np.uint8, n_bytes)
+        if comp == 5:
+            return _lzw_decode_tiff(blob, n_bytes)
+        if comp == 32773:
+            return _packbits_decode(blob, n_bytes)
+        raise ValueError(f"unsupported TIFF compression {comp}")
+
+    def unpredict(block: np.ndarray, bw: int):
+        """Horizontal differencing on SAMPLE values (spec: per channel)."""
+        if predictor != 2:
+            return block
+        if dtype.kind == "f":
+            raise ValueError("predictor 2 is invalid for float samples")
+        lanes = block.reshape(block.shape[0], bw, spp)
+        np.add.accumulate(lanes, axis=1, dtype=lanes.dtype, out=lanes)
+        return block
+
+    if 322 in tags:  # tiled layout
+        tw, th = tags[322][0], tags[323][0]
+        offs, cnts = tags[324], tags[325]
+        tiles_x = (w + tw - 1) // tw
+        img = np.empty((h, w * spp), dtype=dtype)
+        for t_i, (o, c) in enumerate(zip(offs, cnts)):
+            ty, tx = divmod(t_i, tiles_x)
+            n_bytes = th * tw * spp * bpp
+            rows = decompress(data[o:o + c], n_bytes)
+            tile = np.frombuffer(rows.tobytes(), dtype=dtype).reshape(th, tw * spp)
+            tile = unpredict(tile.copy(), tw)
+            r1 = min((ty + 1) * th, h)
+            c1 = min((tx + 1) * tw, w)
+            img[ty * th:r1, tx * tw * spp:c1 * spp] = \
+                tile[: r1 - ty * th, : (c1 - tx * tw) * spp]
+    else:
+        rows_per_strip = tags.get(278, [h])[0]
+        offs, cnts = tags[273], tags[279]
+        img = np.empty((h, w * spp), dtype=dtype)
+        for s, (o, c) in enumerate(zip(offs, cnts)):
+            r0 = s * rows_per_strip
+            r1 = min(r0 + rows_per_strip, h)
+            n_bytes = (r1 - r0) * w * spp * bpp
+            rows = decompress(data[o:o + c], n_bytes)
+            strip = np.frombuffer(rows.tobytes(), dtype=dtype).reshape(r1 - r0, w * spp)
+            img[r0:r1] = unpredict(strip.copy(), w)
     out = img.reshape(h, w, spp)
     if spp == 1:
         out = out[:, :, 0]
@@ -277,41 +315,76 @@ def decode_geotiff(data: bytes):
 def encode_geotiff(img: np.ndarray, origin_x: float = 0.0,
                    origin_y: float = 0.0, pixel_w: float = 1.0,
                    pixel_h: float = 1.0, compression: int = 1,
-                   predictor: int = 1, rows_per_strip: int = 8) -> bytes:
-    """(H, W[, 3]) uint8 + north-up georeferencing -> GeoTIFF bytes
-    (little-endian, strip layout)."""
-    img = np.asarray(img, dtype=np.uint8)
+                   predictor: int = 1, rows_per_strip: int = 8,
+                   tile: int | None = None) -> bytes:
+    """(H, W[, C]) uint8 / uint16 / float32 + north-up georeferencing ->
+    GeoTIFF bytes (little-endian; strips, or square tiles of side ``tile``)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        depth, fmt = 8, 1
+    elif img.dtype == np.uint16:
+        depth, fmt = 16, 1
+        img = img.astype("<u2")
+    elif img.dtype == np.float32:
+        depth, fmt = 32, 3
+        img = img.astype("<f4")
+        if predictor == 2:
+            raise ValueError("predictor 2 is invalid for float samples")
+    else:
+        raise ValueError("dtype must be uint8 / uint16 / float32")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, spp = img.shape
-    raw = img.reshape(h, w * spp)
-    if predictor == 2:
-        lanes = img.astype(np.int16)
-        lanes[:, 1:] -= img[:, :-1].astype(np.int16)
-        raw = (lanes & 0xFF).astype(np.uint8).reshape(h, w * spp)
-    strips = []
-    for r0 in range(0, h, rows_per_strip):
-        rows = raw[r0:r0 + rows_per_strip].reshape(-1)
+
+    def predict(block: np.ndarray) -> np.ndarray:
+        """block (rh, bw, spp) -> differenced byte rows (rh, bw*spp*bpp)."""
+        if predictor == 2:
+            wide = block.astype(np.int64)
+            wide[:, 1:] -= block[:, :-1].astype(np.int64)
+            mask = (1 << depth) - 1
+            block = (wide & mask).astype(img.dtype)
+        return np.ascontiguousarray(block).reshape(block.shape[0], -1) \
+            .view(np.uint8)
+
+    def compress(rows: np.ndarray) -> bytes:
+        flat = rows.reshape(-1)
         if compression == 1:
-            strips.append(rows.tobytes())
-        elif compression == 5:
-            strips.append(_lzw_encode_tiff(rows))
-        elif compression == 32773:
-            blob = b"".join(_packbits_encode(row)
-                            for row in raw[r0:r0 + rows_per_strip])
-            strips.append(blob)
-        else:
-            raise ValueError("compression must be 1 / 5 / 32773")
+            return flat.tobytes()
+        if compression == 5:
+            return _lzw_encode_tiff(flat)
+        if compression == 32773:
+            return b"".join(_packbits_encode(r) for r in rows)
+        raise ValueError("compression must be 1 / 5 / 32773")
+
+    strips = []
+    if tile:
+        tiles_x = (w + tile - 1) // tile
+        tiles_y = (h + tile - 1) // tile
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                block = np.zeros((tile, tile, spp), dtype=img.dtype)
+                sub = img[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                strips.append(compress(predict(block)))
+    else:
+        for r0 in range(0, h, rows_per_strip):
+            strips.append(compress(predict(img[r0:r0 + rows_per_strip])))
 
     entries = []  # (tag, type, count, values)
     n_strips = len(strips)
     entries.append((256, 4, 1, [w]))
     entries.append((257, 4, 1, [h]))
-    entries.append((258, 3, spp, [8] * spp))
+    entries.append((258, 3, spp, [depth] * spp))
     entries.append((259, 3, 1, [compression]))
     entries.append((262, 3, 1, [2 if spp == 3 else 1]))
     entries.append((277, 3, 1, [spp]))
-    entries.append((278, 4, 1, [rows_per_strip]))
+    if tile:
+        entries.append((322, 4, 1, [tile]))
+        entries.append((323, 4, 1, [tile]))
+    else:
+        entries.append((278, 4, 1, [rows_per_strip]))
+    if fmt != 1:
+        entries.append((339, 3, spp, [fmt] * spp))
     if predictor == 2:
         entries.append((317, 3, 1, [2]))
     entries.append((33550, 12, 3, [pixel_w, pixel_h, 0.0]))
@@ -337,17 +410,18 @@ def encode_geotiff(img: np.ndarray, origin_x: float = 0.0,
             fixed.append((tag, typ, cnt,
                           struct.pack("<I", ext_base + len(ext))))
             ext += body
-    # strip tables go in ext too
+    # strip/tile tables go in ext too
+    off_tag, cnt_tag = (324, 325) if tile else (273, 279)
     strip_off_pos = ext_base + len(ext)
-    ext += b"\x00" * (4 * n_strips)  # placeholder StripOffsets
-    fixed.append((273, 4, n_strips,
+    ext += b"\x00" * (4 * n_strips)  # placeholder offsets table
+    fixed.append((off_tag, 4, n_strips,
                   struct.pack("<I", strip_off_pos) if n_strips > 1
                   else b"\x00\x00\x00\x00"))
     cnt_body = struct.pack("<" + "I" * n_strips, *[len(s) for s in strips])
     if len(cnt_body) <= 4:
-        fixed.append((279, 4, n_strips, cnt_body.ljust(4, b"\x00")))
+        fixed.append((cnt_tag, 4, n_strips, cnt_body.ljust(4, b"\x00")))
     else:
-        fixed.append((279, 4, n_strips,
+        fixed.append((cnt_tag, 4, n_strips,
                       struct.pack("<I", ext_base + len(ext))))
         ext += cnt_body
 
@@ -359,7 +433,7 @@ def encode_geotiff(img: np.ndarray, origin_x: float = 0.0,
         pos += len(s)
     if n_strips == 1:
         for i, (tag, typ, cnt, body) in enumerate(fixed):
-            if tag == 273:
+            if tag == off_tag:
                 fixed[i] = (tag, typ, cnt, struct.pack("<I", offsets[0]))
     else:
         off_body = struct.pack("<" + "I" * n_strips, *offsets)

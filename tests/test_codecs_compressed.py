@@ -240,6 +240,27 @@ class TestGeoTiff:
         out, _ = decode_geotiff(b2)
         assert np.array_equal(out, smooth)
 
+    def test_dem_sample_types_and_tiles(self):
+        """16-bit / float32 samples and the tiled layout (DEM shapes)."""
+        from geomesa_ray.sources.geotiff import decode_geotiff, encode_geotiff
+
+        rng = np.random.default_rng(90)
+        dem = rng.integers(0, 65535, (37, 53), dtype=np.uint16)
+        for kw in [dict(), dict(compression=5), dict(compression=5, predictor=2),
+                   dict(tile=16), dict(tile=16, compression=5, predictor=2),
+                   dict(compression=32773)]:
+            out, tr = decode_geotiff(encode_geotiff(dem, 5.0, 45.0, 0.5, 0.5, **kw))
+            assert out.dtype == np.uint16 and np.array_equal(out, dem), kw
+            assert tr == (5.0, 45.0, 0.5, 0.5)
+        f = rng.normal(500, 100, (20, 30)).astype(np.float32)
+        for kw in [dict(), dict(compression=5), dict(tile=8, compression=5)]:
+            out, _ = decode_geotiff(encode_geotiff(f, **kw))
+            assert out.dtype == np.float32 and np.array_equal(out, f), kw
+        img = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+        out, _ = decode_geotiff(encode_geotiff(img, tile=8, compression=5,
+                                               predictor=2))
+        assert np.array_equal(out, img)
+
     def test_raster_cell_sums(self, ray_session):
         import ray.data as rd
 

@@ -422,7 +422,8 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
 
     from geomesa_ray.stages.media import decode_media
 
-    FORMATS = ["png", "jpeg", "bmp", "gif", "ppm", "wav", "ulaw", "adpcm", "y4m"]
+    FORMATS = ["png", "jpeg", "bmp", "gif", "ppm", "tiff", "wav", "ulaw",
+               "adpcm", "y4m"]
 
     def mk(batch: pa.Table) -> pa.Table:
         from geomesa_ray.cells.shard import mix64
@@ -439,10 +440,13 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
             fmt = FORMATS[i % len(FORMATS)]
             x = mix64(np.uint64(i * 1_000_003 + 1)
                       + np.arange(64 * 64 * 3, dtype=np.uint64))
-            if fmt in ("png", "jpeg", "bmp", "ppm"):
+            if fmt in ("png", "jpeg", "bmp", "ppm", "tiff"):
+                from geomesa_ray.sources.geotiff import encode_geotiff
+
                 px = (x % np.uint64(256)).astype(np.uint8).reshape(64, 64, 3)
                 enc = {"png": encode_png, "jpeg": encode_jpeg,
-                       "bmp": encode_bmp, "ppm": encode_ppm}[fmt]
+                       "bmp": encode_bmp, "ppm": encode_ppm,
+                       "tiff": lambda im: encode_geotiff(im, compression=5)}[fmt]
                 payloads.append(enc(px))
             elif fmt == "gif":
                 px = ((x % np.uint64(6)).astype(np.uint8) * 42).reshape(64, 64, 3)
@@ -467,7 +471,7 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
         return pa.table({"media_ref": pa.array(refs), "fmt": pa.array(fmts),
                          "payload": pa.array(payloads, type=pa.binary())})
 
-    corpus_dir = f"/tmp/graft_media_bench_v2_{n_media}"
+    corpus_dir = f"/tmp/graft_media_bench_v3_{n_media}"
     if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
         shutil.rmtree(corpus_dir, ignore_errors=True)
         rd.range(n_media).map_batches(mk, batch_format="pyarrow",
@@ -511,13 +515,78 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
     }
 
 
+def bench_media_pipeline(n_docs: int = 200_000, num_cpus: int = 32) -> dict:
+    """END-TO-END multimodal path at scale: interleaved corpus -> explode
+    media spans -> bucketed PNG-payload attach -> actor-pool decode ->
+    per-doc rollup (`stages/media.py::media_pipeline`, the driver-gated
+    `media_pipeline` query's shape at 40x its sf). Payload table built once
+    to parquet; the timed pass reads both sides from storage like a real
+    deployment."""
+    import shutil
+
+    _init(num_cpus)
+    import ray.data as rd
+
+    from geomesa_ray.cells.shard import fnv1a_str, mix64
+    from geomesa_ray.sources.synth import synthesize_corpus
+    from geomesa_ray.stages.dedup import exact_dedup
+    from geomesa_ray.stages.media import explode_media_refs, media_pipeline
+    from geomesa_ray.stages.png import encode_png
+
+    corpus = synthesize_corpus(n_docs, seed=42,
+                               n_shards=int(os.environ.get("GRAFT_SHARDS", "64")),
+                               use_ray=True)
+    pay_dir = f"/tmp/graft_media_payloads_{n_docs}"
+    if not os.path.exists(os.path.join(pay_dir, "_DONE")):
+        shutil.rmtree(pay_dir, ignore_errors=True)
+
+        def build(t: pa.Table) -> pa.Table:
+            rs = t.column("media_ref").to_numpy(zero_copy_only=False).astype(object)
+            h = fnv1a_str(rs)
+            payloads = []
+            for j in range(len(rs)):
+                x = mix64(h[j] + np.arange(1, 769, dtype=np.uint64))
+                px = (x % np.uint64(256)).astype(np.uint8).reshape(16, 16, 3)
+                payloads.append(encode_png(px))
+            return pa.table({"media_ref": pa.array(rs.astype(str)),
+                             "payload": pa.array(payloads, type=pa.binary())})
+
+        refs = explode_media_refs(rd.read_parquet(corpus))
+        (exact_dedup(refs, content_col="media_ref", id_col="doc_id")
+         .select_columns(["media_ref"])
+         .map_batches(build, batch_format="pyarrow")
+         .write_parquet(pay_dir))
+        open(os.path.join(pay_dir, "_DONE"), "w").write("1")
+
+    def run():
+        t0 = time.time()
+        out = media_pipeline(rd.read_parquet(corpus),
+                             rd.read_parquet(pay_dir), dim=16)
+        n_rows = out.count()
+        return time.time() - t0, n_rows
+
+    run()  # warmup
+    times = []
+    for _ in range(2):
+        dt, n_rows = run()
+        times.append(dt)
+    best = min(times)
+    return {
+        "metric": "end-to-end media pipeline (docs/sec)",
+        "docs": n_docs, "docs_with_media": int(n_rows),
+        "wall_sec_best_of_2": round(best, 2),
+        "docs_per_sec": round(n_docs / best, 1),
+        "num_cpus": num_cpus,
+    }
+
+
 if __name__ == "__main__":
     import ray
 
     mode = sys.argv[1]
     defaults = {"dedup": 6_000_000, "extent": 3_000_000, "windows": 48_000_000,
                 "jaccard_hot": 4096, "knn_many": 6_000_000, "stats": 48_000_000,
-                "ann": 1_000_000, "media": 18_000}
+                "ann": 1_000_000, "media": 18_000, "media_pipeline": 200_000}
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 1_000_000)
     if mode == "dedup":
         out = bench_dedup(n)
@@ -535,6 +604,9 @@ if __name__ == "__main__":
         out = bench_ann(n)
     elif mode == "media":
         out = bench_media(n)
+    elif mode == "media_pipeline":
+        out = bench_media_pipeline(
+            n, num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(json.dumps(out))
