@@ -1763,7 +1763,8 @@ def q_raster_tiles(sf_dir: str):
     """Raster -> vector tile assignment over REAL GeoTIFF payloads: 60
     georeferenced 16x16 rasters (pixel 0.25 deg, integer origins) cycling
     through every decode path — uncompressed, LZW, LZW+horizontal-
-    differencing predictor, PackBits — decode to per-pixel features and
+    differencing predictor, PackBits, strip AND tiled layouts, uint8 AND
+    uint16 samples — decode to per-pixel features and
     roll up into 1-degree cells, all inside one shuffle-free map_batches.
     Pixel values are a splitmix64 counter chain, so the oracle regenerates
     every per-cell sum without touching TIFF bytes: a strip-offset, LZW
@@ -1778,13 +1779,17 @@ def q_raster_tiles(sf_dir: str):
     rows = []
     for i in range(60):
         x = mix64(np.uint64(i * P + 1) + np.arange(256, dtype=np.uint64))
-        px = (x % np.uint64(256)).astype(np.uint8).reshape(16, 16)
+        if i % 5 == 0:  # 16-bit DEM rasters ride the same oracle
+            px = (x % np.uint64(60000)).astype(np.uint16).reshape(16, 16)
+        else:
+            px = (x % np.uint64(256)).astype(np.uint8).reshape(16, 16)
         comp = (1, 5, 32773)[i % 3]
         pred = 2 if comp == 5 and i % 2 == 0 else 1
+        tile = 8 if i % 4 == 0 else None  # tiled layout every 4th raster
         blob = encode_geotiff(px, origin_x=float(i % 20 - 10),
                               origin_y=float(i % 11), pixel_w=0.25,
                               pixel_h=0.25, compression=comp,
-                              predictor=pred, rows_per_strip=5)
+                              predictor=pred, rows_per_strip=5, tile=tile)
         rows.append({"media_ref": f"tif://{i:04d}", "payload": blob})
     return raster_cell_sums(rd.from_items(rows), cell_deg=1.0)
 
@@ -1803,7 +1808,7 @@ def oracle_raster_tiles() -> str:
     SELECT printf('tif://%04d', CAST(i AS INTEGER)) AS media_ref,
            CAST((i % 20 - 10) + (p % 16) // 4 AS BIGINT) AS cell_lon,
            CAST((i % 11) - 1 - (p // 16) // 4 AS BIGINT) AS cell_lat,
-           CAST(SUM(xo % 256) AS BIGINT) AS value_sum,
+           CAST(SUM(xo % (CASE WHEN i % 5 = 0 THEN 60000 ELSE 256 END)) AS BIGINT) AS value_sum,
            CAST(COUNT(*) AS BIGINT) AS n_px
     FROM rt_3
     GROUP BY 1, 2, 3
