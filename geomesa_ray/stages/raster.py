@@ -69,6 +69,30 @@ def raster_to_features(ds, payload_col: str = "payload",
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def density_to_geotiff(tiles, xmin: float, ymin: float, xmax: float,
+                       ymax: float, width: int, height: int) -> bytes:
+    """Vector -> raster FILE: density-grid rows (tile_i, tile_j, weight —
+    the output of ``stages/density.density_grid``, j increasing NORTH) ->
+    a georeferenced float32 GeoTIFF (LZW, north-up; row 0 = the top of the
+    envelope). Closes the raster round-trip: ``raster_to_features`` on the
+    result reads back the same weights at the same cell centers."""
+    import pandas as pd
+
+    from geomesa_ray.sources.geotiff import encode_geotiff
+
+    if not isinstance(tiles, pd.DataFrame):
+        tiles = tiles.to_pandas()
+    arr = np.zeros((height, width), dtype=np.float32)
+    i = tiles["tile_i"].to_numpy(dtype=np.int64)
+    j = tiles["tile_j"].to_numpy(dtype=np.int64)
+    w = tiles["weight"].to_numpy(dtype=np.float64)
+    arr[height - 1 - j, i] = w.astype(np.float32)  # j north-up -> row top-down
+    return encode_geotiff(arr, origin_x=xmin, origin_y=ymax,
+                          pixel_w=(xmax - xmin) / width,
+                          pixel_h=(ymax - ymin) / height,
+                          compression=5)
+
+
 def raster_cell_sums(ds, payload_col: str = "payload",
                      ref_col: str = "media_ref", cell_deg: float = 1.0,
                      batch_size: int = 16):

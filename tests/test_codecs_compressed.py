@@ -261,6 +261,29 @@ class TestGeoTiff:
                                                predictor=2))
         assert np.array_equal(out, img)
 
+    def test_density_to_geotiff_roundtrip(self, ray_session):
+        """Vector -> raster file -> vector closes exactly: the exported
+        GeoTIFF decodes to the same weights at the same cell centers."""
+        import ray.data as rd
+
+        from geomesa_ray.sources.geotiff import decode_geotiff
+        from geomesa_ray.stages.density import density_grid
+        from geomesa_ray.stages.raster import density_to_geotiff
+
+        rng = np.random.default_rng(91)
+        pts = [{"lon": float(x), "lat": float(y)}
+               for x, y in zip(rng.uniform(0, 8, 500), rng.uniform(0, 4, 500))]
+        tiles = density_grid(rd.from_items(pts), 0.0, 0.0, 8.0, 4.0,
+                             width=16, height=8).to_pandas()
+        blob = density_to_geotiff(tiles, 0.0, 0.0, 8.0, 4.0, 16, 8)
+        img, tr = decode_geotiff(blob)
+        assert img.shape == (8, 16) and img.dtype == np.float32
+        assert tr == (0.0, 4.0, 0.5, 0.5)
+        assert float(img.sum()) == 500.0  # every point lands in exactly one cell
+        for _, row in tiles.iterrows():
+            r = 8 - 1 - int(row["tile_j"])
+            assert img[r, int(row["tile_i"])] == np.float32(row["weight"])
+
     def test_raster_cell_sums(self, ray_session):
         import ray.data as rd
 
