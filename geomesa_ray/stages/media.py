@@ -7,9 +7,10 @@ spans (``media_ref`` like ``img://<hash>``); payload bytes travel as a
 - ``MediaDecode`` (REAL): images decode via in-repo pure-numpy codecs —
   PPM/PGM (``stages/codecs.py``), PNG (``stages/png.py``, stdlib zlib),
   BMP + GIF/LZW (``stages/gifbmp.py``), baseline JPEG
-  (``stages/jpeg.py``); audio via RIFF/WAVE with PCM16, G.711 mu-law /
-  A-law and IMA ADPCM tags (``stages/audio.py``); video via YUV4MPEG2
-  and MJPEG-AVI frame sampling (``stages/video.py``).
+  (``stages/jpeg.py``), TIFF/GeoTIFF (``sources/geotiff.py``); audio via
+  RIFF/WAVE with PCM16, G.711 mu-law / A-law and IMA ADPCM tags
+  (``stages/audio.py``); video via YUV4MPEG2 and MJPEG-AVI frame
+  sampling (``stages/video.py``).
 - anything else (e.g. mp3/h264 — entropy formats with no pure-math
   spec path here): rows fall back to deterministic ref-hash features
   with ``decoded=False`` so downstream filters can route them (the
