@@ -225,15 +225,19 @@ class MediaDecode:
 def decode_media(ds, dim: int = 64, batch_size: int = 64, concurrency=None,
                  payload_col: str = "payload", ref_col: str = "media_ref"):
     """Dataset[(media_ref, payload binary)] -> decoded feature rows (small
-    batches: payloads are the large side)."""
-    from geomesa_ray.util import default_concurrency
+    batches: payloads are the large side).
+
+    MediaDecode's state is CHEAP (function refs only), so this is a
+    holder-fn TASK stage, not an actor pool — an actor class here fuses
+    with upstream chains (e.g. the payload-attach co-group) into one
+    serialized actor op (the round-3 measured 2x pattern; CLAUDE.md)."""
+    from geomesa_ray.util import holder_fn
 
     return ds.map_batches(
-        MediaDecode,
-        fn_constructor_kwargs=dict(dim=dim, payload_col=payload_col, ref_col=ref_col),
+        holder_fn(MediaDecode, dim=dim, payload_col=payload_col,
+                  ref_col=ref_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
     )
 
 
