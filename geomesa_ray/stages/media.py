@@ -326,12 +326,12 @@ def _rollup_buckets() -> int:
 
 def media_features(ds, dim: int = 64, fake: bool = True, batch_size: int = 256,
                    concurrency=None):
-    from geomesa_ray.util import default_concurrency
+    """Holder-fn TASK stage (state is just dim/flags — an actor pool here
+    fuses with the upstream read and serializes it; see decode_media)."""
+    from geomesa_ray.util import holder_fn
 
     return ds.map_batches(
-        MediaFeatureExtract,
-        fn_constructor_kwargs=dict(dim=dim, fake=fake),
+        holder_fn(MediaFeatureExtract, dim=dim, fake=fake),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
     )
