@@ -3709,9 +3709,11 @@ def q_media_decode(sf_dir: str):
     compressed codecs too: PPM + PNG + BMP + GIF images (PNG/BMP/GIF are
     LOSSLESS, so the decoded-pixel checksum equals the source-pixel
     checksum the oracle regenerates; a container/filter/LZW bug breaks it),
-    PCM16 + G.711 mu-law WAV audio (the oracle replays the mu-law
-    encode/decode quantization as exact integer arithmetic in SQL), and an
-    undecodable payload exercising the honest fallback. Payload content is
+    PCM16 + G.711 mu-law WAV + FLAC audio (mu-law replays its quantization
+    as exact integer arithmetic in SQL; FLAC is LOSSLESS so its decoded
+    sample checksum equals the source checksum — Rice/CRC/fixed-predictor
+    bugs all mismatch), and an undecodable payload exercising the honest
+    fallback. Payload content is
     a splitmix64 counter chain (NOT an opaque RNG), so the SQL oracle
     regenerates expected decoded-content checksums independently — if a
     decoder misreads a header offset, endianness, scanline filter, or LZW
@@ -3721,6 +3723,7 @@ def q_media_decode(sf_dir: str):
     from geomesa_ray.cells.shard import mix64
     from geomesa_ray.stages.codecs import (encode_ppm, encode_wav,
                                            encode_wav_compressed)
+    from geomesa_ray.stages.flac import encode_flac
     from geomesa_ray.stages.gifbmp import encode_bmp, encode_gif
     from geomesa_ray.stages.media import decode_media
     from geomesa_ray.stages.png import encode_png
@@ -3728,18 +3731,21 @@ def q_media_decode(sf_dir: str):
     P = 1000003
     rows = []
     for i in range(300):
-        kind = i % 7
+        kind = i % 8
         if kind in (0, 2, 3, 4):
             x = mix64(np.uint64(i * P + 1) + np.arange(768, dtype=np.uint64))
             px = (x % np.uint64(256)).astype(np.uint8).reshape(16, 16, 3)
             enc = {0: encode_ppm, 2: encode_png, 3: encode_bmp,
                    4: encode_gif}[kind]
             rows.append({"media_ref": f"img://{i:04d}", "payload": enc(px)})
-        elif kind in (1, 5):
+        elif kind in (1, 5, 7):
             x = mix64(np.uint64(i * P + 1) + np.arange(2000, dtype=np.uint64))
             s = ((x % np.uint64(65536)).astype(np.int64) - 32768).astype(np.int16)
-            payload = (encode_wav(s) if kind == 1
-                       else encode_wav_compressed(s, rate=8000, codec="ulaw"))
+            payload = {
+                1: lambda: encode_wav(s),
+                5: lambda: encode_wav_compressed(s, rate=8000, codec="ulaw"),
+                7: lambda: encode_flac(s, rate=22050, block_size=512),
+            }[kind]()
             rows.append({"media_ref": f"aud://{i:04d}", "payload": payload})
         else:
             rows.append({"media_ref": f"vid://{i:04d}", "payload": b"\x00compressed"})
@@ -3763,7 +3769,7 @@ def oracle_media_decode() -> str:
     au = _sql_mix64_steps("aud_src", "CAST(i * 1000003 + p + 1 AS HUGEINT)", "xo", ["i"], "au")
     ulaw = """
     samp AS (SELECT i, CAST(xo % 65536 - 32768 AS BIGINT) AS s FROM au_3),
-    umag AS (SELECT i, s, LEAST(ABS(s), 32635) + 132 AS mag FROM samp WHERE i % 7 = 5),
+    umag AS (SELECT i, s, LEAST(ABS(s), 32635) + 132 AS mag FROM samp WHERE i % 8 = 5),
     uexp AS (SELECT i, s, mag,
                     CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
                          WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
@@ -3776,30 +3782,31 @@ def oracle_media_decode() -> str:
     """
     return f"""
     WITH ids AS (SELECT unnest(range(0, 300)) AS i),
-    img_src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 768)) AS p) WHERE i % 7 IN (0, 2, 3, 4)),
-    aud_src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 2000)) AS p) WHERE i % 7 IN (1, 5)),
+    img_src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 768)) AS p) WHERE i % 8 IN (0, 2, 3, 4)),
+    aud_src AS (SELECT i, p FROM ids, (SELECT unnest(range(0, 2000)) AS p) WHERE i % 8 IN (1, 5, 7)),
     {',    '.join(px)},
     {',    '.join(au)},
     imgs AS (SELECT i, CAST(SUM(xo % 256) AS BIGINT)
-                       + CASE WHEN i % 7 = 4 THEN 65280 ELSE 0 END AS px_sum
+                       + CASE WHEN i % 8 = 4 THEN 65280 ELSE 0 END AS px_sum
              FROM px_3 GROUP BY i),
     pcms AS (SELECT i, CAST(SUM(xo % 65536 - 32768) AS BIGINT) AS sample_sum
-             FROM au_3 WHERE i % 7 = 1 GROUP BY i),
+             FROM au_3 WHERE i % 8 IN (1, 7) GROUP BY i),
     {ulaw},
     ulaws AS (SELECT i, CAST(SUM(dec) AS BIGINT) AS sample_sum FROM udec GROUP BY i),
     auds AS (SELECT * FROM pcms UNION ALL SELECT * FROM ulaws)
-    SELECT printf(CASE WHEN i % 7 IN (0, 2, 3, 4) THEN 'img://%04d'
-                       WHEN i % 7 IN (1, 5) THEN 'aud://%04d'
+    SELECT printf(CASE WHEN i % 8 IN (0, 2, 3, 4) THEN 'img://%04d'
+                       WHEN i % 8 IN (1, 5, 7) THEN 'aud://%04d'
                        ELSE 'vid://%04d' END, CAST(i AS INTEGER)) AS media_ref,
-           CASE WHEN i % 7 IN (0, 2, 3, 4) THEN 'image'
-                WHEN i % 7 IN (1, 5) THEN 'audio' ELSE 'unknown' END AS media_kind,
-           (i % 7) < 6 AS decoded,
+           CASE WHEN i % 8 IN (0, 2, 3, 4) THEN 'image'
+                WHEN i % 8 IN (1, 5, 7) THEN 'audio' ELSE 'unknown' END AS media_kind,
+           (i % 8) <> 6 AS decoded,
            CAST(16 AS INTEGER) AS feature_dim,
-           CAST(CASE WHEN i % 7 IN (0, 2, 3, 4) THEN 16 ELSE 0 END AS INTEGER) AS width,
-           CAST(CASE WHEN i % 7 IN (0, 2, 3, 4) THEN 16 ELSE 0 END AS INTEGER) AS height,
+           CAST(CASE WHEN i % 8 IN (0, 2, 3, 4) THEN 16 ELSE 0 END AS INTEGER) AS width,
+           CAST(CASE WHEN i % 8 IN (0, 2, 3, 4) THEN 16 ELSE 0 END AS INTEGER) AS height,
            COALESCE(imgs.px_sum, 0) AS px_sum,
-           CAST(CASE WHEN i % 7 IN (1, 5) THEN 2000 ELSE 0 END AS BIGINT) AS n_samples,
-           CAST(CASE WHEN i % 7 = 1 THEN 16000 WHEN i % 7 = 5 THEN 8000 ELSE 0 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN i % 8 IN (1, 5, 7) THEN 2000 ELSE 0 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN i % 8 = 1 THEN 16000 WHEN i % 8 = 5 THEN 8000
+                     WHEN i % 8 = 7 THEN 22050 ELSE 0 END AS INTEGER) AS sample_rate,
            COALESCE(auds.sample_sum, 0) AS sample_sum
     FROM ids LEFT JOIN imgs USING (i) LEFT JOIN auds USING (i)
     """

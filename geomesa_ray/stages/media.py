@@ -177,8 +177,14 @@ class MediaDecode:
                     kinds[i], decoded[i] = "image", True
                     height[i], width[i] = img.shape[0], img.shape[1]
                     px_sum[i] = int(img.astype(np.int64).sum())
-                elif blob.startswith(b"RIFF") and blob[8:12] == b"WAVE":
-                    samples, rate = self._decode_wav(blob)
+                elif ((blob.startswith(b"RIFF") and blob[8:12] == b"WAVE")
+                      or blob.startswith(b"fLaC")):
+                    if blob.startswith(b"fLaC"):
+                        from geomesa_ray.stages.flac import decode_flac
+
+                        samples, rate = decode_flac(blob)
+                    else:
+                        samples, rate = self._decode_wav(blob)
                     feats[i] = self._audio_features(samples, dim=self.dim)
                     kinds[i], decoded[i] = "audio", True
                     n_samples[i], sample_rate[i] = samples.shape[0], rate

@@ -203,6 +203,115 @@ class TestPng:
                                    image_features(img, grid=8), rtol=1e-6)
 
 
+class TestFlac:
+    """FLAC is lossless: every roundtrip must be BIT-EXACT."""
+
+    def test_roundtrips_exact(self):
+        from geomesa_ray.stages.flac import decode_flac, encode_flac
+
+        rng = np.random.default_rng(100)
+        t = np.arange(20000)
+        cases = [
+            ((np.sin(t / 30) * 8000).astype(np.int16), 16000, 4096),
+            (rng.integers(-32768, 32768, 10000).astype(np.int16), 48000, 1024),
+            (np.full(5000, -12345, dtype=np.int16), 8000, 4096),
+            (np.array([32767, -32768, 0, -1, 1] * 2000, np.int16), 8000, 512),
+            ((np.sin(np.arange(4097) / 7) * 5000).astype(np.int16), 16000, 4096),
+        ]
+        for src, rate, bs in cases:
+            out, r = decode_flac(encode_flac(src, rate, bs))
+            assert r == rate and np.array_equal(out[:, 0], src)
+
+    def test_stereo_decorrelation_modes(self):
+        from geomesa_ray.stages.flac import decode_flac, encode_flac
+
+        rng = np.random.default_rng(101)
+        t = np.arange(20000)
+        corr_l = (np.sin(t / 25) * 9000).astype(np.int16)
+        corr_r = (np.sin(t / 25) * 9000 + rng.normal(0, 50, len(t))).astype(np.int16)
+        indep = rng.integers(-5000, 5000, (8000, 2)).astype(np.int16)
+        for st in (np.stack([corr_l, corr_r], 1), indep):
+            out, _ = decode_flac(encode_flac(st, 44100, 2048))
+            assert np.array_equal(out, st)
+
+    def test_compresses_smooth_audio(self):
+        from geomesa_ray.stages.flac import encode_flac
+
+        sine = (np.sin(np.arange(20000) / 30) * 8000).astype(np.int16)
+        assert len(encode_flac(sine, 16000)) < 0.35 * sine.nbytes
+
+    def test_lpc_subframe_hand_built(self):
+        """The encoder only writes FIXED subframes; exercise the decoder's
+        LPC path with a hand-assembled frame whose samples follow the
+        shifted integer recurrence x[i] = res + ((sum c_j x[i-1-j]) >> s)."""
+        import struct
+
+        from geomesa_ray.stages.flac import (_BitWriter, _crc8, _crc16,
+                                             decode_flac, encode_flac)
+
+        order, prec, shift = 2, 5, 2
+        coefs = [5, -2]  # x[i] ~ (5*x[i-1] - 2*x[i-2]) >> 2
+        rng = np.random.default_rng(102)
+        res = rng.integers(-40, 40, 62).astype(np.int64)
+        x = np.zeros(64, dtype=np.int64)
+        x[0], x[1] = 100, 120
+        for i in range(2, 64):
+            pred = (coefs[0] * x[i - 1] + coefs[1] * x[i - 2]) >> shift
+            x[i] = res[i - 2] + pred
+        assert np.abs(x).max() < 32768
+
+        # steal STREAMINFO framing from the real encoder, then replace the
+        # frame with a hand-built LPC one
+        container = bytearray(encode_flac(x.astype(np.int16), 8000, 64))
+        head_len = 4 + 4 + 34  # magic + metadata header + STREAMINFO
+        bw = _BitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 2)
+        bw.write(6, 4)   # blocksize: 8-bit at end of header
+        bw.write(4, 4)   # 8000 Hz
+        bw.write(0, 4)   # mono
+        bw.write(0b100, 3)
+        bw.write(0, 1)
+        hdr = bytearray(bw.tobytes())
+        hdr += bytes([0])          # frame number 0
+        hdr += bytes([64 - 1])     # blocksize - 1
+        hdr.append(_crc8(bytes(hdr)))
+        sub = _BitWriter()
+        sub.write(0, 1)
+        sub.write(0b100000 | (order - 1), 6)  # LPC, order 2
+        sub.write(0, 1)
+        sub.write(int(x[0]) & 0xFFFF, 16)
+        sub.write(int(x[1]) & 0xFFFF, 16)
+        sub.write(prec - 1, 4)
+        sub.write(shift & 0x1F, 5)
+        for c in coefs:
+            sub.write(c & ((1 << prec) - 1), prec)
+        sub.write(0, 2)  # rice method 0
+        sub.write(0, 4)  # partition order 0
+        sub.write(7, 4)  # rice k
+        sub.write_rice_block(res, 7)
+        sub.pad_to_byte()
+        frame = bytes(hdr) + sub.tobytes()
+        frame += struct.pack(">H", _crc16(frame))
+        data = bytes(container[:head_len]) + frame
+        out, rate = decode_flac(data)
+        assert rate == 8000 and np.array_equal(out[:, 0], x.astype(np.int16))
+
+    def test_media_decode_stage_flac(self, ray_session):
+        import ray.data as rd
+
+        from geomesa_ray.stages.flac import encode_flac
+        from geomesa_ray.stages.media import decode_media
+
+        sine = (np.sin(np.arange(3000) / 15) * 7000).astype(np.int16)
+        rows = [{"media_ref": "aud://flac", "payload": encode_flac(sine, 22050)}]
+        out = decode_media(rd.from_items(rows), dim=64).to_pandas().set_index("media_ref")
+        r = out.loc["aud://flac"]
+        assert r["media_kind"] == "audio" and r["decoded"]
+        assert r["n_samples"] == 3000 and r["sample_rate"] == 22050
+        assert r["sample_sum"] == int(sine.astype(np.int64).sum())
+
+
 class TestGeoTiff:
     @pytest.mark.parametrize("shape", [(16, 16), (13, 17, 3), (40, 9)])
     @pytest.mark.parametrize("comp,pred", [(1, 1), (5, 1), (5, 2), (32773, 1)])
