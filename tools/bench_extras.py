@@ -423,7 +423,7 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
     from geomesa_ray.stages.media import decode_media
 
     FORMATS = ["png", "jpeg", "bmp", "gif", "ppm", "tiff", "wav", "ulaw",
-               "adpcm", "y4m"]
+               "adpcm", "flac", "y4m"]
 
     def mk(batch: pa.Table) -> pa.Table:
         from geomesa_ray.cells.shard import mix64
@@ -451,7 +451,7 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
             elif fmt == "gif":
                 px = ((x % np.uint64(6)).astype(np.uint8) * 42).reshape(64, 64, 3)
                 payloads.append(encode_gif(px))
-            elif fmt in ("wav", "ulaw", "adpcm"):
+            elif fmt in ("wav", "ulaw", "adpcm", "flac"):
                 # ~10 s of 8 kHz audio: long enough that the ADPCM block
                 # loop (serial per position, vectorized ACROSS blocks) has
                 # blocks to vectorize over
@@ -459,8 +459,14 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
                 s = (np.sin(t_ / 29.0) * 7000
                      + (x[t_.astype(np.int64) % len(x)] % np.uint64(512)).astype(np.float64)
                      - 256.0).astype(np.int16)
-                payloads.append(encode_wav(s) if fmt == "wav"
-                                else encode_wav_compressed(s, 8000, fmt))
+                if fmt == "wav":
+                    payloads.append(encode_wav(s))
+                elif fmt == "flac":
+                    from geomesa_ray.stages.flac import encode_flac
+
+                    payloads.append(encode_flac(s, 8000))
+                else:
+                    payloads.append(encode_wav_compressed(s, 8000, fmt))
             else:  # y4m: 4 smooth frames (video payloads are frame stacks)
                 base = (x[:32 * 32 * 3] % np.uint64(256)).astype(np.uint8).reshape(32, 32, 3)
                 frames = [((base.astype(np.int32) + 9 * t) % 256).astype(np.uint8)
@@ -471,7 +477,7 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
         return pa.table({"media_ref": pa.array(refs), "fmt": pa.array(fmts),
                          "payload": pa.array(payloads, type=pa.binary())})
 
-    corpus_dir = f"/tmp/graft_media_bench_v3_{n_media}"
+    corpus_dir = f"/tmp/graft_media_bench_v4_{n_media}"
     if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
         shutil.rmtree(corpus_dir, ignore_errors=True)
         rd.range(n_media).map_batches(mk, batch_format="pyarrow",
