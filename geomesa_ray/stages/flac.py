@@ -219,12 +219,8 @@ def _utf8_number(n: int) -> bytes:
     if n < 0x80:
         return bytes([n])
     out = []
-    nbytes = 2
-    while n >= (1 << (6 - nbytes + 6 * (nbytes - 1) + 1)) and nbytes < 6:
-        # max payload bits for nbytes: 6 - nbytes + 6*(nbytes-1) ... iterate
-        nbytes += 1
-    # simpler: find smallest nbytes with capacity
-    for nb in range(2, 7):
+    nbytes = 6
+    for nb in range(2, 7):  # smallest length whose payload bits fit n
         if n < (1 << (6 - nb + 1 + 6 * (nb - 1))):
             nbytes = nb
             break

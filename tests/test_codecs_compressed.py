@@ -234,6 +234,14 @@ class TestFlac:
             out, _ = decode_flac(encode_flac(st, 44100, 2048))
             assert np.array_equal(out, st)
 
+    def test_many_frames_multibyte_frame_numbers(self):
+        """>127 frames exercises the multi-byte UTF-8 frame-number path."""
+        from geomesa_ray.stages.flac import decode_flac, encode_flac
+
+        x = (np.sin(np.arange(80_000) / 13) * 6000).astype(np.int16)
+        out, _ = decode_flac(encode_flac(x, 16000, block_size=512))  # 157 frames
+        assert np.array_equal(out[:, 0], x)
+
     def test_compresses_smooth_audio(self):
         from geomesa_ray.stages.flac import encode_flac
 
