@@ -4,14 +4,14 @@ The container has no image libraries, but PNG's only compression is
 DEFLATE — which ships in the Python standard library — so a REAL decoder
 (not a stub) is possible here. Implements the full baseline static spec:
 
-- bit depths 1/2/4/8, colour types 0 (gray), 2 (RGB), 3 (palette),
-  4 (gray+alpha), 6 (RGBA)
+- bit depths 1/2/4/8/16, colour types 0 (gray), 2 (RGB), 3 (palette),
+  4 (gray+alpha), 6 (RGBA) — 16-bit decodes to uint16 (DEM PNGs); PNG
+  filters are byte-wise, so 16-bit rides the same unfilter kernels
 - all five scanline filters (None/Sub/Up/Average/Paeth)
 - Adam7 interlace
 - tRNS transparency (palette alpha + single transparent colour)
 
-16-bit channels are rejected (``ValueError``) rather than silently
-truncated. Decode output is ``(H, W)`` or ``(H, W, C)`` uint8.
+Decode output is ``(H, W)`` or ``(H, W, C)``, uint8 or uint16.
 
 Scale notes: unfiltering is serial along a scanline for the Average/Paeth
 filters (true data dependence), so those rows fall back to a per-pixel
@@ -145,9 +145,16 @@ def _scale_depth(v: np.ndarray, depth: int) -> np.ndarray:
 
 def _decode_pixels(raw: np.ndarray, w: int, h: int, depth: int,
                    ctype: int) -> np.ndarray:
-    """Filtered scanline bytes for a w x h region -> (h, w, channels) uint8
-    (channels axis squeezed later)."""
+    """Filtered scanline bytes for a w x h region -> (h, w, channels)
+    uint8/uint16 (channels axis squeezed later). PNG filters operate on
+    BYTES regardless of depth, so 16-bit rides the same unfilter with
+    bpp = 2 * channels and a big-endian view afterwards."""
     nch = _CHANNELS[ctype]
+    if depth == 16:
+        stride = w * nch * 2
+        flat = _unfilter(raw, h, stride, nch * 2)
+        return (np.ascontiguousarray(flat).view(">u2")
+                .astype(np.uint16).reshape(h, w, nch))
     if depth == 8:
         stride = w * nch
         bpp = nch
@@ -190,27 +197,28 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if depth == 16:
-        raise ValueError("16-bit PNG not supported")
     if ctype not in _CHANNELS:
         raise ValueError(f"unknown PNG colour type {ctype}")
-    if depth != 8 and ctype not in (0, 3):
+    if depth not in (8, 16) and ctype not in (0, 3):
         raise ValueError("sub-byte depth only valid for gray/palette")
+    if depth == 16 and ctype == 3:
+        raise ValueError("16-bit palette is not legal PNG")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
 
     nch = _CHANNELS[ctype]
     if interlace == 0:
         px = _decode_pixels(raw, w, h, depth, ctype)
     elif interlace == 1:
-        px = np.zeros((h, w, nch if depth == 8 else 1), dtype=np.uint8)
+        px = np.zeros((h, w, nch if depth >= 8 else 1),
+                      dtype=np.uint16 if depth == 16 else np.uint8)
         pos = 0
         for (x0, y0, dx, dy) in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            if depth == 8:
-                stride = pw * nch
+            if depth >= 8:
+                stride = pw * nch * (depth // 8)
             else:
                 stride = (pw * depth + 7) // 8
             nbytes = ph * (stride + 1)
@@ -232,7 +240,7 @@ def decode_png(data: bytes) -> np.ndarray:
             alpha[: len(t)] = t
             return np.dstack([rgb, alpha[idx]])
         return rgb
-    if depth != 8:
+    if depth < 8:
         px = _scale_depth(px, depth)
     if ctype == 0:
         return px[:, :, 0]
@@ -244,24 +252,27 @@ def encode_png(img: np.ndarray, interlace: bool = False,
     """(H, W[, C]) uint8 -> PNG bytes. C=1/None gray, 2 gray+alpha, 3 RGB,
     4 RGBA. Uses a single filter type per image (0 None or 1 Sub) so the
     decode path stays vectorized; DEFLATE level 6."""
-    img = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = np.ascontiguousarray(img.astype(">u2" if depth == 16 else np.uint8))
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nch = img.shape
+    bpp = nch * (depth // 8)
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
     if filter_type not in (0, 1):
         raise ValueError("encoder supports filter 0 (None) / 1 (Sub) only")
 
     def filt_region(region: np.ndarray) -> bytes:
-        rh, rw, _ = region.shape
-        flat = region.reshape(rh, rw * nch)
+        rh = region.shape[0]
+        flat = np.ascontiguousarray(region).reshape(rh, -1).view(np.uint8)
         if filter_type == 0:
             rows = flat
         else:
             rows = flat.astype(np.int16)
-            rows[:, nch:] = rows[:, nch:] - rows[:, :-nch]
+            rows[:, bpp:] = rows[:, bpp:] - rows[:, :-bpp]
             rows = (rows & 0xFF).astype(np.uint8)
-        out = np.empty((rh, rw * nch + 1), dtype=np.uint8)
+        out = np.empty((rh, flat.shape[1] + 1), dtype=np.uint8)
         out[:, 0] = filter_type
         out[:, 1:] = rows
         return out.tobytes()
@@ -280,7 +291,8 @@ def encode_png(img: np.ndarray, interlace: bool = False,
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       1 if interlace else 0)
     return (_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 6))
             + chunk(b"IEND", b""))

@@ -155,11 +155,39 @@ class TestPng:
 
         with pytest.raises(ValueError, match="not a PNG"):
             decode_png(b"P6 1 1 255\n\x00\x00\x00")
-        png16 = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-                 + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
-                 + _chunk(b"IEND", b""))
-        with pytest.raises(ValueError, match="16-bit"):
-            decode_png(png16)
+
+    @pytest.mark.parametrize("shape", [(13, 17), (9, 21, 3)])
+    def test_16bit_roundtrip_and_paeth(self, shape):
+        """16-bit (DEM) PNGs: byte-wise filters, uint16 out — roundtrip
+        plus a hand-built Paeth bitstream on the 2-byte lanes."""
+        from geomesa_ray.stages.png import decode_png, encode_png
+
+        rng = np.random.default_rng(110)
+        img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        for ft in (0, 1):
+            out = decode_png(encode_png(img, filter_type=ft))
+            assert out.dtype == np.uint16 and np.array_equal(out, img)
+        g = rng.integers(0, 65536, (6, 5), dtype=np.uint16)
+        be = g.astype(">u2").view(np.uint8).reshape(6, 10).astype(np.int32)
+        rows = []
+        prev = np.zeros(10, dtype=np.int32)
+        for y in range(6):
+            cur = be[y]
+            a = np.zeros_like(cur)
+            a[2:] = cur[:-2]
+            c = np.zeros_like(prev)
+            c[2:] = prev[:-2]
+            p = a + prev - c
+            pred = np.where((abs(p - a) <= abs(p - prev))
+                            & (abs(p - a) <= abs(p - c)), a,
+                            np.where(abs(p - prev) <= abs(p - c), prev, c))
+            rows.append(b"\x04" + bytes(((cur - pred) & 0xFF).astype(np.uint8)))
+            prev = cur
+        png = (_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 16, 0, 0, 0, 0))
+               + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + _chunk(b"IEND", b""))
+        out = decode_png(png)
+        assert out.dtype == np.uint16 and np.array_equal(out, g)
 
     def test_media_decode_stage_compressed(self, ray_session):
         import ray.data as rd
