@@ -1687,8 +1687,13 @@ def q_relate_holed_lines(sf_dir: str):
         y = (ids % 13).astype(np.int64) - 1
         x0 = (ids % 7).astype(np.int64) - 2
         x1 = x0 + 1 + (ids % 11).astype(np.int64)
-        wa = np.array([f"LINESTRING ({a} {yy}, {b} {yy})"
-                       for a, yy, b in zip(x0, y, x1)], dtype=object)
+        # odd ids run the segment VERTICALLY: the fixture is symmetric
+        # under (x, y) swap, so the oracle's matrix formula is identical —
+        # orientation coverage for free
+        wa = np.array([
+            (f"LINESTRING ({a} {yy}, {b} {yy})" if i % 2 == 0
+             else f"LINESTRING ({yy} {a}, {yy} {b})")
+            for i, a, yy, b in zip(ids, x0, y, x1)], dtype=object)
         wb = np.full(len(ids), HOLED, dtype=object)
         return pa.table({
             "event_id": t.column("event_id"),
