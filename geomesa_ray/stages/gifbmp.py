@@ -269,12 +269,16 @@ def decode_gif_frames(data: bytes):
         rgba = np.dstack([ct[idx], np.full((fh, fw), 255, np.uint8)])
         if transparent >= 0:
             rgba[idx == transparent, 3] = 0
+        saved = (canvas[fy:fy + fh, fx:fx + fw].copy()
+                 if disposal == 3 else None)
         region = canvas[fy:fy + fh, fx:fx + fw]
         opaque = rgba[:, :, 3] == 255
         region[opaque] = rgba[opaque]
         frames.append(canvas.copy())
         if disposal == 2:
             canvas[fy:fy + fh, fx:fx + fw] = 0
+        elif disposal == 3:  # restore to previous
+            canvas[fy:fy + fh, fx:fx + fw] = saved
         transparent = -1
         disposal = 0
     return frames

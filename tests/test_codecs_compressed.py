@@ -783,3 +783,22 @@ class TestGif:
                 + b"\x2C" + struct.pack("<HHHHB", 0, 0, 5, 8, 0x40) + bytes([2])
                 + sub(_lzw_encode(inter.ravel(), 2)) + b"\x3B")
         assert np.array_equal(decode_gif(gif2)[:, :, :3], pal[idx])
+
+        # disposal 3 (restore previous): frame 3 must NOT see frame 2's
+        # overlay — the canvas reverts before it draws
+        f3 = np.full((1, 1), 2, dtype=np.uint8)
+        gif3 = (b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x81, 0, 0) + pal.tobytes()
+                + b"\x2C" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + bytes([2])
+                + sub(_lzw_encode(f1.ravel(), 2))
+                + b"\x21\xF9\x04" + struct.pack("<BHB", 0b1100, 10, 0) + b"\x00"
+                + b"\x2C" + struct.pack("<HHHHB", 1, 1, 2, 2, 0) + bytes([2])
+                + sub(_lzw_encode(f2.ravel(), 2))
+                + b"\x2C" + struct.pack("<HHHHB", 3, 3, 1, 1, 0) + bytes([2])
+                + sub(_lzw_encode(f3.ravel(), 2))
+                + b"\x3B")
+        frames3 = decode_gif_frames(gif3)
+        assert len(frames3) == 3
+        assert (frames3[1][1:3, 1:3, :3] != pal[0]).any()  # overlay visible
+        exp3 = frames3[0].copy()
+        exp3[3, 3, :3] = pal[2]  # only frame 3's pixel differs from frame 1
+        assert np.array_equal(frames3[2], exp3)
