@@ -5,8 +5,9 @@ BT.601 colour transform, 8x8 DCT-II, Annex-K quantization scaled by the
 IJG quality formula, zigzag + DC-differential + run-length Huffman entropy
 coding. Both directions are implemented from the public spec:
 
-- ``encode_jpeg``: 4:4:4 or 4:2:0 subsampling, gray or RGB, JFIF headers.
-- ``decode_jpeg``: baseline SOF0 (gray / YCbCr, 1x1 or 2x2 luma sampling),
+- ``encode_jpeg``: 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 subsampling, gray or
+  RGB, JFIF headers.
+- ``decode_jpeg``: baseline SOF0 (gray / YCbCr, any 1-or-2 luma sampling),
   DHT canonical Huffman, DRI/RSTn restart markers, 0xFF00 byte unstuffing.
 
 Verification contract (see tests): the analysis half (colour transform /
@@ -103,6 +104,10 @@ _AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
 
 
+#: luma:chroma sampling factors (fx, fy) per JFIF subsampling name
+_SUB_FACTORS = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+
+
 def _dct_matrix() -> np.ndarray:
     k = np.arange(8)[:, None]
     n = np.arange(8)[None, :]
@@ -177,20 +182,17 @@ def _analyze(img: np.ndarray, quality: int, subsample: str):
     else:
         ycc = _rgb_to_ycbcr(img)
         y, cb, cr = ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]
-        if subsample == "420":
-            y = _pad_edge(y, 16, 16)
-            cb = _pad_edge(cb, 16, 16)
-            cr = _pad_edge(cr, 16, 16)
-            cb = np.round(cb.reshape(cb.shape[0] // 2, 2,
-                                     cb.shape[1] // 2, 2).mean(axis=(1, 3)))
-            cr = np.round(cr.reshape(cr.shape[0] // 2, 2,
-                                     cr.shape[1] // 2, 2).mean(axis=(1, 3)))
-        elif subsample == "444":
-            y = _pad_edge(y, 8, 8)
-            cb = _pad_edge(cb, 8, 8)
-            cr = _pad_edge(cr, 8, 8)
-        else:
-            raise ValueError("subsample must be '420' or '444'")
+        if subsample not in _SUB_FACTORS:
+            raise ValueError("subsample must be one of " + "/".join(_SUB_FACTORS))
+        fx, fy = _SUB_FACTORS[subsample]
+        y = _pad_edge(y, 8 * fy, 8 * fx)
+        cb = _pad_edge(cb, 8 * fy, 8 * fx)
+        cr = _pad_edge(cr, 8 * fy, 8 * fx)
+        if fx > 1 or fy > 1:
+            def box(p):
+                return np.round(p.reshape(p.shape[0] // fy, fy,
+                                          p.shape[1] // fx, fx).mean(axis=(1, 3)))
+            cb, cr = box(cb), box(cr)
         planes = [y, cb, cr]
         qts = [ql, qc, qc]
     if gray:
@@ -215,9 +217,13 @@ def _synthesize(coeffs, qts, shapes, hw, gray, subsample: str) -> np.ndarray:
     if gray:
         return planes[0][:h, :w].astype(np.uint8)
     y, cb, cr = planes
-    if subsample == "420":
-        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
-        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    fx, fy = _SUB_FACTORS[subsample]
+    if fy > 1:
+        cb = np.repeat(cb, fy, axis=0)
+        cr = np.repeat(cr, fy, axis=0)
+    if fx > 1:
+        cb = np.repeat(cb, fx, axis=1)
+        cr = np.repeat(cr, fx, axis=1)
     ycc = np.dstack([y, cb[: y.shape[0], : y.shape[1]],
                      cr[: y.shape[0], : y.shape[1]]])
     return _ycbcr_to_rgb(ycc)[:h, :w]
@@ -333,10 +339,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 75, subsample: str = "420",
     # (id, sampling h<<4|v, qtab)
     if gray:
         comps = [(1, 0x11, 0)]
-    elif subsample == "420":
-        comps = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
     else:
-        comps = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+        fx, fy = _SUB_FACTORS[subsample]
+        comps = [(1, (fx << 4) | fy, 0), (2, 0x11, 1), (3, 0x11, 1)]
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid, samp, qt in comps:
         sof += struct.pack(">BBB", cid, samp, qt)
@@ -378,24 +383,25 @@ def encode_jpeg(img: np.ndarray, quality: int = 75, subsample: str = "420",
             preds = [0] * ncomp
         mcu_count += 1
 
-    if gray or subsample == "444":
+    if gray:
         n_blocks = (ph // 8) * (pw // 8)
         for b in range(n_blocks):
             maybe_restart()
-            for ci in range(ncomp):
-                preds[ci] = _encode_block(bw, zz_coeffs[ci][b], preds[ci],
-                                          dc_tabs[ci], ac_tabs[ci])
+            preds[0] = _encode_block(bw, zz_coeffs[0][b], preds[0],
+                                     dc_tabs[0], ac_tabs[0])
     else:
-        # 4:2:0 MCU = 4 luma blocks (2x2) + 1 Cb + 1 Cr
+        # MCU = fx*fy luma blocks + 1 Cb + 1 Cr
+        fx, fy = _SUB_FACTORS[subsample]
         yw = pw // 8
         cw = shapes[1][1] // 8
-        for my in range(ph // 16):
-            for mx in range(pw // 16):
+        for my in range(ph // (8 * fy)):
+            for mx in range(pw // (8 * fx)):
                 maybe_restart()
-                for (dy, dx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                    b = (my * 2 + dy) * yw + mx * 2 + dx
-                    preds[0] = _encode_block(bw, zz_coeffs[0][b], preds[0],
-                                             dc_tabs[0], ac_tabs[0])
+                for dy in range(fy):
+                    for dx in range(fx):
+                        b = (my * fy + dy) * yw + mx * fx + dx
+                        preds[0] = _encode_block(bw, zz_coeffs[0][b], preds[0],
+                                                 dc_tabs[0], ac_tabs[0])
                 cb_b = my * cw + mx
                 preds[1] = _encode_block(bw, zz_coeffs[1][cb_b], preds[1],
                                          dc_tabs[1], ac_tabs[1])
@@ -686,8 +692,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_comps, entropy_pos = scan
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if (hmax, vmax) not in ((1, 1), (2, 2)):
-        raise ValueError("only 1x1 / 2x2 luma sampling supported")
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise ValueError("luma sampling factors must be 1 or 2")
     for cid, ch, cv, _ in comps[1:]:
         if (ch, cv) != (1, 1):
             raise ValueError("chroma sampling must be 1x1")
@@ -731,5 +737,5 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         qts.append(qtabs[tq].reshape(8, 8))
         shapes.append((ph, pw))
     gray = len(comps) == 1
-    sub = "420" if (hmax, vmax) == (2, 2) and not gray else "444"
-    return _synthesize(coeffs, qts, shapes, (h, w), gray, sub)
+    sub = {v: k for k, v in _SUB_FACTORS.items()}[(hmax, vmax)]
+    return _synthesize(coeffs, qts, shapes, (h, w), gray, "444" if gray else sub)

@@ -656,7 +656,7 @@ class TestJpeg:
         mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
         return np.inf if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
 
-    @pytest.mark.parametrize("subsample", ["420", "444"])
+    @pytest.mark.parametrize("subsample", ["420", "444", "422", "440"])
     @pytest.mark.parametrize("quality", [50, 75, 95])
     def test_entropy_layer_bit_exact(self, subsample, quality):
         from geomesa_ray.stages.jpeg import (decode_jpeg, encode_jpeg,
