@@ -288,19 +288,22 @@ def media_pipeline(docs_ds, payloads_ds, dim: int = 16, batch_size: int = 64,
                            concurrency=concurrency)
 
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pa.table({
+        # pure-Arrow partial: decoded/px_sum come from dense numpy arrays
+        # (never null), so the default non-null "count" equals row count
+        slim = pa.table({
             id_col: t.column(id_col),
-            "decoded": t.column("decoded"),
+            "decoded": t.column("decoded").cast(pa.int64()),
             "px_sum": t.column("px_sum"),
-        }).to_pandas()
-        g = (df.groupby(id_col, sort=False)
-               .agg(n_media=("px_sum", "size"),
-                    n_decoded=("decoded", "sum"),
-                    px_total=("px_sum", "sum"))
-               .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        })
+        g = slim.group_by(id_col, use_threads=False).aggregate(
+            [("px_sum", "count"), ("decoded", "sum"), ("px_sum", "sum")]
+        )
+        return pa.table({
+            id_col: g.column(id_col),
+            "n_media": g.column("px_sum_count"),
+            "n_decoded": g.column("decoded_sum"),
+            "px_total": g.column("px_sum_sum"),
+        })
 
     B = _rollup_buckets()
 
