@@ -355,11 +355,23 @@ def simhash64(texts, max_chunk_tokens: int = 131_072) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    if bool(pc.all(pc.string_is_ascii(pc.fill_null(arr, ""))).as_py()):
+    ascii_mask = pc.string_is_ascii(pc.fill_null(arr, ""))
+    if bool(pc.all(ascii_mask).as_py()):
         return _simhash64_arrow(arr, n)
-    if np_texts is None:
-        np_texts = arr.to_numpy(zero_copy_only=False)
-    return _simhash64_py(np_texts, max_chunk_tokens)
+    # mixed batch: route per DOC, not per batch — one non-ASCII doc must not
+    # drag the whole batch onto the Python tokenizer (real corpora are mixed;
+    # semantics are unchanged because the Arrow path only ever sees all-ASCII
+    # inputs, exactly the regime the oracle validates it in)
+    mask = ascii_mask.to_numpy(zero_copy_only=False)
+    out = np.zeros(n, dtype=np.uint64)
+    n_ascii = int(mask.sum())
+    if n_ascii:
+        out[mask] = _simhash64_arrow(arr.filter(ascii_mask), n_ascii)
+    if n_ascii < n:
+        if np_texts is None:
+            np_texts = arr.to_numpy(zero_copy_only=False)
+        out[~mask] = _simhash64_py(np_texts[~mask], max_chunk_tokens)
+    return out
 
 
 def _simhash64_arrow(arr, n: int) -> np.ndarray:
@@ -392,35 +404,93 @@ def _simhash64_arrow(arr, n: int) -> np.ndarray:
     return out
 
 
-def _simhash64_py(texts: np.ndarray, max_chunk_tokens: int = 131_072) -> np.ndarray:
-    """Python-tokenizer fallback (exact ``str.lower().split()`` semantics):
-    all tokens of a doc-chunk hash in one fnv+mix pass and per-doc bit votes
-    reduce with a single ``np.add.reduceat``. ``max_chunk_tokens`` bounds
-    the per-chunk token materialization."""
-    toks_per = [str(t).lower().split() for t in texts]
-    lens = np.array([len(t) for t in toks_per], dtype=np.int64)
-    out = np.zeros(len(texts), dtype=np.uint64)
-    bit_idx = np.arange(64, dtype=np.uint64)
-    i, n = 0, len(texts)
+# Python str-whitespace (exactly the chars where str.isspace() is True ==
+# what str.split() splits on) as UTF-8 byte patterns; verified exhaustively
+# against str.isspace over all of Unicode in tests. ASCII bytes never occur
+# inside multi-byte sequences and UTF-8 lead/continuation patterns are
+# unambiguous, so byte-level matching is exact.
+_WS_ASCII = np.array([0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20],
+                     dtype=np.uint8)
+
+
+def _py_ws_mask(buf: np.ndarray) -> np.ndarray:
+    """Byte mask over a UTF-8 buffer: True on EVERY byte of every Python
+    str-whitespace character (so whitespace runs are contiguous)."""
+    ws = np.isin(buf, _WS_ASCII)
+    n = len(buf)
+    if n >= 2:
+        b0, b1 = buf[:-1], buf[1:]
+        # U+0085 (c2 85), U+00A0 (c2 a0)
+        i2 = np.nonzero((b0 == 0xC2) & ((b1 == 0x85) | (b1 == 0xA0)))[0]
+        ws[i2] = True
+        ws[i2 + 1] = True
+    if n >= 3:
+        c0, c1, c2 = buf[:-2], buf[1:-1], buf[2:]
+        # U+2000-200A / U+2028 / U+2029 / U+202F (e2 80 xx), U+205F (e2 81 9f),
+        # U+1680 (e1 9a 80), U+3000 (e3 80 80)
+        m3 = ((c0 == 0xE2) & (c1 == 0x80)
+              & (((c2 >= 0x80) & (c2 <= 0x8A)) | (c2 == 0xA8) | (c2 == 0xA9) | (c2 == 0xAF))) \
+            | ((c0 == 0xE2) & (c1 == 0x81) & (c2 == 0x9F)) \
+            | ((c0 == 0xE1) & (c1 == 0x9A) & (c2 == 0x80)) \
+            | ((c0 == 0xE3) & (c1 == 0x80) & (c2 == 0x80))
+        i3 = np.nonzero(m3)[0]
+        for o in range(3):
+            ws[i3 + o] = True
+    return ws
+
+
+def _simhash64_py(texts: np.ndarray, max_chunk_bytes: int = 1 << 24) -> np.ndarray:
+    """Non-ASCII fallback (exact ``str.lower().split()`` semantics): Python
+    only lowercases each doc (full case mapping has no Arrow analog — see
+    ``simhash64``); everything after runs vectorized over ONE joined UTF-8
+    buffer per chunk (the ``_raw_shingle_sets`` trick): byte-level
+    whitespace masking (``_py_ws_mask``), run-boundary token extraction,
+    position-pass FNV over the token slices (bit-identical to
+    ``fnv1a_str``), and one ``np.add.reduceat`` per bit for the majority
+    votes. ``max_chunk_bytes`` bounds the per-chunk buffer."""
+    from geomesa_ray.cells.shard import _FNV_OFFSET, _FNV_PRIME
+
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    enc = [str(t).lower().encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    i = 0
     while i < n:
         j, tot = i, 0
-        while j < n and (tot == 0 or tot + lens[j] <= max_chunk_tokens):
-            tot += lens[j]
+        while j < n and (tot == 0 or tot + lens[j] + 1 <= max_chunk_bytes):
+            tot += lens[j] + 1
             j += 1
-        idx = np.arange(i, j)[lens[i:j] > 0]
-        if len(idx):
-            all_toks = np.array([tok for k in idx for tok in toks_per[k]], dtype=object)
-            h = _mix64(fnv1a_str(all_toks))
-            seg_lens = lens[idx]
-            starts = np.cumsum(seg_lens) - seg_lens
+        buf = np.frombuffer(b" ".join(enc[i:j]), dtype=np.uint8)
+        if len(buf) == 0:
+            i = j
+            continue
+        doc_starts = np.cumsum(lens[i:j] + 1) - (lens[i:j] + 1)
+        ws = _py_ws_mask(buf)
+        nonws = ~ws
+        tok_start = np.nonzero(nonws & np.concatenate(([True], ws[:-1])))[0]
+        if len(tok_start):
+            tok_end = np.nonzero(nonws & np.concatenate((ws[1:], [True])))[0]
+            tok_lens = tok_end - tok_start + 1
+            h = np.full(len(tok_start), _FNV_OFFSET, dtype=np.uint64)
+            for p in range(int(tok_lens.max())):
+                act = tok_lens > p
+                h[act] = (h[act] ^ buf[tok_start[act] + p].astype(np.uint64)) * _FNV_PRIME
+            h = _mix64(h)
+            # tokens are in buffer order == grouped by doc ascending (the
+            # ' ' separator is whitespace, so no token straddles a doc)
+            doc = np.searchsorted(doc_starts, tok_start, side="right") - 1
+            seg_lens = np.bincount(doc, minlength=j - i)
+            idx = np.nonzero(seg_lens > 0)[0]
+            lens_nz = seg_lens[idx]
+            starts = np.cumsum(lens_nz) - lens_nz
             sig = np.zeros(len(idx), dtype=np.uint64)
             # 64 one-dim passes (a (tokens, 64) vote matrix is memory-bound
             # — same trade the MinHasher documents): majority of bit b
             # per doc <=> 2 * ones > len
-            for b in bit_idx:
+            for b in np.arange(64, dtype=np.uint64):
                 ones = np.add.reduceat(((h >> b) & np.uint64(1)).astype(np.int64), starts)
-                sig |= (2 * ones > seg_lens).astype(np.uint64) << b
-            out[idx] = sig
+                sig |= (2 * ones > lens_nz).astype(np.uint64) << b
+            out[i + idx] = sig
         i = j
     return out
 

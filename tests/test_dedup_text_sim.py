@@ -89,6 +89,66 @@ class TestSimHash:
         sh = simhash64(np.array([a, b, c], dtype=object))
         assert hamming64(sh[:1], sh[1:2])[0] < hamming64(sh[:1], sh[2:3])[0]
 
+    def test_ws_mask_matches_str_isspace_exhaustively(self):
+        # every Unicode codepoint, grouped into one buffer: the byte mask
+        # must mark exactly the bytes of chars where str.isspace() is True
+        from geomesa_ray.stages.dedup import _py_ws_mask
+
+        chars = [chr(c) for c in range(0x110000) if not (0xD800 <= c <= 0xDFFF)]
+        expected = np.concatenate([
+            np.full(len(ch.encode("utf-8")), ch.isspace()) for ch in chars
+        ])
+        buf = np.frombuffer("".join(chars).encode("utf-8"), dtype=np.uint8)
+        got = _py_ws_mask(buf)
+        assert np.array_equal(got, expected)
+
+    def test_py_fallback_matches_naive_reference(self):
+        # vectorized buffer tokenizer == per-doc str.lower().split() + FNV
+        from geomesa_ray.cells.shard import fnv1a_str
+        from geomesa_ray.stages.dedup import _mix64, _simhash64_py
+
+        texts = np.array([
+            "Héllo WÖRLD straße ĲS",            # full case mapping (ĳ, ß)
+            "tab\tand em-space nbsp",   # exotic whitespace
+            "",                                    # empty
+            "　 \x1c",                   # whitespace-only
+            "İstanbul İ i I",                     # dotted capital I (lowers to 2 chars)
+            "one",                                 # single token
+            "répété répété répété deux",
+        ], dtype=object)
+
+        def naive(t):
+            toks = str(t).lower().split()
+            if not toks:
+                return np.uint64(0)
+            h = _mix64(fnv1a_str(np.array(toks, dtype=object)))
+            sig = np.uint64(0)
+            for b in range(64):
+                ones = int((((h >> np.uint64(b)) & np.uint64(1))).sum())
+                if 2 * ones > len(toks):
+                    sig |= np.uint64(1) << np.uint64(b)
+            return sig
+
+        got = _simhash64_py(texts)
+        want = np.array([naive(t) for t in texts], dtype=np.uint64)
+        assert np.array_equal(got, want)
+        # chunking must not change results
+        got_chunked = _simhash64_py(texts, max_chunk_bytes=16)
+        assert np.array_equal(got_chunked, want)
+
+    def test_mixed_batch_routes_per_doc(self):
+        # one non-ASCII doc must not change the ASCII docs' signatures
+        ascii_docs = np.array([
+            "the quick brown fox", "hello world foo bar", "distributed systems",
+        ], dtype=object)
+        pure = simhash64(ascii_docs)
+        mixed = np.concatenate([ascii_docs, np.array(["héllo wörld"], dtype=object)])
+        sh = simhash64(mixed)
+        assert np.array_equal(sh[:3], pure)
+        from geomesa_ray.stages.dedup import _simhash64_py
+
+        assert sh[3] == _simhash64_py(mixed[3:4])[0]
+
     def test_pairs_pipeline(self, ray_session):
         import ray.data as rd
 
