@@ -436,9 +436,12 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         pos += 4 + size
         if last:
             break
-    out = np.empty((total, channels), dtype=np.int16)
+    # STREAMINFO total_samples = 0 is spec-legal "unknown": decode frames
+    # until the byte stream runs out instead of trusting the header
+    known = total if total else None
+    chunks: list = []
     n_out = 0
-    while n_out < total and pos + 2 <= len(data):
+    while (known is None or n_out < known) and pos + 2 <= len(data):
         br = _BitReader(data, pos)
         sync = br.read(14)
         if sync != 0b11111111111110:
@@ -467,7 +470,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         got = br.read(8)
         if got != expect:
             raise ValueError("frame header CRC mismatch")
-        bs = min(bs, total - n_out)
+        if known is not None:
+            bs = min(bs, known - n_out)
         if ca < 8:  # independent channels
             chans = [_read_subframe(br, bs, 16) for _ in range(channels)]
         elif ca == 8:  # left/side
@@ -487,8 +491,12 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("reserved channel assignment")
         br.align_byte()
         br.read(16)  # frame CRC-16 (already covered by the md5 contract)
+        frame = np.empty((bs, channels), dtype=np.int16)
         for c in range(channels):
-            out[n_out:n_out + bs, c] = chans[c].astype(np.int16)
+            frame[:, c] = chans[c].astype(np.int16)
+        chunks.append(frame)
         n_out += bs
         pos = br.pos
-    return out[:n_out], int(rate)
+    out = (np.concatenate(chunks) if chunks
+           else np.empty((0, channels), dtype=np.int16))
+    return out, int(rate)

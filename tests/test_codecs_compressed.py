@@ -270,6 +270,21 @@ class TestFlac:
         out, _ = decode_flac(encode_flac(x, 16000, block_size=512))  # 157 frames
         assert np.array_equal(out[:, 0], x)
 
+    def test_unknown_total_samples_decodes_all_frames(self):
+        """STREAMINFO total_samples = 0 is spec-legal 'unknown': the decoder
+        must read frames to the end of the stream, not trust the header."""
+        from geomesa_ray.stages.flac import decode_flac, encode_flac
+
+        src = (np.sin(np.arange(10_000) / 19) * 7000).astype(np.int16)
+        blob = bytearray(encode_flac(src, 16000, block_size=1024))
+        # STREAMINFO body starts at file offset 8; total_samples is the low
+        # nibble of body[13] plus body[14:18] (ISO layout mirrored by the
+        # decoder) — zero it to mark "unknown"
+        blob[8 + 13] &= 0xF0
+        blob[8 + 14:8 + 18] = b"\x00\x00\x00\x00"
+        out, r = decode_flac(bytes(blob))
+        assert r == 16000 and np.array_equal(out[:, 0], src)
+
     def test_compresses_smooth_audio(self):
         from geomesa_ray.stages.flac import encode_flac
 
@@ -428,6 +443,26 @@ class TestGeoTiff:
         for _, row in tiles.iterrows():
             r = 8 - 1 - int(row["tile_j"])
             assert img[r, int(row["tile_i"])] == np.float32(row["weight"])
+
+    def test_raster_to_features_float32_native_values(self, ray_session):
+        """Float32 rasters keep exact native values in value_f; the int64
+        value column is the documented truncation."""
+        import ray.data as rd
+
+        from geomesa_ray.sources.geotiff import encode_geotiff
+        from geomesa_ray.stages.raster import raster_to_features
+
+        rng = np.random.default_rng(77)
+        f = rng.normal(500.5, 100, (4, 6)).astype(np.float32)
+        blob = encode_geotiff(f, origin_x=0.0, origin_y=4.0,
+                              pixel_w=0.5, pixel_h=0.5, compression=5)
+        out = raster_to_features(
+            rd.from_items([{"media_ref": "tif://f32", "payload": blob}])
+        ).to_pandas().sort_values(["row", "col"])
+        assert np.array_equal(out["value_f"].to_numpy(),
+                              f.ravel().astype(np.float64))
+        assert np.array_equal(out["value"].to_numpy(),
+                              f.ravel().astype(np.int64))
 
     def test_raster_cell_sums(self, ray_session):
         import ray.data as rd

@@ -411,7 +411,7 @@ def bench_ann(n_vecs: int = 1_000_000, dim: int = 64, n_queries: int = 4,
 def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
     """Multimodal decode throughput: a mixed-format payload corpus (PNG /
     JPEG / BMP / GIF / PPM images at 64x64, PCM16 / mu-law / IMA-ADPCM WAV
-    at 8k samples, 4-frame 32x32 Y4M video) decoded by the actor-pool
+    at 8k samples, 4-frame 32x32 Y4M video) decoded by the holder-fn task
     ``decode_media`` stage. Reports overall payloads/s + MB/s and a timed
     per-format pass, so a slow codec (e.g. the serial JPEG entropy loop)
     is visible instead of averaged away."""
@@ -488,7 +488,7 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
     total_bytes = sum(os.path.getsize(p)
                       for p in glob.glob(os.path.join(corpus_dir, "*.parquet")))
 
-    def timed(ds, n):
+    def timed(ds):
         t0 = time.time()
         decoded = decode_media(ds, dim=16, batch_size=64)
         ok = decoded.map_batches(
@@ -499,15 +499,15 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
         return dt, ok
 
     # warmup + timed mixed pass
-    timed(rd.read_parquet(corpus_dir), n_media)
-    t_all, n_ok = timed(rd.read_parquet(corpus_dir), n_media)
+    timed(rd.read_parquet(corpus_dir))
+    t_all, n_ok = timed(rd.read_parquet(corpus_dir))
 
     per_format = {}
     for fmt in FORMATS:
         ds = rd.read_parquet(corpus_dir).filter(
             expr=f"fmt == '{fmt}'")
-        cnt = n_media // len(FORMATS)
-        dt, _ = timed(ds, cnt)
+        cnt = ds.count()  # exact per-format rows (n_media % len(FORMATS) != 0)
+        dt, _ = timed(rd.read_parquet(corpus_dir).filter(expr=f"fmt == '{fmt}'"))
         per_format[fmt] = round(cnt / dt, 1)
 
     return {
