@@ -791,8 +791,14 @@ def _offset_ring(ring: np.ndarray, dist: float) -> np.ndarray:
     only while ``dist`` stays under the ring's minimum clearance). Each
     edge offsets outward along its normal; CONVEX vertices get a circular
     arc (pi/16 max step ~ JTS quadrantSegments=8), REFLEX vertices the
-    exact offset-edge intersection."""
+    exact offset-edge intersection. Consecutive duplicate vertices (legal
+    in JTS input) are collapsed first — a zero-length edge has no normal."""
     step = np.pi / 16.0
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = (ring[1:] != ring[:-1]).any(axis=1)
+    ring = ring[keep]
+    if len(ring) > 1 and (ring[0] == ring[-1]).all():
+        ring = ring[:-1]
     e = np.roll(ring, -1, axis=0) - ring
     nrm = np.stack([e[:, 1], -e[:, 0]], axis=1)
     nrm = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
@@ -872,7 +878,8 @@ def f_st_buffer(wkt_values, dist):
     pieces, emitted as interior-disjoint pieces via sequential convex
     differences (piecewise MULTIPOLYGON, coverage-exact up to the same arc
     approximation; seam edges documented like the set ops). Negative
-    distances raise."""
+    distances raise; a degenerate polygon ring (self-intersecting /
+    pinched / zero-area, `_geom_is_valid`) yields NULL."""
     from geomesa_ray.geo.poly import convex_difference, decompose_convex
     from geomesa_ray.geo.wkt import parse_wkt
 
@@ -895,6 +902,11 @@ def f_st_buffer(wkt_values, dist):
             raise ValueError("st_buffer: Point and Polygon only")
         if dist <= 0:
             raise ValueError("st_buffer: polygon distances must be positive")
+        if not _geom_is_valid(g):
+            # degenerate ring (self-intersecting / pinched / zero-area):
+            # honest null rather than an undefined offset curve
+            out[i] = None
+            continue
         ring = _open_ring(np.asarray(g["coords"][0], dtype=np.float64))
         # ensure CCW orientation (positive shoelace) so normals point outward
         x, y = ring[:, 0], ring[:, 1]
@@ -1216,29 +1228,48 @@ def f_st_is_simple(values):
     return np.array([bool(v) for v in out])
 
 
-def f_st_is_valid(values):
-    """st_isValid (polygon essentials): rings closed with >= 4 vertices,
-    non-zero exterior area, simple rings. Lines/points are valid when
-    parseable."""
+def _ring_is_valid(r) -> bool:
+    """JTS polygon-ring essentials: closed, >= 4 vertices, finite coords,
+    no non-consecutive repeated vertex (a pinch is a 'Ring
+    Self-intersection' in JTS IsValidOp), non-zero shoelace area, and no
+    proper segment crossing (bowtie). Consecutive duplicate vertices are
+    collapsed first — JTS allows them."""
     from geomesa_ray.geo.poly import signed_area
 
-    def fn(g):
-        t, c = g["type"], g["coords"]
-        if t in ("Point", "MultiPoint", "LineString", "MultiLineString"):
-            return True
-        polys = [c] if t == "Polygon" else c
-        for rings in polys:
-            for k, r in enumerate(rings):
-                r = np.asarray(r, dtype=np.float64)
-                if len(r) < 4 or not _line_closed(r):
-                    return False
-                if not _segments_simple(r):
-                    return False
-                if k == 0 and signed_area(r) == 0.0:
-                    return False
-        return True
+    r = np.asarray(r, dtype=np.float64)
+    if len(r) < 4 or not _line_closed(r) or not np.isfinite(r).all():
+        return False
+    o = r[:-1]
+    keep = np.ones(len(o), dtype=bool)
+    keep[1:] = (o[1:] != o[:-1]).any(axis=1)
+    o = o[keep]
+    if len(o) < 3:
+        return False
+    if len(np.unique(o, axis=0)) != len(o):  # pinch / self-touch
+        return False
+    if signed_area(o) == 0.0:  # collapsed (shoelace-zero) ring
+        return False
+    return _segments_simple(np.vstack([o, o[:1]]))
 
-    out = _map_wkt(values, fn)
+
+def _geom_is_valid(g) -> bool:
+    """Validity of a parsed geometry for the set-op machinery: every
+    polygon ring (shells AND holes — a zero-area hole is as degenerate as
+    a zero-area shell) passes ``_ring_is_valid``. Points/lines are valid
+    when parseable. Hole containment/nesting is NOT checked (documented
+    essentials-only scope, matching st_isValid)."""
+    t, c = g["type"], g["coords"]
+    if t in ("Point", "MultiPoint", "LineString", "MultiLineString"):
+        return True
+    polys = [c] if t == "Polygon" else c
+    return all(_ring_is_valid(r) for rings in polys for r in rings)
+
+
+def f_st_is_valid(values):
+    """st_isValid (polygon essentials): rings closed with >= 4 vertices,
+    non-zero ring areas, no pinches or proper self-crossings
+    (``_geom_is_valid``). Lines/points are valid when parseable."""
+    out = _map_wkt(values, _geom_is_valid)
     return np.array([bool(v) for v in out])
 
 
@@ -1476,7 +1507,9 @@ def f_st_intersection(values_a, values_b):
     JTS, but not the unioned topology JTS returns (documented; the
     area-conservation oracles `concave_clip`/`holed_clip` verify the piece
     sum). Line x polygon clips by Liang-Barsky interval union (`line_clip`
-    oracle; holes leave genuine gaps)."""
+    oracle; holes leave genuine gaps). Degenerate polygon inputs
+    (self-intersecting, pinched, or zero-area rings — `_geom_is_valid`)
+    yield NULL, the honest analog of JTS's TopologyException."""
     from geomesa_ray.geo.poly import convex_clip, is_convex
     from geomesa_ray.geo.wkt import format_wkt
 
@@ -1486,6 +1519,13 @@ def f_st_intersection(values_a, values_b):
     for i in range(len(va)):
         ga, gb = _parse_or_none(va[i]), _parse_or_none(vb[i])
         if ga is None or gb is None:
+            out[i] = None
+            continue
+        # degenerate-geometry guard: self-intersecting / pinched /
+        # zero-area rings would reach ear_clip with undefined coverage —
+        # return an honest null instead (documented: JTS raises
+        # TopologyException on such inputs; we null rather than crash)
+        if not _geom_is_valid(ga) or not _geom_is_valid(gb):
             out[i] = None
             continue
         kinds = (ga["type"], gb["type"])
@@ -1530,7 +1570,8 @@ def f_st_difference(values_a, values_b):
     in ``a`` is missing from its cover, a hole in ``b`` is missing from
     the subtrahend so the covered region of ``a`` beneath it survives.
     POLYGON / MULTIPOLYGON / 'POLYGON EMPTY'; the general result is
-    piecewise (seam edges), area-exact vs JTS."""
+    piecewise (seam edges), area-exact vs JTS. Degenerate polygon inputs
+    yield NULL (`_geom_is_valid` — same convention as st_intersection)."""
     from geomesa_ray.geo.poly import convex_difference, is_convex
 
     va = np.asarray(values_a, dtype=object)
@@ -1541,6 +1582,10 @@ def f_st_difference(values_a, values_b):
         ga, gb = _parse_or_none(va[i]), _parse_or_none(vb[i])
         if ga is None or gb is None or ga["type"] not in polyish \
                 or gb["type"] not in polyish:
+            out[i] = None
+            continue
+        # degenerate-geometry guard (see f_st_intersection): honest null
+        if not _geom_is_valid(ga) or not _geom_is_valid(gb):
             out[i] = None
             continue
         if (ga["type"], gb["type"]) == ("Polygon", "Polygon") \
