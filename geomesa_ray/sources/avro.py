@@ -201,8 +201,14 @@ def _encode(schema, val, out: bytearray):
         out.append(1 if val else 0)
     elif t in ("int", "long"):
         _write_long(out, int(val))
+    elif t == "float":
+        out.extend(struct.pack("<f", float(val)))
     elif t == "double":
         out.extend(struct.pack("<d", float(val)))
+    elif t == "bytes":
+        b = bytes(val)
+        _write_long(out, len(b))
+        out.extend(b)
     elif t == "string":
         b = str(val).encode("utf-8")
         _write_long(out, len(b))

@@ -1,0 +1,172 @@
+"""Writer-side format symmetry (round-5 verdict ask #5): Shapefile and
+Avro EXPORTERS inverting the in-repo spec readers, round-tripped through
+those readers (ShapefileExporter.scala / AvroExporter.scala analogs)."""
+
+import datetime
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_ray.sources.avro import read_avro_file
+from geomesa_ray.sources.shp import read_shapefile_table
+from geomesa_ray.stages.avro_export import (arrow_to_avro_schema,
+                                            write_avro_table)
+from geomesa_ray.stages.shp_export import shapefile_block_writer
+
+
+class TestAvroWriter:
+    def _table(self):
+        return pa.table({
+            "i64": pa.array([1, None, 3], type=pa.int64()),
+            "i32": pa.array([4, 5, None], type=pa.int32()),
+            "f64": pa.array([1.5, None, -2.25], type=pa.float64()),
+            "f32": pa.array([0.5, 1.75, None], type=pa.float32()),
+            "s": pa.array(["a", None, "ü"], type=pa.string()),
+            "b": pa.array([True, False, None], type=pa.bool_()),
+            "raw": pa.array([b"\x00\x01", None, b"xyz"], type=pa.binary()),
+            "lst": pa.array([[1, 2], None, []], type=pa.list_(pa.int64())),
+            "ts": pa.array([datetime.datetime(2026, 1, 2, 3, 4, 5, 500000),
+                            None,
+                            datetime.datetime(1970, 1, 1)],
+                           type=pa.timestamp("us")),
+            "d": pa.array([datetime.date(2026, 8, 18), None,
+                           datetime.date(1970, 1, 2)], type=pa.date32()),
+        })
+
+    def test_schema_mapping(self):
+        sch = arrow_to_avro_schema(self._table().schema)
+        types = {f["name"]: f["type"][1] for f in sch["fields"]}
+        assert types["i64"] == "long" and types["i32"] == "int"
+        assert types["f64"] == "double" and types["f32"] == "float"
+        assert types["raw"] == "bytes"
+        assert types["lst"] == {"type": "array", "items": "long"}
+        assert types["ts"]["logicalType"] == "timestamp-millis"
+        assert types["d"]["logicalType"] == "date"
+
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_roundtrip_values(self, tmp_path, codec):
+        t = self._table()
+        path = str(tmp_path / "part.avro")
+        write_avro_table(path, t, codec=codec, block_rows=2)  # forces 2 blocks
+        rows = read_avro_file(path)
+        assert len(rows) == 3
+        assert [r["i64"] for r in rows] == [1, None, 3]
+        assert [r["f64"] for r in rows] == [1.5, None, -2.25]
+        assert [r["f32"] for r in rows] == [0.5, 1.75, None]
+        assert [r["s"] for r in rows] == ["a", None, "ü"]
+        assert [r["b"] for r in rows] == [True, False, None]
+        assert [r["raw"] for r in rows] == [b"\x00\x01", None, b"xyz"]
+        assert [r["lst"] for r in rows] == [[1, 2], None, []]
+        # timestamp-millis: 2026-01-02T03:04:05.5Z
+        expect_ms = int(datetime.datetime(
+            2026, 1, 2, 3, 4, 5, 500000,
+            tzinfo=datetime.timezone.utc).timestamp() * 1000)
+        assert [r["ts"] for r in rows] == [expect_ms, None, 0]
+        assert [r["d"] for r in rows][2] == 1  # 1970-01-02 = day 1
+
+    def test_dataset_level_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geomesa_ray.sources.avro import read_avro
+        from geomesa_ray.stages.avro_export import write_avro_dataset
+
+        ds = rd.range(100).map_batches(
+            lambda b: pa.table({"x": pa.array(b["id"], type=pa.int64()),
+                                "y": pa.array(b["id"].astype(np.float64) / 4)}),
+            batch_format="numpy")
+        out = str(tmp_path / "avro_out")
+        manifest = write_avro_dataset(ds, out)
+        assert sum(r["count"] for r in manifest.take_all()) == 100
+        back = read_avro(out).take_all()
+        assert sorted(r["x"] for r in back) == list(range(100))
+        assert {r["x"]: r["y"] for r in back}[7] == 1.75
+
+
+class TestShapefileWriter:
+    def _write(self, tmp_path, table, **kw):
+        sink = shapefile_block_writer(str(tmp_path), **kw)
+        manifest = sink(table)
+        return manifest.column("path")[0].as_py()
+
+    def test_point_roundtrip_with_attrs(self, tmp_path):
+        t = pa.table({"lon": pa.array([1.25, -3.5]), "lat": pa.array([2.5, 4.75]),
+                      "id": pa.array([10, 20], type=pa.int64()),
+                      "name": pa.array(["alpha", "beta"])})
+        shp = self._write(tmp_path, t)
+        back = read_shapefile_table(shp)
+        assert back.column("lon").to_pylist() == [1.25, -3.5]
+        assert back.column("lat").to_pylist() == [2.5, 4.75]
+        assert back.column("id").to_pylist() == [10, 20]
+        assert back.column("name").to_pylist() == ["alpha", "beta"]
+        assert os.path.exists(shp[:-4] + ".prj")
+        assert os.path.exists(shp[:-4] + ".shx")
+
+    def test_polygon_orientation_and_holes(self, tmp_path):
+        # CCW shell with CCW hole in the WKT — writer must emit ESRI
+        # orientation (outer CW, hole CCW) so the reader reattaches the hole
+        holed = ("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), "
+                 "(2 2, 2 4, 4 4, 4 2, 2 2))")
+        t = pa.table({"geometry": pa.array([holed]),
+                      "tag": pa.array(["h"])})
+        shp = self._write(tmp_path, t)
+        back = read_shapefile_table(shp)
+        wkt = back.column("geometry")[0].as_py()
+        from geomesa_ray.geo.poly import signed_area
+        from geomesa_ray.geo.wkt import parse_wkt
+
+        g = parse_wkt(wkt)
+        assert g["type"] == "Polygon" and len(g["coords"]) == 2
+        shell_area = abs(signed_area(np.asarray(g["coords"][0])))
+        hole_area = abs(signed_area(np.asarray(g["coords"][1])))
+        assert (shell_area, hole_area) == (64.0, 4.0)
+
+    def test_multipolygon_lines_multipoint(self, tmp_path):
+        mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))"
+        t = pa.table({"geometry": pa.array([mp])})
+        back = read_shapefile_table(self._write(tmp_path, t))
+        from geomesa_ray.functions.registry import call
+
+        area = call("st_area", np.array(back.column("geometry").to_pylist(),
+                                        dtype=object))
+        assert float(area[0]) == 5.0
+
+        ml = "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 0))"
+        back = read_shapefile_table(self._write(tmp_path, pa.table(
+            {"geometry": pa.array([ml, "LINESTRING (9 9, 8 8)"])})))
+        assert back.column("geometry")[0].as_py().startswith("MULTILINESTRING")
+        assert back.column("geometry")[1].as_py().startswith("LINESTRING")
+
+        pts = "MULTIPOINT ((1 2), (3 4))"
+        back = read_shapefile_table(self._write(tmp_path, pa.table(
+            {"geometry": pa.array([pts])})))
+        assert back.column("geometry")[0].as_py() == "MULTIPOINT (1 2, 3 4)"
+
+    def test_mixed_types_raise(self, tmp_path):
+        t = pa.table({"geometry": pa.array(
+            ["POINT (1 2)", "LINESTRING (0 0, 1 1)"])})
+        with pytest.raises(ValueError, match="mixed shape types"):
+            self._write(tmp_path, t)
+
+    def test_dataset_level_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geomesa_ray.sources.shp import read_shapefile
+        from geomesa_ray.stages.shp_export import write_shapefile_dataset
+
+        ds = rd.range(50).map_batches(
+            lambda b: pa.table({
+                "lon": pa.array(b["id"].astype(np.float64) / 8 - 3),
+                "lat": pa.array(b["id"].astype(np.float64) / 16),
+                "fid": pa.array(b["id"], type=pa.int64())}),
+            batch_format="numpy")
+        out = str(tmp_path / "shp_out")
+        manifest = write_shapefile_dataset(ds, out)
+        assert sum(r["count"] for r in manifest.take_all()) == 50
+        paths = sorted(glob.glob(os.path.join(out, "*.shp")))
+        back = read_shapefile(paths).take_all()
+        assert sorted(r["fid"] for r in back) == list(range(50))
+        by_fid = {r["fid"]: r for r in back}
+        assert by_fid[8]["lon"] == -2.0 and by_fid[8]["lat"] == 0.5
