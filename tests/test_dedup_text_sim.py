@@ -410,6 +410,67 @@ class TestIVFBuildSearch:
         assert len(got) == 3 and n_lists > 1
 
 
+class TestIVFCertified:
+    """Multi-probe ladder on the stored layout (round-5 ask #4): the
+    triangle-inequality bound certifies brute-force-equal results, probing
+    only as many list partitions as the data's clusterability requires."""
+
+    def _layout(self, tmp_path, n=1500, d=12, n_lists=12, seed=4):
+        import ray.data as rd
+
+        from geomesa_ray.stages.similarity import ivf_build
+
+        rng = np.random.default_rng(seed)
+        vecs = rng.standard_normal((n, d)).astype(np.float32)  # uniform
+        df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(vecs)})
+        out = str(tmp_path / "ivfc")
+        ivf_build(rd.from_pandas(df).repartition(3), out, n_lists=n_lists,
+                  sample_rows=n)
+        return out, vecs, df
+
+    def test_certified_equals_bruteforce_on_uniform(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geomesa_ray.stages.similarity import ann_topk, ivf_search_certified
+
+        out, vecs, df = self._layout(tmp_path)
+        q = vecs[:3] + 0.01
+        qids = ["a", "b", "c"]
+        brute = ann_topk(rd.from_pandas(df), q, qids, k=6).to_pandas()
+        got, info = ivf_search_certified(out, q, qids, k=6, nprobe=2)
+        assert info["certified"] is True
+        key = ["query_id", "neighbor_id"]
+        b = brute.sort_values(key).reset_index(drop=True)
+        g = got.sort_values(key).reset_index(drop=True)
+        assert list(b["neighbor_id"]) == list(g["neighbor_id"])
+        assert np.allclose(b["cosine"].to_numpy(), g["cosine"].to_numpy())
+
+    def test_budget_caps_lists_probed(self, ray_session, tmp_path):
+        from geomesa_ray.stages.similarity import ivf_search_certified
+
+        out, vecs, _ = self._layout(tmp_path)
+        got, info = ivf_search_certified(out, vecs[:1], ["q"], k=5,
+                                         nprobe=2, probe_budget=4)
+        assert info["lists_probed"] <= 4
+        assert len(got) == 5
+        # uniform corpus at 4/12 lists: certification should NOT be claimed
+        full, finfo = ivf_search_certified(out, vecs[:1], ["q"], k=5, nprobe=2)
+        if finfo["lists_probed"] > 4:
+            assert info["certified"] is False
+
+    def test_radii_required(self, ray_session, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from geomesa_ray.stages.similarity import ivf_search_certified
+
+        out, vecs, _ = self._layout(tmp_path)
+        os.remove(os.path.join(out, "_radii.npy"))
+        with _pytest.raises(FileNotFoundError):
+            ivf_search_certified(out, vecs[:1], ["q"], k=3)
+
+
 class TestWinnowing:
     def test_shared_substring_guarantee(self, ray_session):
         import ray.data as rd

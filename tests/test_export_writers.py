@@ -85,6 +85,39 @@ class TestAvroWriter:
         assert {r["x"]: r["y"] for r in back}[7] == 1.75
 
 
+class TestOrcStorage:
+    def test_dataset_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geomesa_ray.sources.orcstore import read_orc, write_orc_dataset
+
+        ds = rd.range(200).map_batches(
+            lambda b: pa.table({"x": pa.array(b["id"], type=pa.int64()),
+                                "s": pa.array([f"v{i}" for i in b["id"]]),
+                                "f": pa.array(b["id"].astype(np.float64) / 8)}),
+            batch_format="numpy")
+        out = str(tmp_path / "orc_out")
+        manifest = write_orc_dataset(ds, out)
+        assert sum(r["count"] for r in manifest.take_all()) == 200
+        back = read_orc(out).take_all()
+        assert sorted(r["x"] for r in back) == list(range(200))
+        by_x = {r["x"]: r for r in back}
+        assert by_x[16]["f"] == 2.0 and by_x[16]["s"] == "v16"
+
+    def test_column_pruning(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geomesa_ray.sources.orcstore import read_orc, write_orc_dataset
+
+        ds = rd.range(10).map_batches(
+            lambda b: pa.table({"x": pa.array(b["id"]), "y": pa.array(b["id"] * 2)}),
+            batch_format="numpy")
+        out = str(tmp_path / "orc_prune")
+        write_orc_dataset(ds, out)
+        back = read_orc(out, columns=["y"]).take_all()
+        assert all(set(r) == {"y"} for r in back)
+
+
 class TestShapefileWriter:
     def _write(self, tmp_path, table, **kw):
         sink = shapefile_block_writer(str(tmp_path), **kw)

@@ -408,6 +408,110 @@ def bench_ann(n_vecs: int = 1_000_000, dim: int = 64, n_queries: int = 4,
     }
 
 
+def bench_ann_uniform(n_vecs: int = 2_000_000, dim: int = 64, n_queries: int = 4,
+                      k: int = 10, n_lists: int = 256, nprobe: int = 8,
+                      num_cpus: int = 32) -> dict:
+    """IVF's degenerate case (round-5 verdict ask #4): a UNIFORM corpus,
+    where every query's true neighbors spread over all lists and plain
+    nprobe-probing measured recall ~0.2 in round 4. Contrasts three modes
+    on the same ingest-partitioned layout:
+      - naive   : fixed nprobe probe (the honest low-recall baseline)
+      - budget  : certified ladder capped at n_lists/4 probes
+      - certified: triangle-inequality ladder run to certification —
+        recall is 1.0 BY CONSTRUCTION; the uniform data decides how many
+        lists that takes, and bytes touched stay ∝ lists probed (reported)
+    No IVF reaches 0.95 recall at small fixed nprobe on uniform vectors —
+    the ladder makes the trade explicit instead of silently missing."""
+    import glob
+    import shutil
+
+    _init(num_cpus)
+    import ray.data as rd
+
+    from geomesa_ray.cells.shard import mix64
+    from geomesa_ray.stages.similarity import (ann_topk, ivf_build,
+                                               ivf_search,
+                                               ivf_search_certified)
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mults = (np.arange(dim, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + np.uint64(1))
+        h = mix64((ids + np.uint64(11))[:, None] * mults[None, :])
+        v = (h % np.uint64(2_000_001)).astype(np.float32) / 1e6 - 1.0
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "embedding": pa.array(list(v), type=pa.list_(pa.float32(), dim)),
+        })
+
+    corpus_dir = f"/tmp/graft_ann_corpus_uniform_{n_vecs}"
+    if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        rd.range(n_vecs).map_batches(mk, batch_format="pyarrow") \
+            .write_parquet(corpus_dir)
+        open(os.path.join(corpus_dir, "_DONE"), "w").write("1")
+
+    rng = np.random.default_rng(31)
+    q = rng.uniform(-1, 1, size=(n_queries, dim)).astype(np.float32)
+    qids = [f"q{i:03d}" for i in range(n_queries)]
+
+    t0 = time.time()
+    brute = ann_topk(rd.read_parquet(corpus_dir), q, qids, k=k).to_pandas()
+    t_brute = time.time() - t0
+
+    idx_dir = "/tmp/graft_ivf_uniform_bench"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    ivf_build(rd.read_parquet(corpus_dir), idx_dir, n_lists=n_lists)
+    t_build = time.time() - t0
+
+    def _bytes(lists):
+        return sum(os.path.getsize(p) for j in lists for p in glob.glob(
+            os.path.join(idx_dir, f"ivf_list={j}", "*.parquet")))
+
+    corpus_bytes = sum(os.path.getsize(p) for p in glob.glob(
+        os.path.join(idx_dir, "**", "*.parquet"), recursive=True))
+
+    def _recall(df, qid):
+        want = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        return len(want & set(df[df["query_id"] == qid]["neighbor_id"])) / k
+
+    naive_r, cert_r, bud_r = [], [], []
+    cert_lists, cert_bytes, cert_sec, naive_sec = [], [], [], []
+    budget = max(nprobe, n_lists // 4)
+    for i, qid in enumerate(qids):
+        t0 = time.time()
+        naive = ivf_search(idx_dir, q[i:i + 1], [qid], k=k, nprobe=nprobe).to_pandas()
+        naive_sec.append(time.time() - t0)
+        naive_r.append(_recall(naive, qid))
+        bud, _ = ivf_search_certified(idx_dir, q[i:i + 1], [qid], k=k,
+                                      nprobe=nprobe, probe_budget=budget)
+        bud_r.append(_recall(bud, qid))
+        t0 = time.time()
+        cert, info = ivf_search_certified(idx_dir, q[i:i + 1], [qid], k=k,
+                                          nprobe=nprobe)
+        cert_sec.append(time.time() - t0)
+        cert_r.append(_recall(cert, qid))
+        cert_lists.append(info["lists_probed"])
+        cert_bytes.append(_bytes(info["probed_lists"]))
+    return {
+        "metric": "IVF on uniform vectors: naive nprobe vs certified ladder",
+        "vectors": n_vecs, "dim": dim, "queries": n_queries, "k": k,
+        "n_lists": n_lists, "nprobe": nprobe,
+        "brute_scan_sec": round(t_brute, 2),
+        "ivf_build_sec": round(t_build, 2),
+        "naive_recall_at_nprobe": round(float(np.mean(naive_r)), 4),
+        "naive_search_sec": round(float(np.mean(naive_sec)), 2),
+        "budget_lists": budget,
+        "budget_recall": round(float(np.mean(bud_r)), 4),
+        "certified_recall": round(float(np.mean(cert_r)), 4),
+        "certified_lists_probed_mean": round(float(np.mean(cert_lists)), 1),
+        "certified_bytes_fraction": round(float(np.mean(cert_bytes)) / corpus_bytes, 4),
+        "certified_search_sec": round(float(np.mean(cert_sec)), 2),
+        "num_cpus": num_cpus,
+    }
+
+
 def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
     """Multimodal decode throughput: a mixed-format payload corpus (PNG /
     JPEG / BMP / GIF / PPM images at 64x64, PCM16 / mu-law / IMA-ADPCM WAV
@@ -592,7 +696,8 @@ if __name__ == "__main__":
     mode = sys.argv[1]
     defaults = {"dedup": 6_000_000, "extent": 3_000_000, "windows": 48_000_000,
                 "jaccard_hot": 4096, "knn_many": 6_000_000, "stats": 48_000_000,
-                "ann": 1_000_000, "media": 18_000, "media_pipeline": 200_000}
+                "ann": 1_000_000, "ann_uniform": 2_000_000,
+                "media": 18_000, "media_pipeline": 200_000}
     n = int(sys.argv[2]) if len(sys.argv) > 2 else defaults.get(mode, 1_000_000)
     if mode == "dedup":
         out = bench_dedup(n)
@@ -608,6 +713,8 @@ if __name__ == "__main__":
         out = bench_stats(n)
     elif mode == "ann":
         out = bench_ann(n)
+    elif mode == "ann_uniform":
+        out = bench_ann_uniform(n)
     elif mode == "media":
         out = bench_media(n)
     elif mode == "media_pipeline":
