@@ -349,6 +349,12 @@ def f_uuid_from(v):
     )
 
 
+def f_date_offset(ms, offset_ms):
+    """DateOffset transformer (reference geomesa-convert DateFunctionFactory
+    dateOffset analog): epoch-millis + a fixed offset, vectorized."""
+    return np.asarray(ms, dtype=np.int64) + np.int64(int(offset_ms))
+
+
 # --------------------------------------------------------------------------
 # Geometry accessors / constructors / relations (round-1 verdict 'What's
 # missing' #1 — the remainder of SpatialRelationFunctions.scala:62-83,
@@ -1703,6 +1709,7 @@ FUNCTIONS = {
     "st_aggregateDistanceSphere": f_st_aggregate_distance_sphere,
     # id / hash
     "md5": f_md5, "hash64": f_hash64, "uuid": f_uuid_from, "uuidZ3": f_z3_uuid,
+    "dateOffset": f_date_offset,
 }
 
 

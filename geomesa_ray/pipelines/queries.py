@@ -1568,6 +1568,95 @@ def oracle_orc_roundtrip() -> str:
     return f"SELECT event_id, event_type, value, lon, lat FROM ({_DERIVE_SQL})"
 
 
+def q_id_functions(sf_dir: str):
+    """Id-generation / converter-function family end-to-end — closes the
+    'untested' labels on Z3FeatureIdGenerator, HashAttribute and
+    DateOffset (round-5): per event, a content string s = event_type:id
+    feeds md5 (HashAttribute analog), hash64 = splitmix64(fnv1a) and the
+    uuidZ3 generator (functions/registry.f_z3_uuid) whose deterministic
+    [bin:4hex][z3:16hex] PREFIX is emitted (the uuid5 suffix is SHA-1,
+    which DuckDB lacks — prefix only, documented); dateOffset shifts ts by
+    +1h in epoch-ms. The oracle replays fnv1a+mix64 bit-for-bit in
+    per-level CTEs and the z3 interleave via the z3_keys machinery."""
+    from geomesa_ray.functions.registry import call
+    from geomesa_ray.util import ts_to_millis
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        eid = t.column("event_id")
+        s_arr = pc.binary_join_element_wise(
+            t.column("event_type").cast(pa.string()),
+            eid.cast(pa.string()), ":")
+        s = s_arr.to_numpy(zero_copy_only=False)
+        h64 = call("hash64", s)
+        m5 = call("md5", s)
+        ms = ts_to_millis(t.column("ts"))
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        u = call("uuidZ3", lon, lat, ms, s)
+        zpfx = pc.utf8_slice_codeunits(pa.array(u, type=pa.string()), 0, 20)
+        off = call("dateOffset", ms, 3_600_000)
+        return pa.table({
+            "event_id": eid, "h64": pa.array(h64, type=pa.int64()),
+            "m5": pa.array(m5, type=pa.string()), "z_prefix": zpfx,
+            "ts_off": pa.array(off, type=pa.int64()),
+        })
+
+    return _geo_events(sf_dir).map_batches(derive, batch_format="pyarrow")
+
+
+def oracle_id_functions() -> str:
+    maxlen = 18  # event_type (<= 8 chars) + ':' + event_id digits
+    prime, mod = 1099511628211, 1 << 64
+    fnv = ["f0 AS (SELECT event_id, s, __bin, __z3, __ms, "
+           "CAST(14695981039346656037 AS HUGEINT) AS h FROM zkeys)"]
+    for k in range(maxlen):
+        b = f"ascii(substr(s, {k + 1}, 1))"
+        fnv.append(
+            f"f{k + 1} AS MATERIALIZED (SELECT event_id, s, __bin, __z3, __ms, "
+            f"CASE WHEN length(s) > {k} "
+            f"THEN (((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), {b})) * {prime}) % {mod}) "
+            f"ELSE h END AS h FROM f{k})")
+    mix = _sql_mix64_steps(f"f{maxlen}", "h", "__m",
+                           ["event_id", "s", "__bin", "__z3", "__ms"], "mx")
+    nx = _sql_norm("lon", -180.0, 360.0, 21)
+    ny = _sql_norm("lat", -90.0, 180.0, 21)
+    nt = _sql_norm("__off", 0.0, 604800.0, 21)
+    z3 = _sql_interleave(["__nx", "__ny", "__nt"], 21)
+    return f"""
+    WITH pts AS ({_DERIVE_SQL}),
+    base AS (
+      SELECT event_id, event_type || ':' || CAST(event_id AS VARCHAR) AS s,
+             lon, lat, epoch_ms(ts) AS __ms,
+             CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS __bin
+      FROM pts
+    ),
+    norms AS (
+      SELECT event_id, s, __bin, __ms,
+             CAST((__ms - __bin * 604800000) // 1000 AS DOUBLE) AS __off,
+             {nx} AS __nx, {ny} AS __ny
+      FROM base
+    ),
+    n2 AS (
+      SELECT event_id, s, __bin, __ms, {nt} AS __nt, __nx, __ny FROM norms
+    ),
+    zkeys AS (
+      SELECT event_id, s, __bin, __ms, {z3} AS __z3 FROM n2
+    ),
+    {','.join(fnv)},
+    {','.join(mix)}
+    SELECT event_id,
+           CAST(CASE WHEN __m >= 9223372036854775808
+                     THEN __m - 18446744073709551616 ELSE __m END AS BIGINT) AS h64,
+           md5(s) AS m5,
+           printf('%04x', CAST(__bin % 65536 AS BIGINT))
+             || printf('%016x', __z3) AS z_prefix,
+           CAST(__ms + 3600000 AS BIGINT) AS ts_off
+    FROM mx_3
+    """
+
+
 def _l_ring_wkt(x, y, w, h):
     """Concave L-shaped hexagon ring WKT (arm thickness 1)."""
     return (f"POLYGON (({x} {y}, {x + w} {y}, {x + w} {y + 1}, "
@@ -4218,6 +4307,7 @@ QUERIES = {
     "shp_roundtrip": q_shp_roundtrip,
     "avro_roundtrip": q_avro_export_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
+    "id_functions": q_id_functions,
     # --- (b) code path changed in round 5
     "buffer_far": q_buffer_far,
     "concave_clip": q_concave_clip,
@@ -4266,10 +4356,10 @@ QUERIES = {
     "z3_keys": q_z3_keys,
     "z3_frequency": q_z3_frequency,
     "xz2_range_scan": q_xz2_range_scan,
-    "xz3_range_scan": q_xz3_range_scan,
-    "merged_view": q_merged_view,
     # ------------- position 51+ (every row below has a green
     # CORRECTNESS_r04 driver row — history exactly 1 round old) -------------
+    "xz3_range_scan": q_xz3_range_scan,
+    "merged_view": q_merged_view,
     "arrow_roundtrip": q_arrow_roundtrip,
     "z3_histogram": q_z3_histogram,
     "s3_keys": q_s3_keys,
@@ -4309,6 +4399,7 @@ ORACLES = {
     "shp_roundtrip": oracle_shp_roundtrip(),
     "avro_roundtrip": oracle_avro_export_roundtrip(),
     "orc_roundtrip": oracle_orc_roundtrip(),
+    "id_functions": oracle_id_functions(),
     "cell_counts": oracle_cell_counts(),
     "bbox_filter": oracle_bbox_filter(),
     "antimeridian_bbox": oracle_antimeridian_bbox(),

@@ -388,12 +388,22 @@ def cosine_dedup_pairs(ds, dim: int, threshold: float = 0.95, id_col: str = "vec
 
 
 def ivf_build(ds, out_dir: str, n_lists: int = 64, vec_col: str = "embedding",
-              sample_rows: int = 10_000, seed: int = 42, concurrency=None):
+              sample_rows: int = 10_000, seed: int = 42, concurrency=None,
+              coalesce_lists: bool = True):
     """Train the coarse quantizer, assign every vector its list, and write
     parquet PARTITIONED BY list id (one directory per list — also the
     resumable-output unit). Centroids AND per-list covering radii persist
     alongside (the radii feed ``ivf_search_certified``'s triangle-
-    inequality probe ladder). Returns out_dir."""
+    inequality probe ladder). Returns out_dir.
+
+    ``coalesce_lists`` (default on) SORTS by list id before the write so
+    each list lands in O(1) contiguous files instead of one fragment per
+    (input block x list) — without it a 2M-vector/256-list build produced
+    thousands of ~100 KB files and probe reads paid more in per-file
+    overhead than the pruning saved (measured: an 8/256-list probe cost as
+    much as the full brute scan). The sort is a one-off ingest-time
+    all-to-all — the shuffle IS the index build, same trade the reference
+    makes materializing an index table."""
     import json
     import os
 
@@ -425,6 +435,8 @@ def ivf_build(ds, out_dir: str, n_lists: int = 64, vec_col: str = "embedding",
         return ah["p"](batch)
 
     assigned = ds.map_batches(assign_fn, batch_format="pyarrow")
+    if coalesce_lists:
+        assigned = assigned.sort("ivf_list")
     assigned.write_parquet(out_dir, partition_cols=["ivf_list"])
 
     # covering radii: one pass over the WRITTEN layout (bounded partials —

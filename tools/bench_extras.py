@@ -377,10 +377,18 @@ def bench_ann(n_vecs: int = 1_000_000, dim: int = 64, n_queries: int = 4,
 
     corpus_bytes = _bytes(os.path.join(corpus_dir, "**", "*.parquet"))
     per_q, probed_bytes, hits = [], [], 0
+    cert_hits, cert_lists = 0, []
+    from geomesa_ray.stages.similarity import ivf_search_certified
     for i, qid in enumerate(qids):
         t0 = time.time()
         approx = ivf_search(idx_dir, q[i:i + 1], [qid], k=k, nprobe=nprobe).to_pandas()
         per_q.append(time.time() - t0)
+        # certified ladder on CLUSTERED data: should stop near nprobe lists
+        cert, cinfo = ivf_search_certified(idx_dir, q[i:i + 1], [qid], k=k,
+                                           nprobe=nprobe)
+        cert_lists.append(cinfo["lists_probed"])
+        want_c = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        cert_hits += len(want_c & set(cert["neighbor_id"]))
         # bytes the probed partitions hold (the 100-TB-relevant number: on
         # this box the page cache hides the I/O difference entirely)
         centroids = np.load(os.path.join(idx_dir, "_centroids.npy"))
@@ -404,6 +412,8 @@ def bench_ann(n_vecs: int = 1_000_000, dim: int = 64, n_queries: int = 4,
         "probed_bytes_per_query": int(np.mean(probed_bytes)),
         "bytes_fraction_read": round(float(np.mean(probed_bytes)) / corpus_bytes, 4),
         "recall_at_k": round(hits / (n_queries * k), 4),
+        "certified_recall": round(cert_hits / (n_queries * k), 4),
+        "certified_lists_probed_mean": round(float(np.mean(cert_lists)), 1),
         "num_cpus": num_cpus,
     }
 
@@ -476,17 +486,20 @@ def bench_ann_uniform(n_vecs: int = 2_000_000, dim: int = 64, n_queries: int = 4
         want = set(brute[brute["query_id"] == qid]["neighbor_id"])
         return len(want & set(df[df["query_id"] == qid]["neighbor_id"])) / k
 
-    naive_r, cert_r, bud_r = [], [], []
+    naive_r, cert_r = [], []
     cert_lists, cert_bytes, cert_sec, naive_sec = [], [], [], []
-    budget = max(nprobe, n_lists // 4)
+    sweep = sorted({max(nprobe, n_lists // 16), n_lists // 8, n_lists // 4,
+                    n_lists // 2, (3 * n_lists) // 4})
+    sweep_r: dict[int, list] = {b: [] for b in sweep}
     for i, qid in enumerate(qids):
         t0 = time.time()
         naive = ivf_search(idx_dir, q[i:i + 1], [qid], k=k, nprobe=nprobe).to_pandas()
         naive_sec.append(time.time() - t0)
         naive_r.append(_recall(naive, qid))
-        bud, _ = ivf_search_certified(idx_dir, q[i:i + 1], [qid], k=k,
-                                      nprobe=nprobe, probe_budget=budget)
-        bud_r.append(_recall(bud, qid))
+        for b in sweep:  # recall-vs-lists trade curve (bytes ∝ budget)
+            bud, _ = ivf_search_certified(idx_dir, q[i:i + 1], [qid], k=k,
+                                          nprobe=nprobe, probe_budget=b)
+            sweep_r[b].append(_recall(bud, qid))
         t0 = time.time()
         cert, info = ivf_search_certified(idx_dir, q[i:i + 1], [qid], k=k,
                                           nprobe=nprobe)
@@ -502,8 +515,8 @@ def bench_ann_uniform(n_vecs: int = 2_000_000, dim: int = 64, n_queries: int = 4
         "ivf_build_sec": round(t_build, 2),
         "naive_recall_at_nprobe": round(float(np.mean(naive_r)), 4),
         "naive_search_sec": round(float(np.mean(naive_sec)), 2),
-        "budget_lists": budget,
-        "budget_recall": round(float(np.mean(bud_r)), 4),
+        "budget_recall_by_lists": {str(b): round(float(np.mean(r)), 4)
+                                   for b, r in sweep_r.items()},
         "certified_recall": round(float(np.mean(cert_r)), 4),
         "certified_lists_probed_mean": round(float(np.mean(cert_lists)), 1),
         "certified_bytes_fraction": round(float(np.mean(cert_bytes)) / corpus_bytes, 4),
