@@ -3998,6 +3998,69 @@ def oracle_media_decode() -> str:
     """
 
 
+def q_mp2_meta(sf_dir: str):
+    """MPEG-1 Layer I/II decode over self-encoded payloads
+    (stages/mp2.py — the round-5 codec closing the last audio
+    ``decoded=False`` class). MP2 is LOSSY, so decoded sample values stay
+    out of SQL oracles (the JPEG methodology; roundtrip fidelity is gated
+    by SNR contracts in tests/test_mp2.py). What IS SQL-checkable is the
+    deterministic structural metadata the decoder must recover from the
+    bitstream alone: decode success, the frame grid (n_samples =
+    ceil(n/spf)*spf with spf 1152 for Layer II / 384 for Layer I), and
+    the header sample rate. Rates/layers cycle; every 6th payload has its
+    header's layer bits flipped to Layer III (mp3), proving the honest
+    fallback boundary routes it to ``decoded=False``."""
+    import ray.data as rd
+
+    from geomesa_ray.stages.media import decode_media
+    from geomesa_ray.stages.mp2 import encode_mp2
+
+    rows = []
+    for i in range(24):
+        n = 2000 + 997 * i
+        rate = (48000, 44100, 32000)[i % 3]
+        t = np.arange(n)
+        x = (8000 * np.sin(2 * np.pi * 440 * t / rate)
+             + 4000 * np.sin(2 * np.pi * (1000 + 83 * i) * t / rate)
+             ).astype(np.int16)
+        layer = 1 if i % 4 == 3 else 2
+        blob = encode_mp2(x, rate=rate, bitrate=192, layer=layer)
+        if i % 6 == 5:  # mangle to Layer III sync -> honest fallback
+            blob = bytes([blob[0], 0xF2 | (blob[1] & 1)]) + blob[2:]
+        rows.append({"media_ref": f"aud://{i:04d}", "payload": blob})
+    out = decode_media(rd.from_items(rows), dim=8)
+    return out.select_columns([
+        "media_ref", "media_kind", "decoded", "n_samples", "sample_rate",
+    ])
+
+
+def oracle_mp2_meta() -> str:
+    """Replays the structural metadata in integer SQL: payload i has
+    n = 2000 + 997*i input samples, samples-per-frame 384 (Layer I,
+    i % 4 = 3) or 1152 (Layer II), rate cycling 48000/44100/32000, and
+    every i % 6 = 5 payload is a Layer-III-mangled stream that must come
+    back undecoded."""
+    return """
+    WITH ids AS (SELECT unnest(range(0, 24)) AS i),
+    m AS (
+      SELECT i,
+             2000 + 997 * i AS n,
+             CASE WHEN i % 6 = 5 THEN 0 ELSE 1 END AS ok,
+             CASE WHEN i % 4 = 3 THEN 384 ELSE 1152 END AS spf,
+             CASE i % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                  ELSE 32000 END AS rate
+      FROM ids)
+    SELECT printf('aud://%04d', CAST(i AS INTEGER)) AS media_ref,
+           CASE WHEN ok = 1 THEN 'audio' ELSE 'unknown' END AS media_kind,
+           ok = 1 AS decoded,
+           CAST(CASE WHEN ok = 1 THEN ((n + spf - 1) // spf) * spf
+                     ELSE 0 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN ok = 1 THEN rate ELSE 0 END AS INTEGER)
+               AS sample_rate
+    FROM m
+    """
+
+
 def q_media_pipeline(sf_dir: str):
     """END-TO-END multimodal path over the interleaved corpus: explode
     ``kind == "media"`` spans -> attach PNG payloads by media_ref (bucketed
@@ -4308,6 +4371,7 @@ QUERIES = {
     "avro_roundtrip": q_avro_export_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
     "id_functions": q_id_functions,
+    "mp2_meta": q_mp2_meta,
     # --- (b) code path changed in round 5
     "buffer_far": q_buffer_far,
     "concave_clip": q_concave_clip,
@@ -4400,6 +4464,7 @@ ORACLES = {
     "avro_roundtrip": oracle_avro_export_roundtrip(),
     "orc_roundtrip": oracle_orc_roundtrip(),
     "id_functions": oracle_id_functions(),
+    "mp2_meta": oracle_mp2_meta(),
     "cell_counts": oracle_cell_counts(),
     "bbox_filter": oracle_bbox_filter(),
     "antimeridian_bbox": oracle_antimeridian_bbox(),

@@ -9,12 +9,14 @@ spans (``media_ref`` like ``img://<hash>``); payload bytes travel as a
   BMP + GIF/LZW (``stages/gifbmp.py``), baseline JPEG
   (``stages/jpeg.py``), TIFF/GeoTIFF (``sources/geotiff.py``); audio via
   RIFF/WAVE with PCM16, G.711 mu-law / A-law and IMA ADPCM tags
-  (``stages/audio.py``); video via YUV4MPEG2 and MJPEG-AVI frame
-  sampling (``stages/video.py``).
-- anything else (e.g. mp3/h264 — entropy formats with no pure-math
-  spec path here): rows fall back to deterministic ref-hash features
-  with ``decoded=False`` so downstream filters can route them (the
-  documented integration point for an external codec).
+  (``stages/audio.py``), MPEG-1 Layer I/II (``stages/mp2.py``; ISO
+  bit layer + derived NPR filterbank, see its docstring); video via
+  YUV4MPEG2 and MJPEG-AVI frame sampling (``stages/video.py``).
+- anything else (e.g. mp3 Layer III / h264 — entropy formats whose
+  remaining tables have no pure-math spec path here): rows fall back
+  to deterministic ref-hash features with ``decoded=False`` so
+  downstream filters can route them (the documented integration point
+  for an external codec).
 - ``MediaFeatureExtract`` with ``fake=True``: span-explode plumbing with
   hash features only (bench/tests without payloads).
 
@@ -178,11 +180,21 @@ class MediaDecode:
                     height[i], width[i] = img.shape[0], img.shape[1]
                     px_sum[i] = int(img.astype(np.int64).sum())
                 elif ((blob.startswith(b"RIFF") and blob[8:12] == b"WAVE")
-                      or blob.startswith(b"fLaC")):
+                      or blob.startswith(b"fLaC")
+                      or (len(blob) > 1 and blob[0] == 0xFF
+                          and (blob[1] & 0xF6) in (0xF4, 0xF6))):
                     if blob.startswith(b"fLaC"):
                         from geomesa_ray.stages.flac import decode_flac
 
                         samples, rate = decode_flac(blob)
+                    elif blob[0] == 0xFF:
+                        # MPEG-1 Layer I/II sync (Layer III stays in the
+                        # fallback tier: 0xFF with layer bits 01)
+                        from geomesa_ray.stages.mp2 import decode_mp2
+
+                        samples, rate = decode_mp2(blob)
+                        if samples.ndim == 2:
+                            samples = samples[:, 0]
                     else:
                         samples, rate = self._decode_wav(blob)
                     feats[i] = self._audio_features(samples, dim=self.dim)

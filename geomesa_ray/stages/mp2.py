@@ -1,0 +1,648 @@
+"""MPEG-1 audio Layer I/II codec, pure numpy (ISO/IEC 11172-3 bit layer).
+
+Closes the last ``decoded=False`` audio class short of mp3/h264 (see
+``stages/media.py``). The BIT LAYER is spec-faithful and closed-form —
+every table below is either published structure or derivable:
+
+- frame header / padding-slot accumulator / bitrate + rate tables
+  (11172-3 2.4.1.3, 2.4.2.3);
+- Layer II bit-allocation tables B.2a (48 kHz, sblimit 27) and B.2b
+  (44.1/32 kHz, sblimit 30): per-subband nbal and quantizer ladders;
+  the low-rate tables B.2c/d (<56 kbps/ch) are unsupported and raise;
+- table B.1 scalefactors: sf[i] = 2 * 2^(-i/3), i in [0, 63);
+- table B.4 quantization classes in closed form: for ``steps`` levels
+  with k = ceil(log2(steps+1)) bits, C = 2^k / steps, D = 1/2 for the
+  grouped classes {3, 5, 9} else 2^(1-k); requantize
+  x = C * ((v - 2^(k-1)) / 2^(k-1) + D); encoder slope/offset
+  a = steps / 2^k = 1/C, b = a - 1 (table C.2), v = floor((a*x + b) *
+  2^(k-1)) + 2^(k-1) clipped to [0, steps-1]; grouped codes are
+  v0 + steps*v1 + steps^2*v2 in 5/7/10 bits;
+- scfsi patterns 0-3 (2.4.2.7 "scalefactor selection information").
+
+The FILTERBANK prototype is NOT the ISO Annex-B table (which is
+tabulated with no closed form): it is our own 512-tap near-perfect-
+reconstruction pseudo-QMF designed by the standard public method
+(cosine modulation with alternating +/- pi/4 phases; power-
+complementary lowpass prototype optimized in tools/design_qmf.py;
+Rothweiler 1983, Vaidyanathan ch. 8). Measured: ~85 dB reconstruction
+SNR (white noise), gain exactly 128 = 4M, delay 480 samples — well
+below Layer II quantization noise, so decode(encode(x)) fidelity is
+quantizer-limited (asserted in tests/test_mp2.py). Consequence,
+documented honestly: files from FOREIGN encoders (analysis window =
+the ISO table) decode approximately — the subband mux/demux is exact,
+the synthesis window differs. Lossy codec => kept out of SQL value
+oracles like JPEG (FIXTURES.md); the registry's ``mp2_meta`` gates the
+deterministic metadata (frame count, rate, layout) instead.
+
+Reference parity: the GeoMesa reference has no audio codecs; this
+extends the engine's multimodal column support (SURVEY §2) alongside
+FLAC (RFC 9639) and G.711.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+
+from geomesa_ray.stages.flac import _BitReader
+
+_M = 32                 # bands
+_NT = 512               # prototype taps
+SYNTH_GAIN = 128.0      # measured chain gain = 4 * _M (exact by design)
+DELAY = 480             # measured chain delay under this framing
+
+_RATES = (44100, 48000, 32000)
+_BITRATES_L2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160,
+                192, 224, 256, 320, 384)
+_BITRATES_L1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288,
+                320, 352, 384, 416, 448)
+
+# table B.1: closed form (index 63 is forbidden)
+_SCALEFACTORS = 2.0 * 2.0 ** (-np.arange(63) / 3.0)
+
+# Layer II quantizer ladders per subband range (tables B.2a/B.2b; the
+# four ladders are indexed by the transmitted allocation code, entry 0
+# = "no samples"). B.2b extends the same layout from 27 to 30 subbands.
+_L2_LADDER_LOW = (0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                  8191, 16383, 32767, 65535)
+_L2_LADDER_MID = (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+                  4095, 8191, 65535)
+_L2_LADDER_HIGH = (0, 3, 5, 7, 9, 15, 31, 65535)
+_L2_LADDER_TOP = (0, 3, 5, 65535)
+
+_GROUP_BITS = {3: 5, 5: 7, 9: 10}
+
+_PROTO_B85 = (
+    "LO&zR+AOlZBS~LS;kUQGWT0uibLPFiy1fc{4_(5(Dwc7vbQ#9JSVgQ-peM?{@=RmN^@Yy9{oK}E0"
+    "GZLgJy;{AITX~s-;nUHld{&neRlj{k#X6+ju<UOPfpyvTMCfPh(+JN=>?CS&ne-)c;qn%QM%&316"
+    "jqBEK=mY3Vu8$DDUOIfJE3Q@{Z@eGhL#)C@<;0vNyk$Va@8kyPIueGH2|*-zqAaIr{Csm-Sz{Cxq"
+    "|5oJZYYWP$L$J&Z=}20HP+iuR6w3+wT|n`@Uzo|E#v86$#S3^Vh-B-`^S$jI}))Vss1ZB+EWsrD#"
+    "d#?|z`-x+qE%uMyZy}_lnuDSKT4vJ1h(H!=^0u&nt(RTK}mP(}dgUI&2F;1tY`4acO12pKsdRO<p"
+    "_=UK?hnM%hK?m=p*3|dD6+Si9PZ9XO<oep>2~YUG;uzS1M3DHt`yfh3V%PY-a`%g#;U@XM{dx7OR"
+    "Dt=vZRuq?Sn2t`Wl7`GiDCM_zIM{&eC+zZ&a8?vuZ;V?jb}xOd_?@dYs#O-5f=TvRh$5QUjzQW;K"
+    "4i&3=aRkR4-P_vKs)u^#jY$DZl`~Ie8<0q;vtlK7%sL8aV>LGk<wnJPiZCK!}RpY48KTQ<QSduHg"
+    "i~R{p?nyWa)BEz<p&-{=Ov^0#Bn1^WlT?u&mhuM-Ks(kbRW@GlC#Z=i=pZcGcmPm4SEU1bcv>+Ai"
+    "}f_4qR6{zjVFMAHZo(q5PNNx|mlZiVzBP9^O)fgCOoP-d+mE|rRXVMVA$<hJBEDI68E8^52Z7UJK"
+    "z=Qo9gD(-km9hRVsuK~vQxJM`1k@0}<RM^dp==PpSeHi53bPNt&wK{-Vl588mglJ*SU?QFDmM826"
+    "XXfM#$-HA@DK;TS&Qk;ioXND6R$KZw9)^*Y9RN{g$(z;$Obb}xJK%}ND=sU>RG_P$#nS>--_fueW"
+    "`kCwbu7O=oxUTa#sUC5vyfkHE9b!d9N)|=nxV=$3C*@s=yXM0wm!-Q^OlS;S;Ta*oz=Pbv6en^<5"
+    ")BMFKGax>hDXH&DT4g>)%D$8FNFR<$fYtCPFxWeYGrC5|k<56dw>F$mP>6PPnUddyz#s&F+wEdG4"
+    "d+EO<^Qrk3rcRV>ij|kgsBP%;U;l^O_P#ir!Ql|}=Lk&Ma#C{7EiG4snn(b|MRB=H+Y-sH#W?(`;"
+    "iI?9B4oO2lYBiKxiz!4uS_%lL4gf_zHnn-+yUImBxfK(ttcONFy-a(}@-#<34b{ifn$Sl-xgY4qu"
+    "2@JvQ}Iq3Im<{t9bHJHM<z)>^)eg4?q^9qWbDa?OpZxEa|8kmjF(A2{~e09=z&Q;4Wmb!u}eumS("
+    "n7zO!G)T6h!t2J9kJw5BKG78rDZYF=WPVst!j#-sAG3&L2iUro>Sck_bgVGOU;`D#$}W$!`It`CU"
+    "Rk=N1<<lgU6ot%=JrcojZBb@&Ma-9kD)fxS~aw;MJ;FaTXB+n_N&l)4UgB&R7q)~}m_ch(+1e}gx"
+    "F%}D}3Vn~&B7k3N4ap0<V2j3#UBY47c?rAT-N1wdr4m&o#^uq@vApJbQrfVAC0{cO~Z8C@w5s*c{"
+    "w6mZku{ue=r$3>Wp!ZC_S;o@>vtdxbbt+EEDNRzpODl!dL_Ac#ksdAl{47?#HN7`uH62*L7_Jmay"
+    "$V{t81!rNQS)2B-0C8{pwwNz+o4E1NvvPL_zkPY@4H~XcT#~;cbZ|pLM!5DeQ;vGmag~_!aQTYm*"
+    "%UD1pZ^cz!8L&1hZtni3EMPgIZ<3F60rUM)PIA+?vUP7JO#EDp83_!t-XozwPo3AX#U>9v2x%4y$"
+    "Ls=Wf^`b?9fmjI1uNM-XVg1=I5)g&}Ca5ZY(=IU8udk-QfQf&6E`2g0wZgv4jRmiT3qe{yHPEc3q"
+    "Qy#;5#N9%|3oqcA%pA-BMk=bRxh$JUd92sT5?5DIH**j#vUMPCKbwOjlRoE%mwJBo1p=i6za`a%o"
+    "1etR9H$z{)zQ=<1ZDL%%#BfnxzeZWV$<w5tknmN%M6}bYa$r)wQm;KpMJ`RhhX|I+5-UZ&6H-M;>"
+    "vB22sYp4)P~RTEo}fiO1gj-K8A}m_*)Bdm&Yb2dtR_i67(qb4W6DuK48b#k-!4}_NXW}Br@mZ2q4"
+    "G!oygOk(^E;C|cq?Q-0K%~xNiAnT1XlGF;y-FX-|I6n>S1j^JTSAF{zz~?Moe-}R_Ad)SNrj3K#O"
+    "xf!bxx#{WEnxd>+sk$>4TBvVy}w-jH}d;_!bJbVGVS)j?!V!1sGUy7~TU_pE(CX}aq-O=5pP6RCr"
+    "%dW(QR+?~PU5oLit>7g~LhCPBmh%}uSbQFU>^;{DwcIksZ5qj(XDZGR~tmGdJE{ugg?(;ZVB3Xt%"
+    "1&WrZs3M0yS=tM%Wax)K(}%(~{HcgP&w^iG7iWn-_atejU>}M<iskYsh0=;Y>Xw(TG=Pgg4QJ2SA"
+    "t;PL)z7jt0?Ld(e>p#3j%AHMSwl4#g8Gd=DRHY(oQRG;t5$MRpAU~eA4qAlP>+v4P6zVAyaSLw6q"
+    "6w&^E;3~Hcs$`GjNbU(c?L_XP}TjWZi~Ld(4nOgwN-;TlA1Wg?K$P_!p5s7YqH?K{t^<$mo8MD^i"
+    "g^GVtUms%VivCpn}=w0e<0;jFxALWq$+I9#XpPLYv6Y0m;J)|HVzY0m;J)|HVzI9#XpPLYv6;jFx"
+    "ALWq$+Cpn}=w0e<0GVtUms%Viv$mo8MD^ig^7YqH?K{t^<g?K$P_!p5sgwN-;TlA1WWZi~Ld(4nO"
+    "(c?L_XP}TjHcs$`GjNbU6q6w&^E;3~P6zVAyaSLwA4qAlP>+v4t5$MRpAU~eDRHY(oQRG;Swl4#g"
+    "8Gd=e>p#3j%AHM)z7jt0?Ld(4QJ2SAt;PL>Xw(TG=PggiskYsh0=;Y_atejU>}M<&w^iG7iWn-(}"
+    "%(~{HcgPS=tM%Wax)K1&WrZs3M0y?(;ZVB3Xt%tmGdJE{ugg5qj(XDZGR~^;{DwcIksZh%}uSbQF"
+    "U>>7g~LhCPBm+?~PU5oLit6RCr%dW(QRX}aq-O=5pPy7~TU_pE(C)j?!V!1sGU;_!bJbVGVSvVy}"
+    "w-jH}dd>+sk$>4TB!bxx#{WEnxSNrj3K#OxfMoe-}R_Ad)JTSAF{zz~?-|I6n>S1j^1XlGF;y-FX"
+    "0K%~xNiAnT^E;C|cq?Q-q4G!oygOk(NXW}Br@mZ248b#k-!4}_7(qb4W6DuK&Yb2dtR_i68A}m_*"
+    ")Bdmo}fiO1gj-KsYp4)P~RTE6H-M;>vB22hX|I+5-UZ&Qm;KpMJ`RhM6}bYa$r)w$<w5tknmN%#B"
+    "fnxzeZWVzQ=<1ZDL%%1etR9H$z{)p=i6za`a%oRoE%mwJBo1UMPCKbwOjl?5DIH**j#vh$JUd92s"
+    "T5pA-BMk=bRxN9%|3oqcA%Ec3qQy#;5#miT3qe{yHP2g0wZgv4jRk-QfQf&6E`5ZY(=IU8ud1=I5"
+    ")g&}CajI1uNM-XVg=Wf^`b?9fm9v2x%4y$LszwPo3AX#U>Dp83_!t-Xo+?vUP7JO#EF60rUM)PIA"
+    "i3EMPgIZ<3z!8L&1hZtnm*%UD1pZ^cmag~_!aQTYLM!5DeQ;vGcT#~;cbZ|p_zkPY@4H~X+o4E1N"
+    "vvPL-0C8{pwwNz81!rNQS)2B7_Jmay$V{tHN7`uH62*LksdAl{47?#ODl!dL_Ac#bt+EEDNRzpS;"
+    "o@>vtdxbr$3>Wp!ZC_w6mZku{ue=Z8C@w5s*c{rfVAC0{cO~^uq@vApJbQN1wdr4m&o#BY47c?rA"
+    "T-ap0<V2j3#UVn~&B7k3N4e}gxF%}D}3)~}m_ch(+1l)4UgB&R7qFaTXB+n_N&fxS~aw;MJ;b@&M"
+    "a-9kD)t%=JrcojZB=N1<<lgU6o$!`It`CURkGOU;`D#$}Wro>Sck_bgV-sAG3&L2iUF=WPVst!j#"
+    "5BKG78rDZY6h!t2J9kJwS(n7zO!G)T4Wmb!u}eum{~e09=z&Q;a|8kmjF(A2WbDa?OpZxE^)eg4?"
+    "q^9q9bHJHM<z)>Q}Iq3Im<{txgY4qu2@Jv4b{ifn$Sl-y-a(}@-#<3xfK(ttcONFHnn-+yUImBS_"
+    "%lL4gf_zYBiKxiz!4uiI?9B4oO2lY-sH#W?(`;n(b|MRB=H+#C{7EiG4snQl|}=Lk&Ma;l^O_P#i"
+    "r!j|kgsBP%;UQrk3rcRV>iEdG4d+EO<^ddyz#s&F+wF$mP>6PPnUC5|k<56dw>tCPFxWeYGr$8FN"
+    "FR<$fYH&DT4g>)%DMFKGax>hDXbv6en^<5)B;S;Ta*oz=P0wm!-Q^OlS$3C*@s=yXMd9N)|=nxV="
+    "5vyfkHE9b!=oxUTa#sUCeW`kCwbu7O$#nS>--_fuND=sU>RG_P$Obb}xJK%}Y9RN{g$(z;6R$KZw"
+    "9)^*S&Qk;ioXND#$-HA@DK;TDmM826XXfMmglJ*SU?QF&wK{-Vl588SeHi53bPNt<RM^dp==PpQx"
+    "JM`1k@0}m9hRVsuK~vz=Qo9gD(-kE8^52Z7UJK$<hJBEDI68mE|rRXVMVA)fgCOoP-d+lZiVzBP9"
+    "^Oo(q5PNNx|m6{zjVFMAHZ>+Ai}f_4qRPm4SEU1bcvZ=i=pZcGcm(kbRW@GlC#?u&mhuM-Ks^0#B"
+    "n1^WlTEz<p&-{=OvR{p?nyWa)BQ<QSduHgi~K!}RpY48KTGk<wnJPiZCK7%sL8aV>LIe8<0q;vtl"
+    "^#jY$DZl`~R4-P_vKs)u;K4i&3=aRkRh$5QUjzQWYs#O-5f=Tvjb}xOd_?@d&a8?vuZ;V?zIM{&e"
+    "C+zZWl7`GiDCM_ZRuq?Sn2t`{dx7ORDt=va`%g#;U@XM`yfh3V%PY-;uzS1M3DHt<oep>2~YUG6+"
+    "Si9PZ9XOK?m=p*3|dD_=UK?hnM%h12pKsdRO<pF;1tY`4acOmP(}dgUI&20u&nt(RTK}4vJ1h(H!"
+    "=^y}_lnuDSKT-x+qE%uMyZsrD#d#?|z`)Vss1ZB+EWB-`^S$jI})86$#S3^Vh-n`@Uzo|E#viuR6"
+    "w3+wT|J&Z=}20HP+oJZYYWP$L$m-Sz{Cxq|5-zqAaIr{CsyPIueGH2|*vNyk$Va@8kGhL#)C@<;0"
+    "fJE3Q@{Z@e3Vu8$DDUOI16jqBEK=mYc;qn%QM%&3=>?CS&ne-)TMCfPh(+JNju<UOPfpyveRlj{k"
+    "#X6+-;nUHld{&nJy;{AITX~s{oK}E0GZLg@=RmN^@Yy9SVgQ-peM?{Dwc7vbQ#9Jy1fc{4_(5(WT"
+    "0uibLPFiBS~LS;kUQGLO&zR+AOlZ"
+)
+
+_CACHE: dict = {}
+
+
+def _prototype() -> np.ndarray:
+    h = _CACHE.get("h")
+    if h is None:
+        h = np.frombuffer(base64.b85decode(_PROTO_B85), dtype="<f8").copy()
+        _CACHE["h"] = h
+    return h
+
+
+def _bank() -> tuple[np.ndarray, np.ndarray]:
+    """(analysis, synthesis) modulated filter matrices, (32, 512)."""
+    got = _CACHE.get("bank")
+    if got is None:
+        h = _prototype()
+        i = np.arange(_NT, dtype=np.float64)
+        k = np.arange(_M, dtype=np.float64)
+        ph = (-1.0) ** k * np.pi / 4
+        arg = (np.pi / _M) * (k[:, None] + 0.5) * (i[None, :] - (_NT - 1) / 2)
+        got = (np.cos(arg + ph[:, None]) * h, np.cos(arg - ph[:, None]) * h)
+        _CACHE["bank"] = got
+    return got
+
+
+def _analyze(x: np.ndarray) -> np.ndarray:
+    """float signal (len multiple of 32) -> subband samples (T, 32)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ha, _ = _bank()
+    pad = np.concatenate([np.zeros(_NT - _M), x])
+    w = sliding_window_view(pad, _NT)[::_M][:, ::-1]
+    return w @ ha.T
+
+
+def _synthesize(s: np.ndarray) -> np.ndarray:
+    """subband samples (T, 32) -> float signal (32*T,), delay-trimmed."""
+    _, hs = _bank()
+    t = s.shape[0]
+    contrib = s @ hs                       # (T, 512)
+    out = np.zeros(_M * (t + _NT // _M - 1))
+    c = contrib.reshape(t, _NT // _M, _M)
+    ob = out.reshape(-1, _M)
+    for j in range(_NT // _M):
+        ob[j:j + t] += c[:, j, :]
+    return SYNTH_GAIN * out[DELAY:DELAY + _M * t]
+
+
+def _qclass(steps: int) -> tuple[int, bool, float, float]:
+    """(bits-per-sample k, grouped, C, D) for a B.4 quantization class."""
+    k = int(steps + 1).bit_length() - 1 if (steps + 1) & steps == 0 \
+        else int(steps).bit_length()
+    grouped = steps in _GROUP_BITS
+    c = float(1 << k) / steps
+    d = 0.5 if grouped else 2.0 ** (1 - k)
+    return k, grouped, c, d
+
+
+def _l2_row(sb: int) -> tuple[int, tuple]:
+    if sb < 3:
+        return 4, _L2_LADDER_LOW
+    if sb < 11:
+        return 4, _L2_LADDER_MID
+    if sb < 23:
+        return 3, _L2_LADDER_HIGH
+    return 2, _L2_LADDER_TOP
+
+
+def _sblimit(rate: int, layer: int) -> int:
+    if layer == 1:
+        return 32
+    return 27 if rate == 48000 else 30    # B.2a vs B.2b
+
+
+def _pack_codes(codes: np.ndarray, widths: np.ndarray, nbytes: int) -> bytes:
+    """MSB-first bit packing of (code, width) pairs into nbytes bytes."""
+    starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    bits = np.zeros(nbytes * 8, dtype=np.uint8)
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = widths == w
+        c = codes[sel].astype(np.int64)
+        pos = starts[sel][:, None] + np.arange(w)[None, :]
+        val = (c[:, None] >> np.arange(w - 1, -1, -1)[None, :]) & 1
+        bits[pos.ravel()] = val.ravel().astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def _gather_codes(buf: np.ndarray, starts_bits: np.ndarray,
+                  widths: np.ndarray) -> np.ndarray:
+    """Vectorized MSB-first extraction of codes (width <= 16) from a
+    zero-padded uint8 buffer; same buffer-gather idiom as the LZW
+    decoders (stages/gifbmp.py)."""
+    b0 = (starts_bits >> 3).astype(np.int64)
+    v = ((buf[b0].astype(np.uint32) << 16)
+         | (buf[b0 + 1].astype(np.uint32) << 8)
+         | buf[b0 + 2].astype(np.uint32))
+    shift = (24 - (starts_bits & 7) - widths).astype(np.uint32)
+    mask = (np.left_shift(np.uint32(1), widths.astype(np.uint32)) - 1)
+    return (v >> shift) & mask
+
+
+def _pick_scf(maxabs: np.ndarray) -> np.ndarray:
+    """Smallest scalefactor covering each amplitude (largest index with
+    sf >= maxabs; table is decreasing)."""
+    # _SCALEFACTORS descending: index of last sf >= m
+    idx = np.searchsorted(-_SCALEFACTORS, -maxabs, side="right") - 1
+    return np.clip(idx, 0, 62).astype(np.int64)
+
+
+def _frame_bytes(layer: int, bitrate: int, rate: int, pad: int) -> int:
+    if layer == 1:
+        return 4 * (12000 * bitrate // rate + pad)
+    return 144000 * bitrate // rate + pad
+
+
+def encode_mp2(samples: np.ndarray, rate: int = 48000, bitrate: int = 192,
+               layer: int = 2) -> bytes:
+    """int16 mono (n,) or stereo (n, 2) -> MPEG-1 Layer I/II bitstream.
+
+    Deterministic greedy bit allocation (equalize per-subband error,
+    cheapest-first; the spec's psychoacoustic model is encoder-choice).
+    """
+    if layer not in (1, 2):
+        raise ValueError(f"unsupported layer {layer}")
+    if rate not in _RATES:
+        raise ValueError(f"unsupported sample rate {rate}")
+    table = _BITRATES_L1 if layer == 1 else _BITRATES_L2
+    if bitrate not in table or bitrate == 0:
+        raise ValueError(f"unsupported bitrate {bitrate} for layer {layer}")
+    x = np.asarray(samples)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    if nch not in (1, 2):
+        raise ValueError("mono or stereo only")
+    if x.shape[0] == 0:
+        raise ValueError("empty input")
+    if layer == 2 and bitrate // nch < 56:
+        raise ValueError("bitrates below 56 kbps/channel need tables "
+                         "B.2c/d, which are unsupported")
+    xf = x.astype(np.float64) / 32768.0
+    spf = 384 if layer == 1 else 1152
+    nframes = -(-x.shape[0] // spf)
+    padlen = nframes * spf - x.shape[0]
+    if padlen:
+        xf = np.vstack([xf, np.zeros((padlen, nch))])
+    sub = np.stack([_analyze(xf[:, ch]) for ch in range(nch)], axis=2)
+    sblimit = _sblimit(rate, layer)
+    ngr = 12                             # granules per frame (both layers)
+    tpf = 12 if layer == 1 else 36       # subband samples per frame
+    rate_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
+    br_idx = table.index(bitrate)
+    mode = 3 if nch == 1 else 0
+    acc = 0
+    out = []
+    for f in range(nframes):
+        slots_num = 12000 * bitrate if layer == 1 else 144000 * bitrate
+        acc += slots_num % rate
+        pad = 1 if acc >= rate else 0
+        if pad:
+            acc -= rate
+        fbytes = _frame_bytes(layer, bitrate, rate, pad)
+        s = sub[f * tpf:(f + 1) * tpf]          # (tpf, 32, nch)
+        codes: list[tuple[int, int]] = []
+        hdr = (0xFFF << 20) | (1 << 19) | ((3 if layer == 1 else 2) << 17) \
+            | (1 << 16) | (br_idx << 12) | (rate_idx << 10) | (pad << 9) \
+            | (mode << 6) | (0 << 4) | (0 << 3) | (1 << 2) | 0
+        codes.append((hdr, 32))
+        nparts = 1 if layer == 1 else 3
+        maxabs = np.abs(s).reshape(nparts, tpf // nparts, 32, nch).max(axis=1)
+        scf = _pick_scf(maxabs)                  # (nparts, 32, nch)
+        if layer == 1:
+            alloc = _alloc_l1(maxabs[0], fbytes, nch)
+            for sb in range(32):
+                for ch in range(nch):
+                    codes.append((alloc[ch, sb], 4))
+            for sb in range(32):
+                for ch in range(nch):
+                    if alloc[ch, sb]:
+                        codes.append((int(scf[0, sb, ch]), 6))
+            for gr in range(ngr):
+                for sb in range(32):
+                    for ch in range(nch):
+                        a = alloc[ch, sb]
+                        if not a:
+                            continue
+                        k = a + 1
+                        steps = (1 << k) - 1
+                        v = _quantize(s[gr, sb, ch],
+                                      _SCALEFACTORS[scf[0, sb, ch]], steps, k)
+                        codes.append((int(v), k))
+        else:
+            scfsi, nsf = _scfsi(scf)
+            alloc = _alloc_l2(maxabs.max(axis=0), nsf, fbytes, nch, sblimit)
+            for sb in range(sblimit):
+                nbal, _ = _l2_row(sb)
+                for ch in range(nch):
+                    codes.append((alloc[ch, sb], nbal))
+            for sb in range(sblimit):
+                for ch in range(nch):
+                    if alloc[ch, sb]:
+                        codes.append((int(scfsi[sb, ch]), 2))
+            for sb in range(sblimit):
+                for ch in range(nch):
+                    if alloc[ch, sb]:
+                        pat = int(scfsi[sb, ch])
+                        send = {0: (0, 1, 2), 1: (0, 2), 2: (0,),
+                                3: (0, 1)}[pat]
+                        for p in send:
+                            codes.append((int(scf[p, sb, ch]), 6))
+            part = np.repeat(np.arange(3), 12)
+            for gr in range(ngr):
+                for sb in range(sblimit):
+                    _, ladder = _l2_row(sb)
+                    for ch in range(nch):
+                        a = alloc[ch, sb]
+                        if not a:
+                            continue
+                        steps = ladder[a]
+                        k, grouped, _, _ = _qclass(steps)
+                        vals = s[3 * gr:3 * gr + 3, sb, ch]
+                        sfv = _SCALEFACTORS[scf[part[3 * gr], sb, ch]]
+                        v = _quantize(vals, sfv, steps, k)
+                        if grouped:
+                            g = int(v[0] + steps * v[1] + steps * steps * v[2])
+                            codes.append((g, _GROUP_BITS[steps]))
+                        else:
+                            for vv in v:
+                                codes.append((int(vv), k))
+        carr = np.array([c for c, _ in codes], dtype=np.int64)
+        warr = np.array([w for _, w in codes], dtype=np.int64)
+        used = int(warr.sum())
+        if used > fbytes * 8:
+            raise AssertionError("allocation overflow")  # guarded by _alloc
+        out.append(_pack_codes(carr, warr, fbytes))
+    return b"".join(out)
+
+
+def _quantize(vals, sf: float, steps: int, k: int) -> np.ndarray:
+    a = steps / float(1 << k)
+    b = a - 1.0
+    xs = np.asarray(vals, dtype=np.float64) / sf
+    v = np.floor((a * xs + b) * (1 << (k - 1))) + (1 << (k - 1))
+    return np.clip(v, 0, steps - 1).astype(np.int64)
+
+
+def _scfsi(scf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """scf (3, 32, nch) -> (scfsi pattern (32, nch), #transmitted sfs)."""
+    eq01 = scf[0] == scf[1]
+    eq12 = scf[1] == scf[2]
+    pat = np.where(eq01 & eq12, 2, np.where(eq01, 1, np.where(eq12, 3, 0)))
+    nsf = np.select([pat == 2, pat == 0], [1, 3], default=2)
+    return pat, nsf
+
+
+def _alloc_l2(maxabs: np.ndarray, nsf: np.ndarray, fbytes: int, nch: int,
+              sblimit: int) -> np.ndarray:
+    """Greedy per-frame allocation: repeatedly grow the (ch, sb) with the
+    largest residual error estimate while bits remain. maxabs/nsf are
+    (32, nch)-shaped."""
+    nbal = np.array([_l2_row(sb)[0] for sb in range(sblimit)])
+    avail = fbytes * 8 - 32 - int(nbal.sum()) * nch
+    alloc = np.zeros((nch, sblimit), dtype=np.int64)
+    err = maxabs.T[:, :sblimit].copy()          # (nch, sblimit)
+
+    def bits12(sb: int, a: int) -> int:
+        if a == 0:
+            return 0
+        steps = _l2_row(sb)[1][a]
+        k, grouped, _, _ = _qclass(steps)
+        return 12 * _GROUP_BITS[steps] if grouped else 36 * k
+
+    while True:
+        best = None
+        for ch in range(nch):
+            for sb in range(sblimit):
+                a = alloc[ch, sb]
+                ladder = _l2_row(sb)[1]
+                if a + 1 >= len(ladder) or err[ch, sb] <= 0:
+                    continue
+                delta = bits12(sb, a + 1) - bits12(sb, a)
+                if a == 0:
+                    delta += 2 + 6 * int(nsf[sb, ch])
+                if delta > avail:
+                    continue
+                key = (err[ch, sb], -sb, -ch)
+                if best is None or key > best[0]:
+                    best = (key, ch, sb, delta)
+        if best is None:
+            break
+        _, ch, sb, delta = best
+        alloc[ch, sb] += 1
+        avail -= delta
+        steps = _l2_row(sb)[1][alloc[ch, sb]]
+        err[ch, sb] = maxabs[sb, ch] / steps
+    return alloc
+
+
+def _alloc_l1(maxabs: np.ndarray, fbytes: int, nch: int) -> np.ndarray:
+    """Layer I greedy allocation. maxabs is (32, nch)."""
+    avail = fbytes * 8 - 32 - 4 * 32 * nch
+    alloc = np.zeros((nch, 32), dtype=np.int64)
+    err = maxabs.T.copy()
+    while True:
+        best = None
+        for ch in range(nch):
+            for sb in range(32):
+                a = alloc[ch, sb]
+                if a >= 14 or err[ch, sb] <= 0:
+                    continue
+                delta = 12 if a else 12 * 2 + 6
+                if delta > avail:
+                    continue
+                key = (err[ch, sb], -sb, -ch)
+                if best is None or key > best[0]:
+                    best = (key, ch, sb, delta)
+        if best is None:
+            break
+        _, ch, sb, delta = best
+        alloc[ch, sb] += 1
+        avail -= delta
+        err[ch, sb] = maxabs[sb, ch] / ((1 << (alloc[ch, sb] + 1)) - 1)
+    return alloc
+
+
+def decode_mp2(data: bytes) -> tuple[np.ndarray, int]:
+    """MPEG-1 Layer I/II bitstream -> (int16 samples (n,) or (n, 2), rate).
+
+    Raises ValueError on anything that is not a clean MPEG-1 Layer I/II
+    stream (Layer III, MPEG-2, joint stereo, free-format, truncation) —
+    MediaDecode routes those to the honest ``decoded=False`` fallback.
+    """
+    pos = 0
+    frames: list[np.ndarray] = []
+    rate = None
+    nch = None
+    layer0 = None
+    while pos + 4 <= len(data):
+        b0, b1, b2, b3 = data[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError("lost sync")
+        if (b1 >> 3) & 3 != 3:
+            raise ValueError("not MPEG-1")
+        layer = {3: 1, 2: 2, 1: 3}.get((b1 >> 1) & 3)
+        if layer not in (1, 2):
+            raise ValueError(f"unsupported layer {layer}")
+        protection = b1 & 1
+        br_idx = b2 >> 4
+        table = _BITRATES_L1 if layer == 1 else _BITRATES_L2
+        if br_idx == 0 or br_idx >= 15:
+            raise ValueError("free-format/bad bitrate")
+        bitrate = table[br_idx]
+        r_idx = (b2 >> 2) & 3
+        if r_idx == 3:
+            raise ValueError("bad sample rate index")
+        frate = _RATES[r_idx]
+        pad = (b2 >> 1) & 1
+        mode = b3 >> 6
+        if mode == 1:
+            raise ValueError("joint stereo unsupported")
+        fch = 1 if mode == 3 else 2
+        if rate is None:
+            rate, nch, layer0 = frate, fch, layer
+        elif (frate, fch, layer) != (rate, nch, layer0):
+            raise ValueError("inconsistent stream parameters")
+        fbytes = _frame_bytes(layer, bitrate, frate, pad)
+        if pos + fbytes > len(data):
+            raise ValueError("truncated frame")
+        frames.append(_decode_frame(
+            data[pos:pos + fbytes], layer, frate, fch, protection))
+        pos += fbytes
+    if not frames:
+        raise ValueError("no frames")
+    sub = np.concatenate(frames, axis=0)          # (T, 32, nch)
+    chans = []
+    for ch in range(nch):
+        y = _synthesize(sub[:, :, ch])
+        chans.append(np.clip(np.rint(y * 32768.0), -32768, 32767)
+                     .astype(np.int16))
+    pcm = chans[0] if nch == 1 else np.stack(chans, axis=1)
+    return pcm, rate
+
+
+def _decode_frame(frame: bytes, layer: int, rate: int, nch: int,
+                  protection: int) -> np.ndarray:
+    sblimit = _sblimit(rate, layer)
+    br = _BitReader(frame, 4)
+    if protection == 0:                    # CRC present; not verified
+        br.read(16)
+    tpf = 12 if layer == 1 else 36
+    out = np.zeros((tpf, 32, nch))
+    if layer == 1:
+        alloc = np.zeros((nch, 32), dtype=np.int64)
+        for sb in range(32):
+            for ch in range(nch):
+                a = br.read(4)
+                if a == 15:
+                    raise ValueError("forbidden allocation")
+                alloc[ch, sb] = a
+        scf = np.zeros((nch, 32), dtype=np.int64)
+        for sb in range(32):
+            for ch in range(nch):
+                if alloc[ch, sb]:
+                    scf[ch, sb] = br.read(6)
+        pattern = []                       # (sb, ch, k)
+        for sb in range(32):
+            for ch in range(nch):
+                if alloc[ch, sb]:
+                    pattern.append((sb, ch, int(alloc[ch, sb]) + 1))
+        widths = np.array([k for _, _, k in pattern] * 12, dtype=np.int64)
+        vals = _read_sample_codes(frame, br, widths)
+        p = len(pattern)
+        for j, (sb, ch, k) in enumerate(pattern):
+            steps = (1 << k) - 1
+            v = vals[j::p]
+            _, _, c, d = _qclass(steps)
+            x = c * ((v - (1 << (k - 1))) / float(1 << (k - 1)) + d)
+            out[:, sb, ch] = x * _SCALEFACTORS[scf[ch, sb]]
+        return out
+    alloc = np.zeros((nch, sblimit), dtype=np.int64)
+    for sb in range(sblimit):
+        nbal, _ = _l2_row(sb)
+        for ch in range(nch):
+            alloc[ch, sb] = br.read(nbal)
+    scfsi = np.zeros((nch, sblimit), dtype=np.int64)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch, sb]:
+                scfsi[ch, sb] = br.read(2)
+    scf = np.zeros((nch, sblimit, 3), dtype=np.int64)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc[ch, sb]:
+                continue
+            pat = int(scfsi[ch, sb])
+            if pat == 0:
+                a, b, c = br.read(6), br.read(6), br.read(6)
+            elif pat == 1:
+                a = b = br.read(6)
+                c = br.read(6)
+            elif pat == 2:
+                a = b = c = br.read(6)
+            else:
+                a = br.read(6)
+                b = c = br.read(6)
+            scf[ch, sb] = (a, b, c)
+    # one granule's code pattern, tiled x12
+    pattern = []                           # (sb, ch, steps, k, grouped, w)
+    for sb in range(sblimit):
+        _, ladder = _l2_row(sb)
+        for ch in range(nch):
+            a = alloc[ch, sb]
+            if not a:
+                continue
+            steps = ladder[a]
+            k, grouped, _, _ = _qclass(steps)
+            if grouped:
+                pattern.append((sb, ch, steps, k, True, _GROUP_BITS[steps]))
+            else:
+                for _rep in range(3):
+                    pattern.append((sb, ch, steps, k, False, k))
+    gwidths = np.array([e[5] for e in pattern], dtype=np.int64)
+    widths = np.tile(gwidths, 12)
+    vals = _read_sample_codes(frame, br, widths)
+    p = len(pattern)
+    tri = 0
+    j = 0
+    while j < len(pattern):
+        sb, ch, steps, k, grouped, _w = pattern[j]
+        if grouped:
+            g = vals[j::p]                 # (12,) group codes
+            v = np.stack([g % steps, (g // steps) % steps,
+                          g // (steps * steps)], axis=1)  # (12, 3)
+            j += 1
+        else:
+            v = np.stack([vals[j::p], vals[j + 1::p], vals[j + 2::p]],
+                         axis=1)
+            j += 3
+        _, _, c, d = _qclass(steps)
+        x = c * ((v - (1 << (k - 1))) / float(1 << (k - 1)) + d)
+        sfv = _SCALEFACTORS[scf[ch, sb]]   # (3,)
+        part = np.repeat(np.arange(3), 4)  # granule -> third
+        out[:, sb, ch] = (x * sfv[part][:, None]).reshape(36)
+        tri += 1
+    return out
+
+
+def _read_sample_codes(frame: bytes, br: _BitReader,
+                       widths: np.ndarray) -> np.ndarray:
+    """Bulk-extract the sample section at the reader's current position
+    (vectorized buffer gather; widths <= 16)."""
+    if len(widths) == 0:
+        return np.zeros(0, dtype=np.int64)
+    bitpos = br.pos * 8 - br.nbits
+    need = bitpos + int(widths.sum())
+    if need > len(frame) * 8:
+        raise ValueError("frame too short for its allocation")
+    buf = np.frombuffer(frame + b"\x00\x00\x00", dtype=np.uint8)
+    starts = bitpos + np.concatenate([[0], np.cumsum(widths)[:-1]])
+    return _gather_codes(buf, starts.astype(np.int64), widths).astype(np.int64)
