@@ -286,12 +286,24 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
+    # GRAFT_SCALE_REPS > 1 interleaves the legs (lo,hi,lo,hi,...) and takes
+    # the min per leg: the box's minutes-scale load swings otherwise land
+    # entirely on whichever leg ran during the slow window (observed legs
+    # vary +-30% between back-to-back runs), biasing the ratio either way.
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "1"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     tp_lo = r_lo["docs_per_sec"]
     tp_hi = r_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     ceiling = _hardware_ceiling(lo, hi)
     return {
+        "sec_lo_all": [r["value"] for r in runs_lo],
+        "sec_hi_all": [r["value"] for r in runs_hi],
         "metric": "scaling efficiency (N vs 4N CPUs, same input)",
         "value": round(eff, 3),
         "unit": "ratio",

@@ -528,7 +528,7 @@ def bench_ann_uniform(n_vecs: int = 2_000_000, dim: int = 64, n_queries: int = 4
 def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
     """Multimodal decode throughput: a mixed-format payload corpus (PNG /
     JPEG / BMP / GIF / PPM images at 64x64, PCM16 / mu-law / IMA-ADPCM WAV
-    at 8k samples, 4-frame 32x32 Y4M video) decoded by the holder-fn task
+    at 8k samples, FLAC + MPEG-1 Layer II audio, 4-frame 32x32 Y4M video) decoded by the holder-fn task
     ``decode_media`` stage. Reports overall payloads/s + MB/s and a timed
     per-format pass, so a slow codec (e.g. the serial JPEG entropy loop)
     is visible instead of averaged away."""
@@ -540,7 +540,7 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
     from geomesa_ray.stages.media import decode_media
 
     FORMATS = ["png", "jpeg", "bmp", "gif", "ppm", "tiff", "wav", "ulaw",
-               "adpcm", "flac", "y4m"]
+               "adpcm", "flac", "mp2", "y4m"]
 
     def mk(batch: pa.Table) -> pa.Table:
         from geomesa_ray.cells.shard import mix64
@@ -568,7 +568,7 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
             elif fmt == "gif":
                 px = ((x % np.uint64(6)).astype(np.uint8) * 42).reshape(64, 64, 3)
                 payloads.append(encode_gif(px))
-            elif fmt in ("wav", "ulaw", "adpcm", "flac"):
+            elif fmt in ("wav", "ulaw", "adpcm", "flac", "mp2"):
                 # ~10 s of 8 kHz audio: long enough that the ADPCM block
                 # loop (serial per position, vectorized ACROSS blocks) has
                 # blocks to vectorize over
@@ -578,6 +578,11 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
                      - 256.0).astype(np.int16)
                 if fmt == "wav":
                     payloads.append(encode_wav(s))
+                elif fmt == "mp2":
+                    from geomesa_ray.stages.mp2 import encode_mp2
+
+                    # mp2 has no 8 kHz mode; same 80k samples at 32 kHz
+                    payloads.append(encode_mp2(s, rate=32000, bitrate=96))
                 elif fmt == "flac":
                     from geomesa_ray.stages.flac import encode_flac
 
@@ -594,7 +599,7 @@ def bench_media(n_media: int = 18_000, num_cpus: int = 32) -> dict:
         return pa.table({"media_ref": pa.array(refs), "fmt": pa.array(fmts),
                          "payload": pa.array(payloads, type=pa.binary())})
 
-    corpus_dir = f"/tmp/graft_media_bench_v4_{n_media}"
+    corpus_dir = f"/tmp/graft_media_bench_v5_{n_media}"
     if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
         shutil.rmtree(corpus_dir, ignore_errors=True)
         rd.range(n_media).map_batches(mk, batch_format="pyarrow",
