@@ -218,10 +218,11 @@ def _sblimit(rate: int, layer: int) -> int:
     return 27 if rate == 48000 else 30    # B.2a vs B.2b
 
 
-def _pack_codes(codes: np.ndarray, widths: np.ndarray, nbytes: int) -> bytes:
-    """MSB-first bit packing of (code, width) pairs into nbytes bytes."""
+def _codes_to_bits(codes: np.ndarray, widths: np.ndarray,
+                   nbits: int) -> np.ndarray:
+    """MSB-first expansion of (code, width) pairs into a uint8 bit array."""
     starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
-    bits = np.zeros(nbytes * 8, dtype=np.uint8)
+    bits = np.zeros(nbits, dtype=np.uint8)
     for w in np.unique(widths):
         if w == 0:
             continue
@@ -230,7 +231,25 @@ def _pack_codes(codes: np.ndarray, widths: np.ndarray, nbytes: int) -> bytes:
         pos = starts[sel][:, None] + np.arange(w)[None, :]
         val = (c[:, None] >> np.arange(w - 1, -1, -1)[None, :]) & 1
         bits[pos.ravel()] = val.ravel().astype(np.uint8)
-    return np.packbits(bits).tobytes()
+    return bits
+
+
+def _pack_codes(codes: np.ndarray, widths: np.ndarray, nbytes: int) -> bytes:
+    """MSB-first bit packing of (code, width) pairs into nbytes bytes."""
+    return np.packbits(_codes_to_bits(codes, widths, nbytes * 8)).tobytes()
+
+
+def _crc16_bits(bits: np.ndarray) -> int:
+    """CRC-16 (poly 0x8005, init 0xFFFF) over a bit sequence, MSB-first —
+    the MPEG audio protection polynomial (11172-3 2.4.3.1). Bitwise
+    because the protected region need not be byte-aligned."""
+    crc = 0xFFFF
+    for b in bits.tolist():
+        top = (crc >> 15) & 1
+        crc = ((crc << 1) & 0xFFFF) | 0
+        if top ^ int(b):
+            crc ^= 0x8005
+    return crc
 
 
 def _gather_codes(buf: np.ndarray, starts_bits: np.ndarray,
@@ -262,12 +281,20 @@ def _frame_bytes(layer: int, bitrate: int, rate: int, pad: int) -> int:
 
 
 def encode_mp2(samples: np.ndarray, rate: int = 48000, bitrate: int = 192,
-               layer: int = 2) -> bytes:
+               layer: int = 2, mode: str | None = None, bound: int = 8,
+               crc: bool = False) -> bytes:
     """int16 mono (n,) or stereo (n, 2) -> MPEG-1 Layer I/II bitstream.
 
     Deterministic greedy bit allocation (equalize per-subband error,
     cheapest-first; the spec's psychoacoustic model is encoder-choice).
-    """
+
+    ``mode``: None picks "mono"/"stereo" by input shape; "joint" emits
+    intensity stereo — subbands >= ``bound`` (4/8/12/16) carry ONE sample
+    set quantized against the louder channel's scalefactor, each channel
+    reconstructing with its own scalefactor (the 11172-3 joint_stereo
+    semantics). ``crc=True`` sets protection_bit=0 and inserts the CRC-16
+    over header bits 16-31 + the bit-allocation (+ scfsi, Layer II)
+    fields (2.4.3.1)."""
     if layer not in (1, 2):
         raise ValueError(f"unsupported layer {layer}")
     if rate not in _RATES:
@@ -283,6 +310,14 @@ def encode_mp2(samples: np.ndarray, rate: int = 48000, bitrate: int = 192,
         raise ValueError("mono or stereo only")
     if x.shape[0] == 0:
         raise ValueError("empty input")
+    if mode is None:
+        mode = "mono" if nch == 1 else "stereo"
+    if mode not in ("mono", "stereo", "joint", "dual"):
+        raise ValueError(f"unknown mode {mode}")
+    if (mode == "mono") != (nch == 1):
+        raise ValueError("mode/mono channel-count mismatch")
+    if mode == "joint" and bound not in (4, 8, 12, 16):
+        raise ValueError("joint-stereo bound must be 4/8/12/16")
     if layer == 2 and bitrate // nch < 56:
         raise ValueError("bitrates below 56 kbps/channel need tables "
                          "B.2c/d, which are unsupported")
@@ -298,7 +333,10 @@ def encode_mp2(samples: np.ndarray, rate: int = 48000, bitrate: int = 192,
     tpf = 12 if layer == 1 else 36       # subband samples per frame
     rate_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
     br_idx = table.index(bitrate)
-    mode = 3 if nch == 1 else 0
+    mode_bits = {"stereo": 0, "joint": 1, "dual": 2, "mono": 3}[mode]
+    # intensity bound: first subband carrying ONE shared sample set
+    jbound = bound if mode == "joint" else (32 if layer == 1 else sblimit)
+    me = bound // 4 - 1 if mode == "joint" else 0
     acc = 0
     out = []
     for f in range(nframes):
@@ -309,45 +347,78 @@ def encode_mp2(samples: np.ndarray, rate: int = 48000, bitrate: int = 192,
             acc -= rate
         fbytes = _frame_bytes(layer, bitrate, rate, pad)
         s = sub[f * tpf:(f + 1) * tpf]          # (tpf, 32, nch)
-        codes: list[tuple[int, int]] = []
         hdr = (0xFFF << 20) | (1 << 19) | ((3 if layer == 1 else 2) << 17) \
-            | (1 << 16) | (br_idx << 12) | (rate_idx << 10) | (pad << 9) \
-            | (mode << 6) | (0 << 4) | (0 << 3) | (1 << 2) | 0
-        codes.append((hdr, 32))
+            | ((0 if crc else 1) << 16) | (br_idx << 12) | (rate_idx << 10) \
+            | (pad << 9) | (mode_bits << 6) | (me << 4) | (0 << 3) \
+            | (1 << 2) | 0
         nparts = 1 if layer == 1 else 3
         maxabs = np.abs(s).reshape(nparts, tpf // nparts, 32, nch).max(axis=1)
         scf = _pick_scf(maxabs)                  # (nparts, 32, nch)
+        if mode == "joint":
+            # intensity semantics: shared samples are the combined signal
+            # normalized by ITS OWN (implied) scalefactor; the decoder then
+            # re-pans with each channel's TRANSMITTED scalefactor. The
+            # transmitted index is snapped to the NEAREST grid point of the
+            # ideal pan target sf_c * (max_ch / max_c), centering the
+            # inherent 2^(1/3)-grid panning error (+-2^(1/6) amplitude =
+            # the codec's by-design intensity precision).
+            sc = 0.5 * (s[:, :, 0] + s[:, :, 1])             # (tpf, 32)
+            maxabs_c = np.abs(sc).reshape(nparts, tpf // nparts, 32).max(axis=1)
+            scf_c = _pick_scf(maxabs_c)                       # (nparts, 32)
+            if jbound < 32:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    target = (_SCALEFACTORS[scf_c[:, jbound:, None]]
+                              * maxabs[:, jbound:, :]
+                              / maxabs_c[:, jbound:, None])
+                    idx = np.rint(3.0 * (1.0 - np.log2(target)))
+                idx = np.where(np.isfinite(idx), idx, 62)
+                scf[:, jbound:, :] = np.clip(idx, 0, 62).astype(np.int64)
+        prot: list[tuple[int, int]] = []         # CRC-protected side info
+        rest: list[tuple[int, int]] = []
+
+        def sfmax(part_i: int, sb: int) -> float:
+            return float(_SCALEFACTORS[scf_c[part_i, sb]])
+
+        def joint_vals(t0: int, t1: int, sb: int) -> np.ndarray:
+            return sc[t0:t1, sb]
+
         if layer == 1:
-            alloc = _alloc_l1(maxabs[0], fbytes, nch)
+            alloc = _alloc_l1(maxabs[0], fbytes, nch, jbound, crc)
             for sb in range(32):
-                for ch in range(nch):
-                    codes.append((alloc[ch, sb], 4))
+                for ch in (range(nch) if sb < jbound else (0,)):
+                    prot.append((alloc[ch, sb], 4))
             for sb in range(32):
                 for ch in range(nch):
                     if alloc[ch, sb]:
-                        codes.append((int(scf[0, sb, ch]), 6))
+                        rest.append((int(scf[0, sb, ch]), 6))
             for gr in range(ngr):
                 for sb in range(32):
-                    for ch in range(nch):
+                    for ch in (range(nch) if sb < jbound else (0,)):
                         a = alloc[ch, sb]
                         if not a:
                             continue
                         k = a + 1
                         steps = (1 << k) - 1
-                        v = _quantize(s[gr, sb, ch],
-                                      _SCALEFACTORS[scf[0, sb, ch]], steps, k)
-                        codes.append((int(v), k))
+                        if sb < jbound:
+                            val = s[gr, sb, ch]
+                            sfv = float(_SCALEFACTORS[scf[0, sb, ch]])
+                        else:
+                            val = joint_vals(gr, gr + 1, sb)[0]
+                            sfv = sfmax(0, sb)
+                        v = _quantize(val, sfv, steps, k)
+                        rest.append((int(v), k))
         else:
             scfsi, nsf = _scfsi(scf)
-            alloc = _alloc_l2(maxabs.max(axis=0), nsf, fbytes, nch, sblimit)
+            alloc = _alloc_l2(maxabs.max(axis=0), nsf, fbytes, nch, sblimit,
+                              jbound, crc)
             for sb in range(sblimit):
                 nbal, _ = _l2_row(sb)
-                for ch in range(nch):
-                    codes.append((alloc[ch, sb], nbal))
+                for ch in (range(nch) if sb < jbound else (0,)):
+                    prot.append((alloc[ch, sb], nbal))
             for sb in range(sblimit):
                 for ch in range(nch):
                     if alloc[ch, sb]:
-                        codes.append((int(scfsi[sb, ch]), 2))
+                        prot.append((int(scfsi[sb, ch]), 2))
             for sb in range(sblimit):
                 for ch in range(nch):
                     if alloc[ch, sb]:
@@ -355,26 +426,38 @@ def encode_mp2(samples: np.ndarray, rate: int = 48000, bitrate: int = 192,
                         send = {0: (0, 1, 2), 1: (0, 2), 2: (0,),
                                 3: (0, 1)}[pat]
                         for p in send:
-                            codes.append((int(scf[p, sb, ch]), 6))
+                            rest.append((int(scf[p, sb, ch]), 6))
             part = np.repeat(np.arange(3), 12)
             for gr in range(ngr):
                 for sb in range(sblimit):
                     _, ladder = _l2_row(sb)
-                    for ch in range(nch):
+                    for ch in (range(nch) if sb < jbound else (0,)):
                         a = alloc[ch, sb]
                         if not a:
                             continue
                         steps = ladder[a]
                         k, grouped, _, _ = _qclass(steps)
-                        vals = s[3 * gr:3 * gr + 3, sb, ch]
-                        sfv = _SCALEFACTORS[scf[part[3 * gr], sb, ch]]
+                        p_i = int(part[3 * gr])
+                        if sb < jbound:
+                            vals = s[3 * gr:3 * gr + 3, sb, ch]
+                            sfv = float(_SCALEFACTORS[scf[p_i, sb, ch]])
+                        else:
+                            vals = joint_vals(3 * gr, 3 * gr + 3, sb)
+                            sfv = sfmax(p_i, sb)
                         v = _quantize(vals, sfv, steps, k)
                         if grouped:
                             g = int(v[0] + steps * v[1] + steps * steps * v[2])
-                            codes.append((g, _GROUP_BITS[steps]))
+                            rest.append((g, _GROUP_BITS[steps]))
                         else:
                             for vv in v:
-                                codes.append((int(vv), k))
+                                rest.append((int(vv), k))
+        codes = [(hdr, 32)] + ([(0, 16)] if crc else []) + prot + rest
+        if crc:
+            pc = np.array([hdr & 0xFFFF] + [c for c, _ in prot],
+                          dtype=np.int64)
+            pw = np.array([16] + [w for _, w in prot], dtype=np.int64)
+            codes[1] = (_crc16_bits(_codes_to_bits(pc, pw, int(pw.sum()))),
+                        16)
         carr = np.array([c for c, _ in codes], dtype=np.int64)
         warr = np.array([w for _, w in codes], dtype=np.int64)
         used = int(warr.sum())
@@ -402,14 +485,21 @@ def _scfsi(scf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _alloc_l2(maxabs: np.ndarray, nsf: np.ndarray, fbytes: int, nch: int,
-              sblimit: int) -> np.ndarray:
+              sblimit: int, jbound: int, crc: bool) -> np.ndarray:
     """Greedy per-frame allocation: repeatedly grow the (ch, sb) with the
     largest residual error estimate while bits remain. maxabs/nsf are
-    (32, nch)-shaped."""
+    (32, nch)-shaped. Subbands >= jbound are intensity-shared: one sample
+    set (allocated on ch 0, mirrored) but scfsi+scalefactors for BOTH
+    channels."""
     nbal = np.array([_l2_row(sb)[0] for sb in range(sblimit)])
-    avail = fbytes * 8 - 32 - int(nbal.sum()) * nch
+    alloc_bits = int(sum(n * (nch if sb < jbound else 1)
+                         for sb, n in enumerate(nbal)))
+    avail = fbytes * 8 - 32 - (16 if crc else 0) - alloc_bits
     alloc = np.zeros((nch, sblimit), dtype=np.int64)
     err = maxabs.T[:, :sblimit].copy()          # (nch, sblimit)
+    if jbound < sblimit and nch == 2:
+        err[0, jbound:] = err[:, jbound:].max(axis=0)
+        err[1, jbound:] = 0.0                    # shared rows live on ch 0
 
     def bits12(sb: int, a: int) -> int:
         if a == 0:
@@ -422,13 +512,19 @@ def _alloc_l2(maxabs: np.ndarray, nsf: np.ndarray, fbytes: int, nch: int,
         best = None
         for ch in range(nch):
             for sb in range(sblimit):
+                if sb >= jbound and ch == 1:
+                    continue
                 a = alloc[ch, sb]
                 ladder = _l2_row(sb)[1]
                 if a + 1 >= len(ladder) or err[ch, sb] <= 0:
                     continue
                 delta = bits12(sb, a + 1) - bits12(sb, a)
                 if a == 0:
-                    delta += 2 + 6 * int(nsf[sb, ch])
+                    if sb >= jbound and nch == 2:
+                        delta += sum(2 + 6 * int(nsf[sb, c])
+                                     for c in range(nch))
+                    else:
+                        delta += 2 + 6 * int(nsf[sb, ch])
                 if delta > avail:
                     continue
                 key = (err[ch, sb], -sb, -ch)
@@ -440,23 +536,35 @@ def _alloc_l2(maxabs: np.ndarray, nsf: np.ndarray, fbytes: int, nch: int,
         alloc[ch, sb] += 1
         avail -= delta
         steps = _l2_row(sb)[1][alloc[ch, sb]]
-        err[ch, sb] = maxabs[sb, ch] / steps
+        base = maxabs[sb, :].max() if sb >= jbound else maxabs[sb, ch]
+        err[ch, sb] = base / steps
+    if jbound < sblimit and nch == 2:
+        alloc[1, jbound:] = alloc[0, jbound:]    # mirrored for scf emission
     return alloc
 
 
-def _alloc_l1(maxabs: np.ndarray, fbytes: int, nch: int) -> np.ndarray:
-    """Layer I greedy allocation. maxabs is (32, nch)."""
-    avail = fbytes * 8 - 32 - 4 * 32 * nch
+def _alloc_l1(maxabs: np.ndarray, fbytes: int, nch: int, jbound: int,
+              crc: bool) -> np.ndarray:
+    """Layer I greedy allocation. maxabs is (32, nch); subbands >= jbound
+    are intensity-shared (12 samples once, scalefactor per channel)."""
+    alloc_bits = sum(4 * (nch if sb < jbound else 1) for sb in range(32))
+    avail = fbytes * 8 - 32 - (16 if crc else 0) - alloc_bits
     alloc = np.zeros((nch, 32), dtype=np.int64)
     err = maxabs.T.copy()
+    if jbound < 32 and nch == 2:
+        err[0, jbound:] = err[:, jbound:].max(axis=0)
+        err[1, jbound:] = 0.0
     while True:
         best = None
         for ch in range(nch):
             for sb in range(32):
+                if sb >= jbound and ch == 1:
+                    continue
                 a = alloc[ch, sb]
                 if a >= 14 or err[ch, sb] <= 0:
                     continue
-                delta = 12 if a else 12 * 2 + 6
+                nscf = nch if (sb >= jbound and nch == 2) else 1
+                delta = 12 if a else 12 * 2 + 6 * nscf
                 if delta > avail:
                     continue
                 key = (err[ch, sb], -sb, -ch)
@@ -467,7 +575,10 @@ def _alloc_l1(maxabs: np.ndarray, fbytes: int, nch: int) -> np.ndarray:
         _, ch, sb, delta = best
         alloc[ch, sb] += 1
         avail -= delta
-        err[ch, sb] = maxabs[sb, ch] / ((1 << (alloc[ch, sb] + 1)) - 1)
+        base = maxabs[sb, :].max() if sb >= jbound else maxabs[sb, ch]
+        err[ch, sb] = base / ((1 << (alloc[ch, sb] + 1)) - 1)
+    if jbound < 32 and nch == 2:
+        alloc[1, jbound:] = alloc[0, jbound:]
     return alloc
 
 
@@ -475,8 +586,11 @@ def decode_mp2(data: bytes) -> tuple[np.ndarray, int]:
     """MPEG-1 Layer I/II bitstream -> (int16 samples (n,) or (n, 2), rate).
 
     Raises ValueError on anything that is not a clean MPEG-1 Layer I/II
-    stream (Layer III, MPEG-2, joint stereo, free-format, truncation) —
+    stream (Layer III, MPEG-2, free-format, truncation, CRC mismatch) —
     MediaDecode routes those to the honest ``decoded=False`` fallback.
+    Joint (intensity) stereo decodes: subbands >= the mode_extension bound
+    carry one sample set, reconstructed per channel with its own
+    scalefactor.
     """
     pos = 0
     frames: list[np.ndarray] = []
@@ -504,9 +618,8 @@ def decode_mp2(data: bytes) -> tuple[np.ndarray, int]:
         frate = _RATES[r_idx]
         pad = (b2 >> 1) & 1
         mode = b3 >> 6
-        if mode == 1:
-            raise ValueError("joint stereo unsupported")
         fch = 1 if mode == 3 else 2
+        bound = 4 * (((b3 >> 4) & 3) + 1) if mode == 1 else None
         if rate is None:
             rate, nch, layer0 = frate, fch, layer
         elif (frate, fch, layer) != (rate, nch, layer0):
@@ -515,7 +628,7 @@ def decode_mp2(data: bytes) -> tuple[np.ndarray, int]:
         if pos + fbytes > len(data):
             raise ValueError("truncated frame")
         frames.append(_decode_frame(
-            data[pos:pos + fbytes], layer, frate, fch, protection))
+            data[pos:pos + fbytes], layer, frate, fch, protection, bound))
         pos += fbytes
     if not frames:
         raise ValueError("no frames")
@@ -529,52 +642,83 @@ def decode_mp2(data: bytes) -> tuple[np.ndarray, int]:
     return pcm, rate
 
 
+def _scf_idx(br: _BitReader) -> int:
+    v = br.read(6)
+    if v == 63:
+        raise ValueError("forbidden scalefactor index")  # B.1 has 63 rows
+    return v
+
+
+def _verify_crc(frame: bytes, br: _BitReader, crc_read: int) -> None:
+    """Protected region: header bits 16-31 + the side info read so far
+    (bit allocation [+ scfsi for Layer II]; 11172-3 2.4.3.1)."""
+    p1 = br.pos * 8 - br.nbits
+    bits = np.unpackbits(np.frombuffer(frame[:(p1 + 7) // 8], dtype=np.uint8))
+    region = np.concatenate([bits[16:32], bits[48:p1]])
+    if _crc16_bits(region) != crc_read:
+        raise ValueError("CRC mismatch")
+
+
 def _decode_frame(frame: bytes, layer: int, rate: int, nch: int,
-                  protection: int) -> np.ndarray:
+                  protection: int, bound: int | None) -> np.ndarray:
     sblimit = _sblimit(rate, layer)
+    jbound = min(bound, sblimit) if bound is not None \
+        else (32 if layer == 1 else sblimit)
     br = _BitReader(frame, 4)
-    if protection == 0:                    # CRC present; not verified
-        br.read(16)
+    crc_read = br.read(16) if protection == 0 else None
     tpf = 12 if layer == 1 else 36
     out = np.zeros((tpf, 32, nch))
     if layer == 1:
         alloc = np.zeros((nch, 32), dtype=np.int64)
         for sb in range(32):
-            for ch in range(nch):
+            for ch in (range(nch) if sb < jbound else (0,)):
                 a = br.read(4)
                 if a == 15:
                     raise ValueError("forbidden allocation")
                 alloc[ch, sb] = a
+            if sb >= jbound:
+                alloc[:, sb] = alloc[0, sb]
+        if crc_read is not None:
+            _verify_crc(frame, br, crc_read)
         scf = np.zeros((nch, 32), dtype=np.int64)
         for sb in range(32):
             for ch in range(nch):
                 if alloc[ch, sb]:
-                    scf[ch, sb] = br.read(6)
-        pattern = []                       # (sb, ch, k)
+                    scf[ch, sb] = _scf_idx(br)
+        pattern = []                       # (sb, chs, k)
         for sb in range(32):
-            for ch in range(nch):
-                if alloc[ch, sb]:
-                    pattern.append((sb, ch, int(alloc[ch, sb]) + 1))
+            if sb < jbound:
+                for ch in range(nch):
+                    if alloc[ch, sb]:
+                        pattern.append((sb, (ch,), int(alloc[ch, sb]) + 1))
+            elif alloc[0, sb]:
+                pattern.append((sb, tuple(range(nch)),
+                                int(alloc[0, sb]) + 1))
         widths = np.array([k for _, _, k in pattern] * 12, dtype=np.int64)
         vals = _read_sample_codes(frame, br, widths)
         p = len(pattern)
-        for j, (sb, ch, k) in enumerate(pattern):
+        for j, (sb, chs, k) in enumerate(pattern):
             steps = (1 << k) - 1
             v = vals[j::p]
             _, _, c, d = _qclass(steps)
             x = c * ((v - (1 << (k - 1))) / float(1 << (k - 1)) + d)
-            out[:, sb, ch] = x * _SCALEFACTORS[scf[ch, sb]]
+            for ch in chs:
+                out[:, sb, ch] = x * _SCALEFACTORS[scf[ch, sb]]
         return out
     alloc = np.zeros((nch, sblimit), dtype=np.int64)
     for sb in range(sblimit):
         nbal, _ = _l2_row(sb)
-        for ch in range(nch):
+        for ch in (range(nch) if sb < jbound else (0,)):
             alloc[ch, sb] = br.read(nbal)
+        if sb >= jbound:
+            alloc[:, sb] = alloc[0, sb]
     scfsi = np.zeros((nch, sblimit), dtype=np.int64)
     for sb in range(sblimit):
         for ch in range(nch):
             if alloc[ch, sb]:
                 scfsi[ch, sb] = br.read(2)
+    if crc_read is not None:
+        _verify_crc(frame, br, crc_read)
     scf = np.zeros((nch, sblimit, 3), dtype=np.int64)
     for sb in range(sblimit):
         for ch in range(nch):
@@ -582,39 +726,41 @@ def _decode_frame(frame: bytes, layer: int, rate: int, nch: int,
                 continue
             pat = int(scfsi[ch, sb])
             if pat == 0:
-                a, b, c = br.read(6), br.read(6), br.read(6)
+                a, b, c = _scf_idx(br), _scf_idx(br), _scf_idx(br)
             elif pat == 1:
-                a = b = br.read(6)
-                c = br.read(6)
+                a = b = _scf_idx(br)
+                c = _scf_idx(br)
             elif pat == 2:
-                a = b = c = br.read(6)
+                a = b = c = _scf_idx(br)
             else:
-                a = br.read(6)
-                b = c = br.read(6)
+                a = _scf_idx(br)
+                b = c = _scf_idx(br)
             scf[ch, sb] = (a, b, c)
-    # one granule's code pattern, tiled x12
-    pattern = []                           # (sb, ch, steps, k, grouped, w)
+    # one granule's code pattern, tiled x12; shared (intensity) subbands
+    # appear ONCE with both channels attached
+    pattern = []                           # (sb, chs, steps, k, grouped, w)
     for sb in range(sblimit):
         _, ladder = _l2_row(sb)
-        for ch in range(nch):
-            a = alloc[ch, sb]
+        chs_iter = [(ch,) for ch in range(nch)] if sb < jbound \
+            else [tuple(range(nch))]
+        for chs in chs_iter:
+            a = alloc[chs[0], sb]
             if not a:
                 continue
             steps = ladder[a]
             k, grouped, _, _ = _qclass(steps)
             if grouped:
-                pattern.append((sb, ch, steps, k, True, _GROUP_BITS[steps]))
+                pattern.append((sb, chs, steps, k, True, _GROUP_BITS[steps]))
             else:
                 for _rep in range(3):
-                    pattern.append((sb, ch, steps, k, False, k))
+                    pattern.append((sb, chs, steps, k, False, k))
     gwidths = np.array([e[5] for e in pattern], dtype=np.int64)
     widths = np.tile(gwidths, 12)
     vals = _read_sample_codes(frame, br, widths)
     p = len(pattern)
-    tri = 0
     j = 0
     while j < len(pattern):
-        sb, ch, steps, k, grouped, _w = pattern[j]
+        sb, chs, steps, k, grouped, _w = pattern[j]
         if grouped:
             g = vals[j::p]                 # (12,) group codes
             v = np.stack([g % steps, (g // steps) % steps,
@@ -626,10 +772,10 @@ def _decode_frame(frame: bytes, layer: int, rate: int, nch: int,
             j += 3
         _, _, c, d = _qclass(steps)
         x = c * ((v - (1 << (k - 1))) / float(1 << (k - 1)) + d)
-        sfv = _SCALEFACTORS[scf[ch, sb]]   # (3,)
         part = np.repeat(np.arange(3), 4)  # granule -> third
-        out[:, sb, ch] = (x * sfv[part][:, None]).reshape(36)
-        tri += 1
+        for ch in chs:
+            sfv = _SCALEFACTORS[scf[ch, sb]]   # (3,)
+            out[:, sb, ch] = (x * sfv[part][:, None]).reshape(36)
     return out
 
 

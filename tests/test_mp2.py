@@ -193,8 +193,8 @@ def test_decode_rejections():
     with pytest.raises(ValueError):
         decode_mp2(bytes(mp3))
     js = bytearray(blob)
-    js[3] = (js[3] & 0x3F) | 0x40      # joint stereo mode
-    with pytest.raises(ValueError):
+    js[3] = (js[3] & 0x3F) | 0x40      # mono frame relabeled joint stereo:
+    with pytest.raises(ValueError):    # 2-channel parse overruns the frame
         decode_mp2(bytes(js))
 
 
@@ -232,3 +232,116 @@ def test_media_decode_dispatch():
     y, _ = decode_mp2(blob)
     assert rows[0]["sample_sum"] == int(y.astype(np.int64).sum())
     assert rows[1]["media_kind"] == "unknown" and not rows[1]["decoded"]
+
+
+def test_joint_stereo_roundtrip():
+    """Intensity stereo: correlated channels at different amplitudes.
+    Subbands >= bound share one sample set quantized against the COMBINED
+    signal's implied scalefactor; each channel re-pans with its own
+    transmitted scalefactor. Per-channel fidelity in shared bands is
+    limited BY DESIGN to the 2^(1/3) scalefactor grid (~+-1 dB pan), so
+    the per-channel bar is moderate while the mid (combined) signal and
+    the independent-band configuration must stay high-fidelity."""
+    n = 4 * 1152
+    t = np.arange(n)
+    base = (np.sin(2 * np.pi * 440 * t / 48000)
+            + 0.4 * np.sin(2 * np.pi * 5200 * t / 48000))
+    left = (9000 * base).astype(np.int16)
+    right = (4500 * base).astype(np.int16)
+    st = np.stack([left, right], axis=1)
+    for bound, ch_bar, mid_bar in ((4, 25.0, 28.0), (8, 45.0, 45.0),
+                                   (16, 45.0, 45.0)):
+        # bound >= 8: both tones (440 Hz -> sb 0, 5200 Hz -> sb 6) fall in
+        # the independent region, so near-full stereo fidelity is required;
+        # bound=4 shares the 5200 Hz band -> grid-limited (measured ~34 dB)
+        blob = encode_mp2(st, rate=48000, bitrate=256, mode="joint",
+                          bound=bound)
+        # header carries joint mode + the bound in mode_extension
+        assert blob[3] >> 6 == 1
+        assert 4 * (((blob[3] >> 4) & 3) + 1) == bound
+        y, rate = decode_mp2(blob)
+        assert rate == 48000 and y.shape[1] == 2
+        assert _snr(left, y[:, 0]) > ch_bar
+        assert _snr(right, y[:, 1]) > ch_bar
+        # the mid signal is what intensity coding preserves accurately
+        mid = ((left.astype(np.float64) + right) / 2)
+        mid_hat = (y[:, 0].astype(np.float64) + y[:, 1]) / 2
+        m = n - 1024
+        e = mid[:m] - mid_hat[:m]
+        assert 10 * np.log10(np.dot(mid[:m], mid[:m]) / np.dot(e, e)) \
+            > mid_bar
+    # same bitrate -> same frame sizes regardless of mode
+    indep = encode_mp2(st, rate=48000, bitrate=256, mode="stereo")
+    assert len(encode_mp2(st, rate=48000, bitrate=256, mode="joint",
+                          bound=4)) == len(indep)
+
+
+def test_joint_stereo_layer1():
+    n = 10 * 384
+    t = np.arange(n)
+    base = np.sin(2 * np.pi * 700 * t / 44100)
+    st = np.stack([(8000 * base).astype(np.int16),
+                   (2000 * base).astype(np.int16)], axis=1)
+    blob = encode_mp2(st, rate=44100, bitrate=256, layer=1, mode="joint",
+                      bound=8)
+    y, rate = decode_mp2(blob)
+    assert rate == 44100
+    assert _snr(st[:, 0], y[:, 0]) > 40.0
+    assert _snr(st[:, 1], y[:, 1]) > 35.0
+
+
+def test_crc_protection():
+    x = _tone_mix(3 * 1152, 48000, [(440, 8000), (3000, 3000)])
+    blob = encode_mp2(x, rate=48000, bitrate=192, crc=True)
+    assert blob[1] & 1 == 0            # protection_bit = 0 -> CRC present
+    y, _ = decode_mp2(blob)
+    assert _snr(x, y) > 55.0
+    # flipping a protected bit (bit allocation region) must fail the CRC
+    bad = bytearray(blob)
+    bad[6] ^= 0x10                     # inside the first frame's alloc field
+    with pytest.raises(ValueError, match="CRC"):
+        decode_mp2(bytes(bad))
+    # layer I CRC too
+    blob1 = encode_mp2(x[:2 * 384], rate=48000, bitrate=192, layer=1,
+                       crc=True)
+    y1, _ = decode_mp2(blob1)
+    assert len(y1) == 2 * 384
+    bad1 = bytearray(blob1)
+    bad1[6] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_mp2(bytes(bad1))
+
+
+def test_fuzz_never_hangs_or_crashes():
+    """Bit-flipped / truncated / random streams must either decode or
+    raise ValueError — never crash with an unrelated exception."""
+    rng = np.random.default_rng(11)
+    x = _tone_mix(3 * 1152, 48000, [(440, 8000)])
+    st = np.stack([x, (x // 2).astype(np.int16)], axis=1)
+    variants = [
+        bytearray(encode_mp2(x, rate=48000, bitrate=192)),
+        bytearray(encode_mp2(st, rate=48000, bitrate=256, mode="joint",
+                             bound=8, crc=True)),
+    ]
+    blob = variants[0]
+    for trial in range(80):
+        bad = bytearray(variants[trial % 2])
+        for _ in range(int(rng.integers(1, 6))):
+            bad[int(rng.integers(0, len(bad)))] ^= int(rng.integers(1, 256))
+        try:
+            y, _ = decode_mp2(bytes(bad))
+            assert y.dtype == np.int16
+        except ValueError:
+            pass
+    for cut in (1, 3, 5, 17, 100, len(blob) - 1):
+        try:
+            decode_mp2(bytes(blob[:cut]))
+        except ValueError:
+            pass
+    for _ in range(20):
+        junk = bytes(rng.integers(0, 256, int(rng.integers(4, 400)),
+                                  dtype=np.uint8).tolist())
+        try:
+            decode_mp2(junk)
+        except ValueError:
+            pass
