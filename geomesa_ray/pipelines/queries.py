@@ -4198,6 +4198,73 @@ def oracle_sql_scan() -> str:
     """
 
 
+def q_osm_scan(sf_dir: str):
+    """OSM converter end-to-end (sources/osm.py — the OsmNodes/Ways
+    Converter analog; closes the converter family's last 'unit tests
+    only' row): a deterministic .osm document is synthesized from the
+    first 3000 events at query time (node coords = exact microdegree
+    integers derived from event_id, 30 ways of ~100 ordered refs each),
+    then nodes+ways read through the Ray sources and assembled into
+    LineStrings by the DISTRIBUTED ref join (`ways_to_lines`: bucketed
+    co-group attach, no driver node cache). The oracle replays the whole
+    thing in SQL — ref resolution, seq ordering, and the %.6f WKT
+    serialization via printf + string_agg — so a lost/duplicated ref, a
+    wrong sort, or a formatting drift all mismatch."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geomesa_ray.sources.osm import (read_osm_nodes, read_osm_ways,
+                                         ways_to_lines)
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id"])
+    eid = np.sort(t.column("event_id").to_numpy(zero_copy_only=False))[:3000]
+    lon_u = (eid * 7919) % 360000000 - 180000000
+    lat_u = (eid * 104729) % 170000000 - 85000000
+    parts = ["<osm>"]
+    for e, lo, la in zip(eid.tolist(), lon_u.tolist(), lat_u.tolist()):
+        parts.append(f'<node id="{e + 1}" lon="{lo / 1e6:.6f}" '
+                     f'lat="{la / 1e6:.6f}"/>')
+    for w in range(30):
+        refs = eid[eid % 30 == w] + 1
+        nds = "".join(f'<nd ref="{r}"/>' for r in refs.tolist())
+        parts.append(f'<way id="{w + 1}">{nds}'
+                     f'<tag k="hw" v="x{w % 5}"/></way>')
+    parts.append("</osm>")
+    path = _conv_dir(sf_dir) + "/events.osm"
+    with open(path, "w") as f:
+        f.write("".join(parts))
+    nodes = read_osm_nodes(path)
+    ways = read_osm_ways(path)
+    return ways_to_lines(ways, nodes).select_columns(
+        ["way_id", "wkt", "n_points", "tags"])
+
+
+def oracle_osm_scan() -> str:
+    return """
+    WITH e AS (
+      SELECT event_id FROM events ORDER BY event_id LIMIT 3000
+    ),
+    nodes AS (
+      SELECT event_id,
+             CAST((event_id * 7919) % 360000000 - 180000000 AS DOUBLE)
+                 / 1000000 AS lon,
+             CAST((event_id * 104729) % 170000000 - 85000000 AS DOUBLE)
+                 / 1000000 AS lat,
+             CAST(event_id % 30 AS BIGINT) AS w
+      FROM e
+    )
+    SELECT w + 1 AS way_id,
+           'LINESTRING (' || string_agg(printf('%.6f %.6f', lon, lat),
+                                        ', ' ORDER BY event_id) || ')'
+               AS wkt,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           printf('hw=x%d', CAST(w % 5 AS INTEGER)) AS tags
+    FROM nodes GROUP BY w
+    """
+
+
 def q_media_pipeline(sf_dir: str):
     """END-TO-END multimodal path over the interleaved corpus: explode
     ``kind == "media"`` spans -> attach PNG payloads by media_ref (bucketed
@@ -4514,6 +4581,7 @@ QUERIES = {
     "fixedwidth_scan": q_fixedwidth_scan,
     "xml_scan": q_xml_scan,
     "sql_scan": q_sql_scan,
+    "osm_scan": q_osm_scan,
     # --- (b) code path changed in round 5
     "buffer_far": q_buffer_far,
     "concave_clip": q_concave_clip,
@@ -4610,6 +4678,7 @@ ORACLES = {
     "fixedwidth_scan": oracle_fixedwidth_scan(),
     "xml_scan": oracle_xml_scan(),
     "sql_scan": oracle_sql_scan(),
+    "osm_scan": oracle_osm_scan(),
     "cell_counts": oracle_cell_counts(),
     "bbox_filter": oracle_bbox_filter(),
     "antimeridian_bbox": oracle_antimeridian_bbox(),
