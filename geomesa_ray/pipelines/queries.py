@@ -4572,7 +4572,13 @@ def oracle_corpus_density() -> str:
 # first), then (d) high-value rows green in round 4. The tail (51+) holds
 # only rows with a green CORRECTNESS_r04 driver row (1 round old).
 QUERIES = {
-    # --- (a) new in round 5: writer-side format symmetry
+    # front 50 = driver-sampled: (a) new round-5 queries, (b) rows
+    # whose code changed this round, (c) rows with the stalest
+    # driver-green history (promoted: sliding_hour/poly_join/
+    # extent_join/anti_join/latest_event, newest history round 3),
+    # (d) flagship + changed heavy operators. Tail rows all carry
+    # round-4 driver-green history except equijoin_parts and
+    # tumbling_hour (triple-green r1-r3, exactly at the 2-round bar).
     "shp_roundtrip": q_shp_roundtrip,
     "avro_roundtrip": q_avro_export_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -4582,7 +4588,6 @@ QUERIES = {
     "xml_scan": q_xml_scan,
     "sql_scan": q_sql_scan,
     "osm_scan": q_osm_scan,
-    # --- (b) code path changed in round 5
     "buffer_far": q_buffer_far,
     "concave_clip": q_concave_clip,
     "holed_clip": q_holed_clip,
@@ -4592,7 +4597,6 @@ QUERIES = {
     "media_features": q_media_features,
     "media_pipeline": q_media_pipeline,
     "simhash_pairs_docs": q_simhash_pairs_docs,
-    # --- (c) newest driver-green history is round 3 (stalest rows)
     "session_windows": q_session_windows,
     "time_bins": q_time_bins,
     "agg_lineitem": q_agg_lineitem,
@@ -4616,13 +4620,17 @@ QUERIES = {
     "track_lines": q_track_lines,
     "xz2_keys": q_xz2_keys,
     "s2_cells": q_s2_cells,
-    # --- (d) round-4 driver-green, flagship + heavy operators
     "corpus_pip_join": q_corpus_pip_join,
     "corpus_density": q_corpus_density,
     "knn": q_knn,
+    "ivf_neighbors": q_ivf_neighbors,
+    "sliding_hour": q_sliding_hour,
+    "poly_join": q_poly_join,
+    "extent_join": q_extent_join,
+    "anti_join": q_anti_join,
+    "latest_event": q_latest_event,
     "knn_indexed": q_knn_indexed,
     "ann_neighbors": q_ann_neighbors,
-    "ivf_neighbors": q_ivf_neighbors,
     "stats_sketches": q_stats_sketches,
     "exact_quantiles": q_exact_quantiles,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
@@ -4630,8 +4638,6 @@ QUERIES = {
     "z3_keys": q_z3_keys,
     "z3_frequency": q_z3_frequency,
     "xz2_range_scan": q_xz2_range_scan,
-    # ------------- position 51+ (every row below has a green
-    # CORRECTNESS_r04 driver row — history exactly 1 round old) -------------
     "xz3_range_scan": q_xz3_range_scan,
     "merged_view": q_merged_view,
     "arrow_roundtrip": q_arrow_roundtrip,
@@ -4660,14 +4666,10 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "norm_dedup_docs": q_norm_dedup_docs,
     "winnow_fps": q_winnow_fps,
-    "extent_join": q_extent_join,
-    "poly_join": q_poly_join,
     "equijoin_parts": q_equijoin_parts,
-    "anti_join": q_anti_join,
-    "latest_event": q_latest_event,
     "tumbling_hour": q_tumbling_hour,
-    "sliding_hour": q_sliding_hour,
 }
+
 
 ORACLES = {
     "shp_roundtrip": oracle_shp_roundtrip(),
